@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over an edge-list relation `(src BIGINT, dst BIGINT)` —
+  * the reference's entire query surface, re-expressed relationally.
+  *
+  * The reference pipeline (`mapreducePredictionTwitter100.java:29-164`,
+  * SURVEY.md §2) is scan → symmetrize flatMap → groupByKey (adjacency) →
+  * per-node O(deg²) triad UDTF tagged with a sentinel-0 "this pair is a real
+  * edge" marker → groupByKey on the pair → sentinel-test flatMap → distinct.
+  * That is, relationally, a self-join plus a semi-join — which is exactly how
+  * we implement it, so Catalyst picks the join strategy (broadcast vs
+  * shuffled-hash vs sort-merge) and AQE splits skewed hub keys at runtime
+  * instead of a hand-rolled groupByKey OOMing on the hub's deg² blowup.
+  *
+  * Semantics preserved from the reference (variant drivers — the base driver
+  * has a bug and always returns ∅, SURVEY.md §2.9): graph is undirected,
+  * multi-edges and self-loops tolerated (neither produces a degenerate
+  * triangle), output triangles canonical `a < b < c`, unique.
+  */
+object GraphOps {
+
+  /** Both directions of every edge — the reference's "edges must be
+    * reciprocal" expansion (`mapreducePredictionTwitter.java:36-38`), as a
+    * UNION ALL instead of a flatMap. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Distinct undirected edges in canonical `u < v` form; drops self-loops
+    * and multi-edge duplicates (the reference reaches the same end state via
+    * its terminal `.distinct()` — dedup-early is output-equivalent and far
+    * cheaper, SURVEY.md §7.6). */
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** Enumerate unique triangles, canonical `a < b < c`.
+    *
+    * For a triangle a<b<c, the canonical edge set contains exactly (a,b),
+    * (a,c), (b,c): join edges sharing the low endpoint to generate open
+    * triads, then semi-join the closing edge — the reference's sentinel
+    * protocol (`mapreducePredictionTwitter100.java:52-153`) as a real
+    * LEFT SEMI join. Joining canonical (not symmetrized) edges means each
+    * triangle is produced exactly once — no terminal distinct, and the
+    * triad fan-out is Σ C(deg_canon, 2) instead of Σ deg² over the full
+    * adjacency.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val canon = canonicalEdges(edges)
+    val ab = canon.toDF("a", "b")
+    val ac = canon.toDF("a", "c")
+    val bc = canon.toDF("b", "c")
+    ab.join(ac, "a").filter(col("b") < col("c"))
+      .join(bc, Seq("b", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Undirected degree (distinct neighbors; self-loops excluded). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val canon = canonicalEdges(edges)
+    symmetrize(canon.toDF("src", "dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** Common-neighbor counts for node pairs — the link-prediction score the
+    * reference's README motivates (README.md:2, "Redundant Graph
+    * Detection"). Returns pairs `u < v` with ≥ `minCommon` shared
+    * neighbors. The wedge join fans out Σ deg(w)² — at scale AQE's skew
+    * split handles hub nodes; a degree-cap pre-filter is the documented
+    * mitigation for true power-law graphs. */
+  def commonNeighbors(edges: DataFrame, minCommon: Long = 2): DataFrame = {
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+    val n1 = sym.toDF("u", "w")
+    val n2 = sym.toDF("v", "w")
+    n1.join(n2, "w").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+  }
+
+  /** Per-node triangle participation count. */
+  def nodeTriangleCounts(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // ---- driver queries over a graph derived from the fixture corpus -----
+  // The sf dirs carry no edge table, so the oracle-checked graph queries
+  // derive a deterministic graph from lineitem: one edge per order's first
+  // line, nodes = keys mod 4000. Same derivation in the DuckDB SQL.
+
+  private def derivedEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 4000).as("src"),
+        (col("l_partkey") % 4000).as("dst"))
+
+  private val derivedSql =
+    """WITH e AS (SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+      |           FROM lineitem WHERE l_linenumber = 1),
+      |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |          FROM e WHERE src <> dst)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    Q("g01_triangles",
+      (s, dir) => triangles(derivedEdges(s, dir))
+        .orderBy(col("a"), col("b"), col("c")),
+      Some(s"""$derivedSql
+              |SELECT t1.u AS a, t1.v AS b, t2.v AS c
+              |FROM canon t1
+              |JOIN canon t2 ON t1.u = t2.u AND t1.v < t2.v
+              |JOIN canon t3 ON t3.u = t1.v AND t3.v = t2.v
+              |ORDER BY a, b, c""".stripMargin)),
+
+    Q("g02_degrees",
+      (s, dir) => degrees(derivedEdges(s, dir))
+        .orderBy(col("node")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon)
+              |SELECT src AS node, count(*) AS degree
+              |FROM sym GROUP BY src
+              |ORDER BY node""".stripMargin)),
+
+    Q("g03_common_neighbors",
+      (s, dir) => commonNeighbors(derivedEdges(s, dir), minCommon = 1)
+        .orderBy(col("u"), col("v")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon)
+              |SELECT n1.src AS u, n2.src AS v, count(*) AS cn
+              |FROM sym n1 JOIN sym n2 ON n1.dst = n2.dst
+              |WHERE n1.src < n2.src
+              |GROUP BY n1.src, n2.src
+              |HAVING count(*) >= 1
+              |ORDER BY u, v""".stripMargin)),
+
+    Q("g04_node_triangle_counts",
+      (s, dir) => nodeTriangleCounts(derivedEdges(s, dir))
+        .orderBy(col("node")),
+      Some(s"""$derivedSql,
+              |tri AS (SELECT t1.u AS a, t1.v AS b, t2.v AS c
+              |        FROM canon t1
+              |        JOIN canon t2 ON t1.u = t2.u AND t1.v < t2.v
+              |        JOIN canon t3 ON t3.u = t1.v AND t3.v = t2.v)
+              |SELECT node, count(*) AS n_triangles
+              |FROM (SELECT a AS node FROM tri
+              |      UNION ALL SELECT b FROM tri
+              |      UNION ALL SELECT c FROM tri) x
+              |GROUP BY node
+              |ORDER BY node""".stripMargin)),
+  )
+}

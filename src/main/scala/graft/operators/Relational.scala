@@ -1,0 +1,430 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core of the engine: scans, projections, filters, the full join
+  * surface, hash aggregation, sorts/top-k, set ops, window functions,
+  * rollup/grouping sets, scalar string/date/math functions, subqueries.
+  *
+  * The reference (see SURVEY.md §2) hand-rolled all of this inside RDD
+  * flatMap UDFs; here every query is a declarative DataFrame plan so Catalyst
+  * does pushdown/pruning/join-selection and AQE handles skew at scale. Small
+  * dimension tables (region/nation/supplier) are broadcast explicitly — at
+  * 100 TB the fact tables (lineitem/orders/events) are the only ones that
+  * should ever shuffle.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- q01: full-table hash aggregation (TPC-H Q1 shape) -------------
+    // Map-side partial agg → final agg: one shuffle of (flag,status) groups
+    // only, never of rows. Scales linearly with input at any SF.
+    Q("q01_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- q02: filter + projection with parquet pushdown ----------------
+    // Predicate and the 5-column projection reach the scan (PushedFilters /
+    // ReadSchema); at 100 TB this reads a fraction of the row groups.
+    Q("q02_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             |  round(l_extendedprice, 2) AS price
+             |FROM lineitem
+             |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- q03: 3-way join + agg + top-k (TPC-H Q3 shape) ----------------
+    // customer is small relative to the facts → broadcast; orders⋈lineitem
+    // is the one real shuffle, on the join key both sides.
+    Q("q03_join_agg",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ---- q04: broadcast dimension join -------------------------------
+    Q("q04_broadcast_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region")
+        cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin)),
+
+    // ---- q05: 6-table join (TPC-H Q5 shape) ---------------------------
+    // Fact-to-fact (orders⋈lineitem) shuffles once on the shared key; all
+    // dimensions broadcast. Catalyst reorders the dimension joins freely.
+    Q("q05_multi_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation"); val reg = t(s, dir, "region")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    // ---- q06: conditional aggregate, single-row result (TPC-H Q6) ------
+    Q("q06_cond_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("promo_revenue"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- q07: global top-k (TakeOrderedAndProject, no full sort) -------
+    Q("q07_topk",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(15),
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+             |FROM orders
+             |ORDER BY total DESC, o_orderkey
+             |LIMIT 15""".stripMargin)),
+
+    // ---- q08: distinct (hash agg on all columns) ----------------------
+    Q("q08_distinct",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey
+             |FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ---- q09: set operations (INTERSECT / EXCEPT) ---------------------
+    Q("q09_setops",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val open = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val fin = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val part = ord.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+        open.intersect(fin).except(part).orderBy(col("o_custkey"))
+      },
+      Some("""(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             | INTERSECT
+             | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- q10: window function — top-3 per group -----------------------
+    Q("q10_window_topn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_nationkey"), col("rn"), col("c_custkey"),
+            round(col("c_acctbal"), 2).as("acctbal"))
+          .orderBy(col("c_nationkey"), col("rn"))
+      },
+      Some("""SELECT c_nationkey, rn, c_custkey, round(c_acctbal, 2) AS acctbal
+             |FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) x
+             |WHERE rn <= 3
+             |ORDER BY c_nationkey, rn""".stripMargin)),
+
+    // ---- q11: rollup (grouping sets) ----------------------------------
+    Q("q11_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ---- q12: left-semi join (EXISTS) ---------------------------------
+    Q("q12_semi_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey"))
+        cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- q13: left-anti join (NOT EXISTS) -----------------------------
+    Q("q13_anti_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- q14: scalar string/math function surface ---------------------
+    Q("q14_scalar_fns",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 10)).as("uname"),
+          length(col("p_name")).as("name_len"),
+          round(col("p_retailprice") * 1.1, 2).as("adj_price"),
+          (col("p_size") % 7).as("size_mod"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  upper(substr(p_name, 1, 10)) AS uname,
+             |  length(p_name) AS name_len,
+             |  round(p_retailprice * 1.1, 2) AS adj_price,
+             |  p_size % 7 AS size_mod,
+             |  concat_ws('|', p_brand, p_type) AS brand_type
+             |FROM part
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- q15: date/time functions -------------------------------------
+    Q("q15_datetime",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("yr"), col("mo")),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY year(o_orderdate), month(o_orderdate)
+             |ORDER BY yr, mo""".stripMargin)),
+
+    // ---- q16: HAVING ---------------------------------------------------
+    Q("q16_having",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 5)
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS n_orders
+             |FROM orders
+             |GROUP BY o_custkey
+             |HAVING count(*) >= 5
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- q17: aggregate subquery join (TPC-H Q17 shape) ----------------
+    // The per-part average is a second aggregate over the same fact table;
+    // Spark computes it once and joins — both sides shuffle on l_partkey.
+    Q("q17_subquery_avg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+        li.join(avgq, li("l_partkey") === avgq("ap_partkey"))
+          .filter(col("l_quantity") < col("half_avg"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("small_lot_rev"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT round(sum(l_extendedprice), 2) AS small_lot_rev,
+             |  count(*) AS n_rows
+             |FROM lineitem l
+             |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.5 AS half_avg
+             |      FROM lineitem GROUP BY l_partkey) a
+             |  ON l.l_partkey = a.ap_partkey
+             |WHERE l.l_quantity < a.half_avg""".stripMargin)),
+
+    // ---- q18: exact distinct counts ------------------------------------
+    Q("q18_count_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_suppkey) AS n_supp,
+             |  count(DISTINCT l_partkey) AS n_part,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q19: CASE WHEN conditional aggregation ------------------------
+    Q("q19_case_when",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purchase_value"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id")),
+      // CASTs: DuckDB's sum over ints yields HUGEINT; BIGINT matches Spark.
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |  count(*) AS n_events
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- q20: UNION ALL across heterogeneous sources -------------------
+    Q("q20_union_all",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(lit("customer").as("kind"), col("c_acctbal").as("acctbal"))
+        val sup = t(s, dir, "supplier")
+          .select(lit("supplier").as("kind"), col("s_acctbal").as("acctbal"))
+        cust.unionAll(sup)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"), round(sum(col("acctbal")), 2).as("total_bal"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+             |FROM (SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+             |      UNION ALL
+             |      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier) u
+             |GROUP BY kind
+             |ORDER BY kind""".stripMargin)),
+
+    // ---- q21: running window aggregates (frame-based) ------------------
+    Q("q21_window_running",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_custkey") <= 20)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+            round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+             |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey), 2) AS prev_total
+             |FROM orders
+             |WHERE o_custkey <= 20
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- q22: full outer join ------------------------------------------
+    Q("q22_outer_join",
+      (s, dir) => {
+        val bySupp = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"))
+        val sup = t(s, dir, "supplier")
+        sup.join(bySupp, sup("s_suppkey") === bySupp("l_suppkey"), "full_outer")
+          .select(coalesce(col("s_suppkey"), col("l_suppkey")).as("suppkey"),
+            col("s_name"), coalesce(col("n_items"), lit(0L)).as("n_items"))
+          .orderBy(col("suppkey"))
+      },
+      Some("""SELECT coalesce(s_suppkey, l_suppkey) AS suppkey, s_name,
+             |  coalesce(n_items, 0) AS n_items
+             |FROM supplier
+             |FULL OUTER JOIN (SELECT l_suppkey, count(*) AS n_items
+             |                 FROM lineitem GROUP BY l_suppkey) x
+             |  ON s_suppkey = l_suppkey
+             |ORDER BY suppkey""".stripMargin)),
+  )
+}
