@@ -12,7 +12,12 @@ object SparkEntry {
 
   private def allQ: Seq[Q] =
     operators.Relational.queries ++
-      operators.GraphOps.queries
+      operators.GraphOps.queries ++
+      operators.TextOps.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries ++
+      streaming.EventStreams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

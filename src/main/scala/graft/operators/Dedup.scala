@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{PortableHash, TextFns, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (content
+  * hash), MinHash+LSH, SimHash, exact n-gram Jaccard, and embedding-cosine
+  * near-dup. Everything is DataFrame-native (explode/groupBy/join — no
+  * driver-side loops), so the same plans run on a 1000-executor cluster:
+  * the only shuffles are the per-doc signature aggregation and the
+  * band-bucket self-join, both keyed well for AQE.
+  *
+  * Hashes use [[PortableHash]] (md5-derived) so every sketch is
+  * reproducible in the DuckDB oracle; swap in xxhash64 for raw speed.
+  */
+object Dedup {
+
+  import PortableHash.{K, P}
+
+  /** Distinct word-bigram shingles per document: (doc_id, s). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.wordBigrams(col("text"))).as("s"))
+      .distinct()
+
+  /** Exact dedup decision per document: keeper = min doc_id sharing the
+    * normalized-content fingerprint. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+  }
+
+  /** K-column MinHash signature per document over bigram shingles. */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val withH = shingles(docs).withColumn("h", PortableHash.baseHash(col("s")))
+    val aggs = (0 until K).map(k => min(PortableHash.minhash(col("h"), k)).as(s"m$k"))
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandKey(b: Int, rowsPerBand: Int): Column =
+    md5(concat_ws(",",
+      (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string")): _*))
+
+  /** LSH candidate pairs: docs sharing any band of the MinHash signature,
+    * with the signature-estimated Jaccard (exact multiple of 1/K, so the
+    * value is engine-portable). */
+  def minhashLshPairs(docs: DataFrame, bands: Int = 8): DataFrame = {
+    val rows = K / bands
+    val sig = minhashSignature(docs)
+    val bandsDf = sig.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"), bandKey(b, rows).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val pairs = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until K)
+      .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, col("d1") === col("a_doc_id"))
+      .join(sb, col("d2") === col("b_doc_id"))
+      .select(col("d1"), col("d2"),
+        round(matches.cast("double") / K, 4).as("est_jaccard"))
+  }
+
+  /** 16-bit SimHash per document over whitespace tokens (with
+    * multiplicity): bit k is the majority vote of bit k across token
+    * hashes. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .withColumn("h", PortableHash.baseHash(col("w")))
+    val cnts = (0 until bits).map(k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L))).as(s"c$k"))
+    val agged = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), cnts: _*)
+    val value = (0 until bits)
+      .map(k => when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col("doc_id"), value.as("simhash"))
+  }
+
+  /** Exact word-bigram Jaccard similarity for same-language doc pairs with
+    * similarity ≥ `minJaccard`. Blocking on `lang` bounds the shingle
+    * self-join; at corpus scale you'd block on an LSH band instead (see
+    * [[minhashLshPairs]]) — this operator is the exact verifier stage. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"),
+        explode(TextFns.wordBigrams(col("text"))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("d1", "sz1"), "d1")
+      .join(sizes.toDF("d2", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ `minCos` (computed in double,
+    * rounded to 4dp). Brute-force all-pairs — the exact baseline; the LSH
+    * path for scale is [[Similarity.lshTopK]]. */
+  def embeddingNearDupPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+    e.toDF("v1", "e1").join(e.toDF("v2", "e2"), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(VectorFns.cosine(col("e1"), col("e2")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  // ---- oracle SQL generation (same constants as the Spark side) --------
+
+  private val toksSql = TextFns.tokensSql("text")
+  private def shCte(filter: String = "") =
+    s"""tok AS (SELECT doc_id, lang, $toksSql AS l FROM documents$filter),
+       |sh AS (SELECT DISTINCT doc_id, lang,
+       |       unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS s
+       |       FROM tok)""".stripMargin
+
+  private val sigCte = {
+    val mins = (0 until K)
+      .map(k => s"min(${PortableHash.minhashSql("h", k)}) AS m$k").mkString(",\n       ")
+    s"""bh AS (SELECT doc_id, ${PortableHash.baseHashSql("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |       FROM bh GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandKeySql(b: Int, rows: Int): String =
+    "md5(concat_ws(','," + (0 until rows).map(r => s"m${b * rows + r}::VARCHAR").mkString(",") + "))"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- d01: exact dedup ----------------------------------------------
+    Q("d01_exact_dedup",
+      (s, dir) => exactDedup(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+      Some(s"""WITH f AS (SELECT doc_id, md5(${TextFns.normalizeSql("text")}) AS fp FROM documents)
+              |SELECT doc_id,
+              |  min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+              |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+              |FROM f
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d02: MinHash + LSH candidate pairs ----------------------------
+    Q("d02_minhash_lsh", { (s, dir) =>
+        minhashLshPairs(Tables.load(s, dir, "documents"))
+          .orderBy(col("d1"), col("d2"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        val matchSum = (0 until K)
+          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects),
+                |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                |          FROM bands a JOIN bands b
+                |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+                |SELECT d1, d2, round(($matchSum) / ${K}.0, 4) AS est_jaccard
+                |FROM pairs
+                |JOIN sig sa ON sa.doc_id = d1
+                |JOIN sig sb ON sb.doc_id = d2
+                |ORDER BY d1, d2""".stripMargin)
+      }),
+
+    // ---- d03: SimHash signatures ---------------------------------------
+    Q("d03_simhash",
+      (s, dir) => simhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id")), {
+        val bits = 16
+        val caseTerms = (0 until bits)
+          .map(k => s"(CASE WHEN 2 * sum((h >> $k) & 1) > count(*) THEN ${1L << k} ELSE 0 END)")
+          .mkString("\n       + ")
+        Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+                |bh AS (SELECT doc_id, ${PortableHash.baseHashSql("w")} AS h FROM tok)
+                |SELECT doc_id,
+                |  CAST($caseTerms AS BIGINT) AS simhash
+                |FROM bh GROUP BY doc_id
+                |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // ---- d04: exact n-gram Jaccard pairs (same-lang blocking) ----------
+    Q("d04_ngram_jaccard",
+      (s, dir) => ngramJaccardPairs(Tables.load(s, dir, "documents"), 0.2)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH ${shCte()},
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM sh a JOIN sh b
+              |            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+              |          GROUP BY a.doc_id, b.doc_id)
+              |SELECT d1, d2,
+              |  round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = d1
+              |JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.2
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- d05: embedding-cosine near-dup pairs --------------------------
+    Q("d05_embedding_neardup",
+      (s, dir) => embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), 0.4)
+        .orderBy(col("v1"), col("v2")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT a.vec_id AS v1, b.vec_id AS v2,
+             |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+             |ORDER BY v1, v2""".stripMargin)),
+  )
+}

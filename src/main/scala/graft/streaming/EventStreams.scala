@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` table, Structured-Streaming
+  * first: every transform here works identically on a batch DataFrame and a
+  * `readStream` DataFrame (windowed aggregation and `session_window` are
+  * streaming-native operators), so the registered queries run the *same
+  * code* the streaming path runs — the batch run is the oracle-checkable
+  * execution of the streaming semantics.
+  *
+  * Scale notes: hourly windows shuffle once on (window, event_type) with
+  * partial aggregation map-side; sessionization shuffles once on user_id.
+  * With watermarks the state store holds only open windows/sessions, so
+  * state is bounded by active keys — the 100 TB concern is key cardinality
+  * (users), not event volume.
+  */
+object EventStreams {
+
+  /** events schema with `ts` as raw nanos (for readStream, which cannot
+    * infer past the TIMESTAMP(NANOS) footer — see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open the events table as a file stream (ts converted to timestamp). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type. Works on batch or stream;
+    * streaming callers add `.withWatermark("ts", ...)` upstream. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessions (30-min inactivity) per user: one row per session
+    * with event count and duration in epoch millis (engine-portable
+    * integers). `session_window` is the streaming-native operator — this
+    * single stateful aggregation runs unchanged under `readStream`. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("ne"), (max(col("ms")) - min(col("ms"))).as("dur"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        col("ne"), col("dur"))
+
+  /** Per-user session statistics (batch rollup of [[sessions]]; a second
+    * stateful aggregation, so streaming callers stop at [[sessions]]). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    sessions(events, gap).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("ne")).as("total_events"),
+        round(avg(col("ne")), 4).as("avg_session_events"),
+        round(avg(col("dur")), 2).as("avg_session_ms"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- st01: tumbling-window aggregation -----------------------------
+    Q("st01_window_hourly",
+      (s, dir) => hourlyByType(Tables.load(s, dir, "events"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |GROUP BY date_trunc('hour', ts), event_type
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- st02: sessionization (session_window) -------------------------
+    Q("st02_sessionize",
+      (s, dir) => sessionStats(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some("""WITH x AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |o AS (SELECT user_id, ms,
+             |        CASE WHEN lag(ms) OVER w IS NULL
+             |               OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+             |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+             |s AS (SELECT user_id, ms,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM o),
+             |g AS (SELECT user_id, sid, count(*) AS ne, max(ms) - min(ms) AS dur
+             |      FROM s GROUP BY user_id, sid)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(ne) AS BIGINT) AS total_events,
+             |  round(avg(ne), 4) AS avg_session_events,
+             |  round(avg(dur), 2) AS avg_session_ms
+             |FROM g GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+  )
+}

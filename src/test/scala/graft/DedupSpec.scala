@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "The quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the  quick BROWN fox jumps over the lazy dog", "en"), // ws/case variant of 0
+    (2L, "The quick brown fox jumps over the lazy cat today", "en"), // near-dup of 0
+    (3L, "completely different content about spark engines", "en"),
+    (4L, "The quick brown fox jumps over the lazy dog", "fr") // exact text, other lang
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDedup: normalization variants collapse to one keeper") {
+    val rows = Dedup.exactDedup(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows(0L) === ((0L, false)))
+    assert(rows(1L) === ((0L, true)))  // whitespace/case variant deduped
+    assert(rows(4L) === ((0L, true)))  // same content, different lang col
+    assert(rows(2L)._2 === false)      // near-dup is NOT an exact dup
+    assert(rows(3L)._2 === false)
+  }
+
+  test("minhash LSH: exact variant pairs bucket together with high estimate") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical shingle sets -> identical signatures -> est 1.0
+    assert(pairs(0L -> 1L) === 1.0)
+    assert(pairs(0L -> 4L) === 1.0)
+    // near-dup shares most shingles -> high but < 1
+    assert(pairs.get(0L -> 2L).forall(j => j > 0.3))
+    // unrelated doc should not pair with doc 0 at any band
+    assert(!pairs.contains(0L -> 3L))
+  }
+
+  test("minhash estimate tracks exact Jaccard on the near-dup pair") {
+    val est = Dedup.minhashLshPairs(docs).filter($"d1" === 0 && $"d2" === 2)
+      .select("est_jaccard").collect().headOption.map(_.getDouble(0))
+    val exact = Dedup.ngramJaccardPairs(docs, 0.0).filter($"d1" === 0 && $"d2" === 2)
+      .select("jaccard").collect().headOption.map(_.getDouble(0))
+    (est, exact) match {
+      case (Some(e), Some(x)) => assert(math.abs(e - x) < 0.35, s"est=$e exact=$x")
+      case _ => fail(s"missing pair: est=$est exact=$exact")
+    }
+  }
+
+  test("simhash: identical normalized text -> identical signature") {
+    val sh = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(0L) === sh(1L))
+    assert(sh(0L) === sh(4L))
+    assert(sh(0L) !== sh(3L))
+    // near-dup within small hamming distance
+    val ham = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(ham <= 6, s"hamming($ham) too large for near-dup")
+  }
+
+  test("ngramJaccard: variant pair has jaccard 1.0; cross-lang blocked") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(0L -> 1L) === 1.0)
+    assert(!pairs.contains(0L -> 4L)) // lang-blocked despite identical text
+  }
+
+  test("cosine: hand-computed values and self-similarity") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(1L -> 2L) === 0.0)
+    assert(pairs(1L -> 4L) === 1.0)
+    assert(math.abs(pairs(1L -> 3L) - 0.7071) < 1e-4)
+  }
+
+  test("lshTopK == exact top-k restricted to the query's bucket") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+    val lsh = Similarity.lshTopK(emb, queries, 5, planes = 4)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // independent reference: bucket everything, then exact top-k per bucket
+    val bucketed = emb.select($"vec_id",
+      Similarity.lshBucket(graft.functions.VectorFns.toDouble($"embedding"), 64, 4).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Similarity.bruteForceTopK(emb, queries, Int.MaxValue)
+      .orderBy($"qid", $"rank")
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (q, v) => bucketed(q) == bucketed(v) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (q, vs) =>
+        vs.map(_._2).take(5).zipWithIndex.map { case (v, i) => (q, i + 1, v) }
+      }.toSet
+    assert(lsh === expected)
+    assert(lsh.nonEmpty)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The registered st* queries run the streaming-native operators in batch
+  * mode (oracle-checked); this spec proves the same transforms produce the
+  * same results under a real `readStream` → memory-sink execution. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  private def streamDir: String = {
+    val d = Files.createTempDirectory("events-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  test("streaming hourly windows == batch hourly windows") {
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.hourlyByType(stream.withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .orderBy(col("win_start"), col("event_type")).collect().map(_.toSeq)
+    val batch = EventStreams.hourlyByType(Tables.load(spark, dir, "events"))
+      .orderBy(col("win_start"), col("event_type")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming sessionization == batch sessionization") {
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sessions_out")
+      .orderBy(col("user_id"), col("s_start")).collect().map(_.toSeq)
+    val batch = EventStreams.sessions(Tables.load(spark, dir, "events"))
+      .orderBy(col("user_id"), col("s_start")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
