@@ -29,6 +29,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 
@@ -36,6 +37,7 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 }

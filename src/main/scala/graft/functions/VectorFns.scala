@@ -3,10 +3,13 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ARRAY<FLOAT/DOUBLE>` embedding columns as pure column
-  * expressions (`zip_with`/`aggregate`/`transform` — codegen-friendly, no
-  * UDF). Sums fold left-to-right in array order, matching DuckDB's list
-  * functions, which keeps cosine values engine-portable bit-for-bit.
+/** Vector math over `ARRAY<FLOAT/DOUBLE>` embedding columns. The dot
+  * product is a native codegen'd Catalyst expression
+  * ([[graft.plans.DotProduct]] — a tight primitive loop inside whole-stage
+  * codegen); callers must have run [[graft.plans.GraftFunctions.register]]
+  * on the session (all graft entry points do). Sums fold left-to-right in
+  * array order, matching DuckDB's list functions, which keeps cosine
+  * values engine-portable bit-for-bit.
   */
 object VectorFns {
 
@@ -14,10 +17,11 @@ object VectorFns {
     * exactly representable; all math then happens in double). */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine as dot/(‖a‖·‖b‖). When norms are precomputed per row (the
+    * batch-efficient shape), prefer `dot(a,b) / (na * nb)` directly. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

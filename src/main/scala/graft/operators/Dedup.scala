@@ -113,12 +113,16 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: cosine ≥ `minCos` (computed in double,
     * rounded to 4dp). Brute-force all-pairs — the exact baseline; the LSH
-    * path for scale is [[Similarity.lshTopK]]. */
+    * path for scale is [[Similarity.lshTopK]]. Norms are computed once per
+    * vector (not per pair), and the per-pair dot is the native codegen'd
+    * [[graft.plans.DotProduct]]. */
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
-    e.toDF("v1", "e1").join(e.toDF("v2", "e2"), col("v1") < col("v2"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+    e.toDF("v1", "e1", "n1").join(e.toDF("v2", "e2", "n2"), col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(VectorFns.cosine(col("e1"), col("e2")), 4).as("cos"))
+        round(VectorFns.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -195,10 +199,15 @@ object Dedup {
       }),
 
     // ---- d04: exact n-gram Jaccard pairs (same-lang blocking) ----------
+    // The registered query caps at doc_id < 1000: exact all-pairs Jaccard
+    // is the verifier stage you run on LSH candidates, not the whole
+    // corpus — the cap keeps the demo query bounded at every SF while the
+    // library operator stays uncapped.
     Q("d04_ngram_jaccard",
-      (s, dir) => ngramJaccardPairs(Tables.load(s, dir, "documents"), 0.2)
+      (s, dir) => ngramJaccardPairs(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000), 0.2)
         .orderBy(col("d1"), col("d2")),
-      Some(s"""WITH ${shCte()},
+      Some(s"""WITH ${shCte(" WHERE doc_id < 1000")},
               |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
               |          FROM sh a JOIN sh b

@@ -43,12 +43,15 @@ object Similarity {
     * vectors (self excluded), ranked on cosine rounded to 6dp with vec_id
     * tiebreak (deterministic + engine-portable). */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(qs), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(VectorFns.cosine(col("qe"), col("e")), 6).as("cos"))
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -57,15 +60,18 @@ object Similarity {
     * bucket. Returns the same shape as [[bruteForceTopK]]; recall < 1. */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
       planes: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("bucket", lshBucket(col("e"), dim, planes))
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
       .withColumn("bucket", lshBucket(col("qe"), dim, planes))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(qs), Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(VectorFns.cosine(col("qe"), col("e")), 6).as("cos"))
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
