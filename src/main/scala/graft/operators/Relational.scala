@@ -426,5 +426,49 @@ object Relational {
              |                 FROM lineitem GROUP BY l_suppkey) x
              |  ON s_suppkey = l_suppkey
              |ORDER BY suppkey""".stripMargin)),
+
+    // ---- q23: CUBE (all grouping-set combinations) ---------------------
+    Q("q23_cube",
+      (s, dir) => t(s, dir, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("c_nationkey"), lit(-1)).as("nationkey"),
+          col("n"), col("total_bal"))
+        .orderBy(col("segment"), col("nationkey")),
+      Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             |  coalesce(c_nationkey, -1) AS nationkey,
+             |  count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer
+             |GROUP BY CUBE (c_mktsegment, c_nationkey)
+             |ORDER BY segment, nationkey""".stripMargin)),
+
+    // ---- q24: pivot (event-type counts per user) -----------------------
+    Q("q24_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- q25: approximate distinct (HLL sketch; engine-specific values,
+    // so rows-only check — ApproxSpec bounds the error vs exact) ---------
+    Q("q25_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy(col("l_returnflag")),
+      None),
   )
 }

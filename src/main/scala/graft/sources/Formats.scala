@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Scan/sink layer: CSV / JSON / Parquet with the engine's defaults.
+  *
+  * Reads default to FAILFAST with an explicit schema — the reference's
+  * fail-on-malformed semantics (`Long.parseLong` throwing on bad lines,
+  * SURVEY.md §1.4) generalized: schema-on-read is never inferred in
+  * production paths (inference = an extra full scan at 100 TB).
+  *
+  * Writes go through [[writeParquet]] with optional hash partitioning by
+  * key columns — the layout that lets downstream scans partition-prune.
+  */
+object Formats {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ",", header: Boolean = false,
+      permissive: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("sep", delimiter)
+      .option("header", header.toString)
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ",",
+      header: Boolean = false): Unit =
+    df.write.mode("overwrite")
+      .option("sep", delimiter).option("header", header.toString)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Parquet sink; `partitionBy` produces a directory per key value so
+    * later reads with a key predicate scan only matching directories. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Bucketed managed table: pre-shuffles rows into `buckets` files by
+    * `bucketCols`, so equi-joins/aggregations between co-bucketed tables
+    * need NO exchange — the 100 TB answer to repeated joins on the same
+    * key. Requires a session with a writable warehouse dir. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -98,5 +98,30 @@ object EventStreams {
              |  round(avg(dur), 2) AS avg_session_ms
              |FROM g GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- st03: as-of join (latest prior click per purchase) ------------
+    Q("st03_asof_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        graft.operators.AsOf.asofJoin(purchases, clicks, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+            date_format(col("matched.ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            round(col("value"), 2).as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             |  round(p.value, 2) AS value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("asofJoin picks latest at-or-before right row per key") {
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 90L, 9.0), (1L, 200L, 2.0), (1L, 300L, 3.0), (3L, 10L, 1.0))
+      .toDF("k", "ts", "v")
+    val res = AsOf.asofJoin(left, right, "k", "ts")
+      .select($"name", $"matched.ts".as("mts"), $"matched.v".as("mv"))
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(res("p1") === ((Some(90L), Some(9.0))))   // 90 <= 100, not 200
+    assert(res("p2") === ((Some(200L), Some(2.0))))  // 200 <= 250, not 300
+    assert(res("p3") === ((None, None)))             // key 2 has no rights
+  }
+
+  test("asofJoin includes right rows at exactly-equal ts") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "ts", "name")
+    val right = Seq((1L, 100L, 7.0)).toDF("k", "ts", "v")
+    val res = AsOf.asofJoin(left, right, "k", "ts")
+      .select($"matched.v").collect().head.getDouble(0)
+    assert(res === 7.0)
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem") {
+    val rows = SparkEntry.queries("q25_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.Skew
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class FormatsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CSV round-trip preserves values exactly (longs, doubles, strings)") {
+    val src = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    Formats.writeCsv(src, tmp)
+    val back = Formats.readCsv(spark, tmp, src.schema)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("JSON round-trip preserves values") {
+    val src = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val tmp = Files.createTempDirectory("graft-json").toString
+    Formats.writeJson(src, tmp)
+    val back = Formats.readJson(spark, tmp, src.schema)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("FAILFAST csv read throws on malformed rows") {
+    val tmp = Files.createTempDirectory("graft-bad").toString
+    Files.writeString(java.nio.file.Paths.get(tmp, "bad.csv"), "1,x\n2,3\n")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    intercept[Exception] {
+      Formats.readCsv(spark, tmp, schema).collect()
+    }
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val src = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    val tmp = Files.createTempDirectory("graft-part").toString
+    Formats.writeParquet(src, tmp, partitionBy = Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(tmp).filter($"o_orderstatus" === "O")
+    // pruning: only the o_orderstatus=O directory is listed in the scan
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ===
+      src.filter($"o_orderstatus" === "O").count())
+    assert(!scanDesc.contains("o_orderstatus=F"))
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse conf is static and can't be set per-test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+      Formats.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 8)
+      Formats.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", Seq("o_orderkey"), 8)
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() === li.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.load(spark, dir, "events")
+    val direct = ev.groupBy($"user_id".as("key"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+    val salted = Skew.saltedAggregate(ev, $"user_id", $"event_id", 16,
+        Map("total" -> $"value"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+    assert(salted === direct)
+  }
+}
