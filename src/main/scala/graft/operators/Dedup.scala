@@ -20,10 +20,13 @@ object Dedup {
 
   import PortableHash.{K, P}
 
-  /** Distinct word-bigram shingles per document: (doc_id, s). */
+  /** Distinct word-bigram shingles per document: (doc_id, s).
+    * Dedup happens inside the row (`array_distinct` before explode) — a
+    * narrow transform — rather than a global `.distinct()`, which would
+    * shuffle every shingle row. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(TextFns.wordBigrams(col("text"))).as("s"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
 
   /** Exact dedup decision per document: keeper = min doc_id sharing the
     * normalized-content fingerprint. */
@@ -42,33 +45,31 @@ object Dedup {
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def bandKey(b: Int, rowsPerBand: Int): Column =
-    md5(concat_ws(",",
-      (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string")): _*))
-
   /** LSH candidate pairs: docs sharing any band of the MinHash signature,
     * with the signature-estimated Jaccard (exact multiple of 1/K, so the
-    * value is engine-portable). */
+    * value is engine-portable). The signature array rides through the
+    * band self-join, so the estimate is computed in-row on candidate
+    * pairs — no extra joins back to the signature table. */
   def minhashLshPairs(docs: DataFrame, bands: Int = 8): DataFrame = {
     val rows = K / bands
     val sig = minhashSignature(docs)
-    val bandsDf = sig.select(col("doc_id"), explode(array(
-      (0 until bands).map(b => struct(lit(b).as("band"), bandKey(b, rows).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-    val pairs = bandsDf.as("a").join(bandsDf.as("b"),
+      .select(col("doc_id"), array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+    val bandsDf = sig.select(col("doc_id"), col("sig"), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bkey"))
+    bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        round(
+          aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / K, 4).as("est_jaccard"))
       .distinct()
-    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
-    val matches = (0 until K)
-      .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, col("d1") === col("a_doc_id"))
-      .join(sb, col("d2") === col("b_doc_id"))
-      .select(col("d1"), col("d2"),
-        round(matches.cast("double") / K, 4).as("est_jaccard"))
   }
 
   /** 16-bit SimHash per document over whitespace tokens (with
@@ -94,8 +95,7 @@ object Dedup {
     * [[minhashLshPairs]]) — this operator is the exact verifier stage. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"),
-        explode(TextFns.wordBigrams(col("text"))).as("s"))
-      .distinct()
+        explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, GraphOps}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY.md §5.3): random graphs and documents via
+  * ScalaCheck generators (sampled with fixed seeds — deterministic runs),
+  * invariants that must hold for every input. */
+class GraphPropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val edgeGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 14)
+    m <- Gen.choose(1, 50)
+    es <- Gen.listOfN(m, for {
+      u <- Gen.choose(0L, n.toLong)
+      v <- Gen.choose(0L, n.toLong)
+    } yield (u, v))
+  } yield es
+
+  private def brute(es: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((a, c)) && und((b, c))
+    } yield (a, b, c)).toSet
+  }
+
+  test("triangles: sorted, unique, closed, equal to brute force — ∀ random graphs") {
+    samples(edgeGen, 10).foreach { es =>
+      val got = GraphOps.triangles(es.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.forall { case (a, b, c) => a < b && b < c }, s"not canonical: $es")
+      assert(got.length === got.toSet.size, s"duplicates: $es")
+      assert(got.toSet === brute(es), s"mismatch vs oracle: $es")
+    }
+  }
+
+  test("triangles invariant under permutation, flips, duplication — ∀ random graphs") {
+    samples(edgeGen, 6).zipWithIndex.foreach { case (es, i) =>
+      val rnd = new scala.util.Random(1000L + i)
+      val perturbed = rnd.shuffle(
+        es.map { case (u, v) => if (rnd.nextBoolean()) (v, u) else (u, v) } ++
+          rnd.shuffle(es).take(es.length / 2))
+      val base = GraphOps.triangles(es.toDF("src", "dst")).collect().toSet
+      val pert = GraphOps.triangles(perturbed.toDF("src", "dst")).collect().toSet
+      assert(base === pert, s"perturbation changed triangles: $es")
+    }
+  }
+
+  private val docGen: Gen[Seq[(Long, String)]] = {
+    val word = Gen.oneOf("the", "fast", "key", "order", "sort", "merge", "scan")
+    for {
+      n <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(n, Gen.listOfN(12, word).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("minhash estimate within 0.35 of exact bigram Jaccard — ∀ random docs") {
+    samples(docGen, 5).foreach { docs =>
+      val df = docs.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      val exact = Dedup.ngramJaccardPairs(df, 0.0).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val est = Dedup.minhashLshPairs(df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      est.foreach { case (pair, e) =>
+        val x = exact.getOrElse(pair, 0.0)
+        assert(math.abs(e - x) <= 0.35, s"$pair est=$e exact=$x docs=$docs")
+      }
+    }
+  }
+}
