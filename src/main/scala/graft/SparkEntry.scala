@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Profile.queries ++
       streaming.EventStreams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

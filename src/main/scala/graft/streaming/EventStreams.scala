@@ -34,6 +34,12 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Drop duplicate events by id — the at-least-once → exactly-once
+    * repair stage of a streaming ingest. Batch and stream share this
+    * code; streaming callers add a watermark so dedup state expires. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Tumbling 1-hour windows per event type. Works on batch or stream;
     * streaming callers add `.withWatermark("ts", ...)` upstream. */
   def hourlyByType(events: DataFrame): DataFrame =
@@ -98,6 +104,24 @@ object EventStreams {
              |  round(avg(dur), 2) AS avg_session_ms
              |FROM g GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- st04: streaming dedup (exactly-once ingest semantics) ---------
+    // The batch query doubles the input then deduplicates on event_id —
+    // the oracle checks the end state equals the original stream. The
+    // same dropDuplicates runs stateful under readStream (StreamingSpec);
+    // with a watermark the dedup state is bounded to the watermark window.
+    Q("st04_stream_dedup",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        dedupEvents(ev.unionAll(ev))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
 
     // ---- st03: as-of join (latest prior click per purchase) ------------
     Q("st03_asof_join",

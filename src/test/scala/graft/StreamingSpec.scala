@@ -35,6 +35,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming dedup collapses a doubled stream to the original") {
+    val d = streamDir
+    val doubled = EventStreams.readEventsStream(spark, d)
+      .union(EventStreams.readEventsStream(spark, d))
+    val q = EventStreams.dedupEvents(doubled.withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out").count()
+    val batch = Tables.load(spark, dir, "events").count()
+    assert(streamed === batch)
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
