@@ -61,6 +61,19 @@ object GraphOps {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Adjacency lists — the reference's first groupByKey stage
+    * (`mapreducePredictionTwitter.java:45`, `adj(node, neighbors)`), as a
+    * hash aggregation with the neighbor list kept sorted for determinism.
+    * The reference retained multi-edge duplicates (SURVEY.md §2.3);
+    * `distinctNeighbors = false` preserves that multiset semantics. */
+  def adjacency(edges: DataFrame, distinctNeighbors: Boolean = true): DataFrame = {
+    val sym =
+      if (distinctNeighbors) symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+      else symmetrize(edges)
+    sym.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+  }
+
   /** Undirected degree (distinct neighbors; self-loops excluded). */
   def degrees(edges: DataFrame): DataFrame = {
     val canon = canonicalEdges(edges)
@@ -75,8 +88,21 @@ object GraphOps {
     * neighbors. The wedge join fans out Σ deg(w)² — at scale AQE's skew
     * split handles hub nodes; a degree-cap pre-filter is the documented
     * mitigation for true power-law graphs. */
-  def commonNeighbors(edges: DataFrame, minCommon: Long = 2): DataFrame = {
-    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+  def commonNeighbors(edges: DataFrame, minCommon: Long = 2,
+      maxDegree: Long = Long.MaxValue): DataFrame = {
+    val symAll = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+    // degree-threshold hybrid (SURVEY.md §7.6): drop wedges through hub
+    // nodes whose deg² fan-out would dominate — at power-law scale the
+    // top hubs contribute O(deg²) wedge rows each; capping them bounds
+    // the join while AQE's skew split handles the mid-range.
+    val sym =
+      if (maxDegree == Long.MaxValue) symAll
+      else {
+        val smallDeg = symAll.groupBy(col("dst").as("w"))
+          .agg(count(lit(1)).as("deg")).filter(col("deg") <= maxDegree)
+          .select(col("w"))
+        symAll.join(broadcast(smallDeg), symAll("dst") === smallDeg("w"), "left_semi")
+      }
     val n1 = sym.toDF("u", "w")
     val n2 = sym.toDF("v", "w")
     n1.join(n2, "w").filter(col("u") < col("v"))
@@ -146,6 +172,20 @@ object GraphOps {
               |GROUP BY n1.src, n2.src
               |HAVING count(*) >= 1
               |ORDER BY u, v""".stripMargin)),
+
+    Q("g05_adjacency",
+      (s, dir) => adjacency(derivedEdges(s, dir))
+        .select(col("node"), size(col("neighbors")).cast("long").as("degree"),
+          array_join(col("neighbors"), ",").as("neighbors_csv"))
+        .orderBy(col("node")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon)
+              |SELECT src AS node,
+              |  CAST(count(*) AS BIGINT) AS degree,
+              |  string_agg(dst::VARCHAR, ',' ORDER BY dst) AS neighbors_csv
+              |FROM sym GROUP BY src
+              |ORDER BY node""".stripMargin)),
 
     Q("g04_node_triangle_counts",
       (s, dir) => nodeTriangleCounts(derivedEdges(s, dir))

@@ -87,6 +87,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("adjacency lists are sorted distinct neighbors") {
+    val adj = GraphOps.adjacency(edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L))))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(adj === Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L)))
+  }
+
+  test("commonNeighbors degree cap excludes wedges through hubs") {
+    // star: hub 0 connects 1,2,3; plus edge 1-4 making node 1 degree 2
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L))
+    val uncapped = GraphOps.commonNeighbors(edgesDF(star), minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L), (1L, 3L), (2L, 3L), (0L, 4L)))
+    // cap 2 removes the hub (degree 3): only wedges via low-degree nodes stay
+    val capped = GraphOps.commonNeighbors(edgesDF(star), minCommon = 1, maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 4L)))
+  }
+
   test("50.txt parity with independent brute-force oracle") {
     val path = "/root/reference/src/main/resources/50.txt"
     val df = EdgeList.read(spark, path)
