@@ -21,7 +21,8 @@ object TriangleMain {
     val delim = args.drop(1).find(!_.startsWith("--")).getOrElse("\\s+")
     val countOnly = args.contains("--count-only")
     val spark = GraftSession.get(appName = "graft-triangles")
-    val tri = GraphOps.triangles(EdgeList.read(spark, path, delim))
+    val canon = GraphOps.canonicalEdges(EdgeList.read(spark, path, delim)).persist()
+    val tri = GraphOps.trianglesFromCanonical(canon)
     if (countOnly) println(s"triangles: ${tri.count()}")
     else tri.orderBy("a", "b", "c").collect()
       .foreach(r => println(s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}"))

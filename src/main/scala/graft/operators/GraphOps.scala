@@ -51,8 +51,16 @@ object GraphOps {
     * triad fan-out is Σ C(deg_canon, 2) instead of Σ deg² over the full
     * adjacency.
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val canon = canonicalEdges(edges)
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesFromCanonical(canonicalEdges(edges))
+
+  /** Triangle join over an already-canonical `(u,v)` edge set. The plan
+    * references the canonical set three times with *different* join keys,
+    * so exchange reuse cannot deduplicate them (verified on the executed
+    * plan) — drivers that own the lifecycle should `.persist()` the
+    * canonical set first (see TriangleMain/GraphBench) to scan the input
+    * once instead of three times. */
+  def trianglesFromCanonical(canon: DataFrame): DataFrame = {
     val ab = canon.toDF("a", "b")
     val ac = canon.toDF("a", "c")
     val bc = canon.toDF("b", "c")

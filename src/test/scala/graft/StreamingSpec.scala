@@ -48,6 +48,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming parquet sink writes windows readable as a table") {
+    val out = Files.createTempDirectory("stream-sink").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.hourlyByType(stream.withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    // append mode emits only watermark-closed windows: all but the last
+    // open ones; compare against the batch result restricted likewise
+    val batch = EventStreams.hourlyByType(Tables.load(spark, dir, "events"))
+    assert(written.count() > 0)
+    assert(written.count() <= batch.count())
+    val joined = written.join(batch,
+      Seq("win_start", "event_type", "n", "total_value"), "left_anti")
+    assert(joined.count() === 0, "sink rows must be a subset of batch rows")
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
