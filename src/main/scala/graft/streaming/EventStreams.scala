@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Event-stream analytics over the `events` table, Structured-Streaming
@@ -39,6 +40,46 @@ object EventStreams {
     * code; streaming callers add a watermark so dedup state expires. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
+
+  /** Row shape for the stateful threshold detector. */
+  final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
+  /** First event at which a user's cumulative value crossed the threshold. */
+  final case class Alert(user_id: Long, event_id: Long, ms: Long, cum: Double)
+  /** Running state per user across micro-batches. */
+  final case class RunState(cum: Double, fired: Boolean)
+
+  /** Custom stateful operator via `flatMapGroupsWithState`: emit ONE alert
+    * per user — the first event where the running sum of `value` crosses
+    * `threshold`. Not expressible with windows (the emission depends on a
+    * cross-batch accumulator), so this is the genuine GroupState surface:
+    * state = (running total, fired?), carried across micro-batches; in
+    * batch mode each group arrives as one iterator and the same code
+    * runs. Events are ordered (ms, event_id) within each delivery for
+    * deterministic accumulation. */
+  def thresholdAlerts(events: DataFrame, threshold: Double = 500.0): Dataset[Alert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evs = events.select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ms"), col("value")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[RunState]) =>
+          val prior = state.getOption.getOrElse(RunState(0.0, fired = false))
+          var cum = prior.cum
+          var fired = prior.fired
+          val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
+          it.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            cum += e.value
+            if (!fired && cum >= threshold) {
+              fired = true
+              out += Alert(user, e.event_id, e.ms, cum)
+            }
+          }
+          state.update(RunState(cum, fired))
+          out.iterator
+      }
+  }
 
   /** Tumbling 1-hour windows per event type. Works on batch or stream;
     * streaming callers add `.withWatermark("ts", ...)` upstream. */
@@ -122,6 +163,24 @@ object EventStreams {
              |FROM events
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    // ---- st05: custom stateful operator (flatMapGroupsWithState) -------
+    Q("st05_threshold_alert",
+      (s, dir) => thresholdAlerts(Tables.load(s, dir, "events"), 500.0).toDF()
+        .select(col("user_id"), col("event_id"), col("ms"),
+          round(col("cum"), 2).as("cum"))
+        .orderBy(col("user_id")),
+      Some("""WITH x AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+             |            sum(value) OVER (PARTITION BY user_id
+             |                             ORDER BY epoch_ms(ts), event_id) AS cum
+             |           FROM events),
+             |crossed AS (SELECT user_id, event_id, ms, cum,
+             |              row_number() OVER (PARTITION BY user_id
+             |                                 ORDER BY ms, event_id) AS rn
+             |            FROM x WHERE cum >= 500.0)
+             |SELECT user_id, event_id, ms, round(cum, 2) AS cum
+             |FROM crossed WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
 
     // ---- st03: as-of join (latest prior click per purchase) ------------
     Q("st03_asof_join",

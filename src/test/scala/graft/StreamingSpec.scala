@@ -68,6 +68,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0, "sink rows must be a subset of batch rows")
   }
 
+  test("streaming stateful threshold alerts == batch") {
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.thresholdAlerts(stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("alerts_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("alerts_out")
+      .orderBy(col("user_id")).collect().map(_.toSeq)
+    val batch = EventStreams.thresholdAlerts(Tables.load(spark, dir, "events")).toDF()
+      .orderBy(col("user_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
