@@ -89,6 +89,14 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding windows: 1-hour span every 15 minutes (each event lands in 4
+    * windows). Streaming-native like [[hourlyByType]]. */
+  def slidingByType(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Gap-based sessions (30-min inactivity) per user: one row per session
     * with event count and duration in epoch millis (engine-portable
     * integers). `session_window` is the streaming-native operator — this
@@ -145,6 +153,23 @@ object EventStreams {
              |  round(avg(dur), 2) AS avg_session_ms
              |FROM g GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- st06: sliding windows (1h span / 15min slide) -----------------
+    // Oracle: every event belongs to the 4 windows starting at its 15-min
+    // bucket minus {0,1,2,3} slides. Spark's window() epoch alignment
+    // (1970) and DuckDB's time_bucket origin differ by a whole number of
+    // 15-min steps, so bucket boundaries coincide.
+    Q("st06_window_sliding",
+      (s, dir) => slidingByType(Tables.load(s, dir, "events"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+             |                - n * INTERVAL '15 minutes',
+             |                '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |CROSS JOIN (VALUES (0), (1), (2), (3)) AS shifts(n)
+             |GROUP BY 1, event_type
+             |ORDER BY win_start, event_type""".stripMargin)),
 
     // ---- st04: streaming dedup (exactly-once ingest semantics) ---------
     // The batch query doubles the input then deduplicates on event_id —
