@@ -28,6 +28,15 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
 
+  /** Deterministic content-hash sample: keep a document iff its content
+    * hash lands under `percent`. Unlike `df.sample()`, the decision is a
+    * pure function of the content — reproducible across runs, engines,
+    * partitionings, and corpus versions, and consistent for duplicated
+    * documents (a near-dup's exact copies sample identically). The
+    * standard way to carve a stable eval slice out of a 100 TB corpus. */
+  def contentSample(docs: DataFrame, percent: Int): DataFrame =
+    docs.filter(PortableHash.baseHash(TextFns.normalizeText(col("text"))) % 100 < percent)
+
   /** Exact dedup decision per document: keeper = min doc_id sharing the
     * normalized-content fingerprint. */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -227,6 +236,16 @@ object Dedup {
               |JOIN sizes s2 ON s2.doc_id = d2
               |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.2
               |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- d06: deterministic content-hash sample ------------------------
+    Q("d06_content_sample",
+      (s, dir) => contentSample(Tables.load(s, dir, "documents"), 20)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang, source
+              |FROM documents
+              |WHERE ${PortableHash.baseHashSql(TextFns.normalizeSql("text"))} % 100 < 20
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- d05: embedding-cosine near-dup pairs --------------------------
     Q("d05_embedding_neardup",
