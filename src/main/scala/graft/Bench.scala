@@ -1,30 +1,100 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Protocol (pinned so round-over-round deltas are comparable):
+  *   - global warmup (JVM/codegen/parquet-footer caches), then per query
+  *     one untimed warmup run + `SPARK_GRAFT_BENCH_RUNS` (default 3) timed
+  *     runs; the reported seconds are the MEDIAN. Ambient load on the
+  *     bench box showed ±70% single-run variance — medians of repeated
+  *     runs are the cheapest stable estimator.
+  *   - shuffle read/write bytes per query (BASELINE.md's "v0 action"
+  *     promised wall-clock + shuffle volume: at 100× data, shuffle bytes
+  *     predict cost; sf0.1 wall-clock doesn't). Collected via a
+  *     `SparkListener` over task metrics, deltas snapshotted around the
+  *     LAST timed run — bytes are deterministic per run, unlike time.
+  *   - a query that throws reports `-1` time plus its error class+message
+  *     under `"errors"`, and the process exits 1: a broken query can never
+  *     masquerade as a fast one.
+  */
 object Bench {
+
+  private final class ShuffleTotals extends SparkListener {
+    val read = new AtomicLong
+    val written = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JVM/codegen/parquet-footer caches so per-query times measure
-    // the queries, not session startup.
+    val totals = new ShuffleTotals
+    spark.sparkContext.addSparkListener(totals)
+
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
+
+    var failed = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count() // untimed warmup
+        val times = (1 to runs).map { i =>
+          if (i == runs) {
+            // listener events land asynchronously; let the bus drain so the
+            // snapshot delta attributes this run's tasks to this query
+            Thread.sleep(150)
+            val r0 = totals.read.get(); val w0 = totals.written.get()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(150)
+            (sec, totals.read.get() - r0, totals.written.get() - w0)
+          } else {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            ((System.nanoTime() - t0) / 1e9, 0L, 0L)
+          }
+        }
+        val median = times.map(_._1).sorted.apply(runs / 2)
+        val (_, rd, wr) = times.last
+        (name, median, rd, wr)
+      } catch {
+        case e: Throwable =>
+          failed ::= (name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          (name, -1.0, 0L, 0L)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ")
+    val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val sh = results.map { case (k, _, r, w) =>
+      s"""\"$k\":{\"read\":$r,\"write\":$w}""" }.mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) => s"\"$k\":\"${esc(m)}\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

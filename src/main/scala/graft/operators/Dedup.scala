@@ -108,10 +108,28 @@ object Dedup {
   /** Exact word-bigram Jaccard similarity for same-language doc pairs with
     * similarity ≥ `minJaccard`. Blocking on `lang` bounds the shingle
     * self-join; at corpus scale you'd block on an LSH band instead (see
-    * [[minhashLshPairs]]) — this operator is the exact verifier stage. */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"),
+    * [[minhashLshPairs]]) — this operator is the exact verifier stage.
+    *
+    * `maxShingleDf` drops shingles whose document frequency exceeds the
+    * cap before the self-join (standard stop-shingle practice): a
+    * corpus-frequent bigram ("of the") would otherwise contribute df²
+    * join rows on its key. Jaccard is then computed over the capped
+    * shingle universe (sizes too), so the capped result is exact for that
+    * universe. The hot list is tiny by construction (df > cap), so the
+    * filter is a broadcast anti-join — the shingle stream itself takes no
+    * extra shuffle, and the df aggregation is map-side-combined. When no
+    * shingle is hot the output is unchanged (DedupSpec property). */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val shAll = docs.select(col("doc_id"), col("lang"),
         explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
+    val sh =
+      if (maxShingleDf == Long.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select(col("s"))
+        shAll.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
@@ -215,18 +233,21 @@ object Dedup {
       }),
 
     // ---- d04: exact n-gram Jaccard pairs (same-lang blocking) ----------
-    // The registered query caps at doc_id < 1000: exact all-pairs Jaccard
+    // The registered query caps at doc_id < 1000 (exact all-pairs Jaccard
     // is the verifier stage you run on LSH candidates, not the whole
-    // corpus — the cap keeps the demo query bounded at every SF while the
-    // library operator stays uncapped.
+    // corpus) and exercises the df-50 stop-shingle cap — mirrored exactly
+    // in the oracle, which drops the same hot shingles.
     Q("d04_ngram_jaccard",
       (s, dir) => ngramJaccardPairs(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000), 0.2)
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000), 0.2,
+        maxShingleDf = 50)
         .orderBy(col("d1"), col("d2")),
       Some(s"""WITH ${shCte(" WHERE doc_id < 1000")},
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
+              |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-              |          FROM sh a JOIN sh b
+              |          FROM shc a JOIN shc b
               |            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
               |          GROUP BY a.doc_id, b.doc_id)
               |SELECT d1, d2,

@@ -104,22 +104,53 @@ object Multimodal {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
-    // ---- m02: batched feature extraction (stubbed codec; rows-only) ----
+    // ---- m02: batched feature extraction (stubbed codec) ---------------
+    // The stub codec is deterministic byte math (8-bin histogram of
+    // byte >> 5, L1-normalized), so the oracle can recompute it: byte >> 5
+    // equals highNibble >> 1, and the high nibbles are the odd-position
+    // chars of hex(payload). The checked columns are the *integer* bin
+    // counts (recovered exactly from the float features: count = round(f·n),
+    // |float error·n| < 0.5 for any payload < 2^24 bytes) — integers hash
+    // identically across engines where re-rounded floats might not.
     Q("m02_media_features",
       (s, dir) => {
         import s.implicits._
         extractFeatures(mediaDs(s, dir))
           .select(col("doc_id"), col("kind"), col("n_bytes"),
-            round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-            round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+            round(element_at(col("features"), 1).cast("double") * col("n_bytes"))
+              .cast("long").as("b0"),
+            round(element_at(col("features"), 2).cast("double") * col("n_bytes"))
+              .cast("long").as("b1"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH m AS (SELECT doc_id,
+             |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+             |    encode(text) AS payload FROM documents),
+             |h AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes,
+             |    regexp_replace(hex(payload), '(.).', '\1', 'g') AS hn FROM m)
+             |SELECT doc_id, kind, n_bytes,
+             |  CAST(length(hn) - length(regexp_replace(hn, '[01]', '', 'g')) AS BIGINT) AS b0,
+             |  CAST(length(hn) - length(regexp_replace(hn, '[23]', '', 'g')) AS BIGINT) AS b1
+             |FROM h
+             |ORDER BY doc_id""".stripMargin)),
 
-    // ---- m03: frame sampling (rows-only) -------------------------------
+    // ---- m03: frame sampling -------------------------------------------
+    // The fake "frames" are 16-byte blocks, every 4th kept: pure integer
+    // arithmetic over octet_length, so the oracle enumerates the same
+    // (block index, block size) grid per video payload.
     Q("m03_frame_sample",
       (s, dir) => sampleFrames(mediaDs(s, dir))
         .orderBy(col("doc_id"), col("frame_idx")),
-      None),
+      Some("""WITH v AS (SELECT doc_id, octet_length(encode(text)) AS n
+             |           FROM documents WHERE doc_id % 3 = 2),
+             |b AS (SELECT doc_id, n, (n + 15) // 16 AS nblocks FROM v WHERE n > 0),
+             |f AS (SELECT doc_id, n, nblocks,
+             |        unnest(range(0, nblocks)) AS frame_idx FROM b)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(CASE WHEN frame_idx = nblocks - 1 AND n % 16 <> 0
+             |            THEN n % 16 ELSE 16 END AS INT) AS frame_bytes
+             |FROM f
+             |WHERE frame_idx % 4 = 0
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }

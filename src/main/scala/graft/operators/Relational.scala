@@ -461,14 +461,24 @@ object Relational {
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
 
-    // ---- q25: approximate distinct (HLL sketch; engine-specific values,
-    // so rows-only check — ApproxSpec bounds the error vs exact) ---------
+    // ---- q25: approximate distinct (HLL sketch). Raw HLL estimates are
+    // engine-specific, so the checked output is the exact count plus a
+    // derived invariant the oracle can assert: the rsd-0.01 estimate lands
+    // within 5% of exact (ApproxSpec additionally bounds the error curve).
     Q("q25_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.05)).cast("int").as("within_tol"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  1 AS within_tol
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }

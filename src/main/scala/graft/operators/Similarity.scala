@@ -21,23 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic hyperplane component i of plane k, in [-1, 1] — derived
-    * from the portable hash so both engines (and every run) agree. */
-  private def planeComponent(k: Int, i: Int): Double = {
-    // same construction as PortableHash.baseHash, in pure Scala
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hp_${k}_$i".getBytes("UTF-8"))
-    val v = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
-    (v % 2001L - 1000L).toDouble / 1000.0
-  }
-
-  /** Sign-pattern bucket id from `planes` random hyperplanes. */
+  /** Sign-pattern bucket id from `planes` deterministic hyperplanes — a
+    * native codegen'd expression ([[graft.plans.LshSignature]]): one
+    * reference-object plane matrix and a primitive loop, not planes×dim
+    * Catalyst nodes (the Column-tree form at 64 planes produced 8 MiB
+    * task binaries and a driver OOM). Callers must have registered
+    * [[graft.plans.GraftFunctions]]. */
   def lshBucket(e: Column, dim: Int, planes: Int): Column =
+    call_function("graft_lsh_sig", e, lit(planes), lit(dim))
+
+  private def planeComponent(k: Int, i: Int): Double =
+    graft.plans.LshSignature.planeComponent(k, i)
+
+  /** DuckDB SQL for the same bucket: each plane component is n/1000 with
+    * |n| ≤ 1000, an exact decimal whose parsed double equals Scala's
+    * division bit-for-bit, and `list_inner_product` folds left-to-right
+    * like the codegen'd loop — so the sign tests (and hence buckets)
+    * agree across engines. (A spelled-out `e[1]*c1 + e[2]*c2 + …` chain
+    * gives the same doubles but blows DuckDB's 128-deep binder recursion
+    * at the 64-plane signature.) */
+  private[graft] def lshBucketSql(arr: String, dim: Int, planes: Int): String =
     (0 until planes).map { k =>
-      val d = (0 until dim).map(i => element_at(e, i + 1) * lit(planeComponent(k, i)))
-        .reduce(_ + _)
-      when(d > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+      val lst = (0 until dim).map(i => planeComponent(k, i)).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product($arr, $lst) > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n       + ")
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ranked on cosine rounded to 6dp with vec_id
@@ -52,6 +59,46 @@ object Similarity {
     corpus.join(broadcast(qs), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table (OR-amplified) LSH ANN: `tables` independent sign-LSH
+    * tables of `planes` bits each, sliced from one `planes·tables`-bit
+    * signature computed in a single pass. A corpus vector is a candidate
+    * for a query iff some table buckets them together, so recall is
+    * amplified to 1-(1-p^planes)^tables — the standard knob for hitting a
+    * recall target that a single table can't reach on weakly-clustered
+    * data (SimilaritySpec measures the curve; ≥0.8 at the registered
+    * setting vs 0.12 single-table).
+    *
+    * Scale shape: corpus explodes to `tables` (table, bucket) rows — a
+    * narrow map pipelined into the broadcast join, same banding pattern
+    * as [[Dedup.minhashLshPairs]] — and candidates dedupe on
+    * (qid, vec_id) with one aggregation; only in-bucket candidates pay
+    * the exact cosine. */
+  def lshTopKMulti(emb: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
+      planes: Int = 4, tables: Int = 16): DataFrame = {
+    require(planes * tables <= 64, "signature must fit one long")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val mask = (1L << planes) - 1
+    def bandRows(sig: Column): Column = explode(array((0 until tables).map { t =>
+      struct(lit(t).as("t"), shiftright(sig, t * planes).bitwiseAND(lit(mask)).as("b"))
+    }: _*))
+    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+      .withColumn("tb", bandRows(lshBucket(col("e"), dim, planes * tables)))
+      .select(col("vec_id"), col("e"), col("nrm"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
+      .withColumn("tb", bandRows(lshBucket(col("qe"), dim, planes * tables)))
+      .select(col("qid"), col("qe"), col("qnrm"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(qs), Seq("t", "b"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .groupBy(col("qid"), col("vec_id")).agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -98,13 +145,64 @@ object Similarity {
              |FROM ranked WHERE rank <= 10
              |ORDER BY qid, rank""".stripMargin)),
 
-    // ---- s02: LSH-bucketed ANN (scale path; rows-only check) -----------
+    // ---- s02: LSH-bucketed ANN (scale path) ----------------------------
+    // Fully oracle-checked: the hyperplanes are engine-portable constants
+    // (see lshBucketSql), so DuckDB recomputes the identical buckets and
+    // the whole LSH output hash-matches — not just a recall bound.
+    // SimilaritySpec separately measures recall@10 vs the exact top-k.
     Q("s02_lsh_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         lshTopK(emb, emb.filter(col("vec_id") < 50), k = 10, planes = 4)
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |c AS (SELECT vec_id, e,
+              |       ${lshBucketSql("e", 64, 4)} AS bucket FROM e),
+              |q AS (SELECT vec_id AS qid, e AS qe, bucket FROM c WHERE vec_id < 50),
+              |scored AS (SELECT qid, c.vec_id AS vec_id,
+              |    round(list_cosine_similarity(qe, c.e), 6) AS cos
+              |  FROM c JOIN q ON c.bucket = q.bucket
+              |  WHERE qid <> c.vec_id),
+              |ranked AS (SELECT qid, vec_id, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+              |  FROM scored)
+              |SELECT qid, vec_id, cos, rank
+              |FROM ranked WHERE rank <= 10
+              |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- s03: multi-table LSH ANN (recall-amplified scale path) --------
+    // Oracle recomputes the identical 64-bit signature, slices the same
+    // 16 four-bit tables, and matches candidates on any shared (table,
+    // bucket) — full hash parity, like s02. Both engines use arithmetic
+    // >> then mask, so the sign bit (plane 63) slices identically.
+    Q("s03_lsh_multitable",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        lshTopKMulti(emb, emb.filter(col("vec_id") < 50), k = 10,
+          planes = 4, tables = 16)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |c AS (SELECT vec_id, e,
+              |       ${lshBucketSql("e", 64, 64)} AS sig FROM e),
+              |q AS (SELECT vec_id AS qid, e AS qe, sig AS qsig FROM c WHERE vec_id < 50),
+              |tt AS (SELECT unnest(range(0, 16)) AS t),
+              |cb AS (SELECT vec_id, t, (sig >> (4 * t)::INT) & 15 AS b FROM c CROSS JOIN tt),
+              |qb AS (SELECT qid, t, (qsig >> (4 * t)::INT) & 15 AS b FROM q CROSS JOIN tt),
+              |cand AS (SELECT DISTINCT qid, vec_id
+              |         FROM cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b
+              |         WHERE qid <> vec_id),
+              |scored AS (SELECT cand.qid, cand.vec_id,
+              |    round(list_cosine_similarity(q.qe, c.e), 6) AS cos
+              |  FROM cand
+              |  JOIN c ON c.vec_id = cand.vec_id
+              |  JOIN q ON q.qid = cand.qid),
+              |ranked AS (SELECT qid, vec_id, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+              |  FROM scored)
+              |SELECT qid, vec_id, cos, rank
+              |FROM ranked WHERE rank <= 10
+              |ORDER BY qid, rank""".stripMargin)),
   )
 }

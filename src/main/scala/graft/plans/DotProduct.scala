@@ -70,7 +70,11 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for graft's native expressions (idempotent). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_sig", exprs => LshSignature(exprs.head, exprs(1), exprs(2)),
+      "built-in")
+  }
 }

@@ -48,37 +48,60 @@ object EventStreams {
   /** Running state per user across micro-batches. */
   final case class RunState(cum: Double, fired: Boolean)
 
-  /** Custom stateful operator via `flatMapGroupsWithState`: emit ONE alert
-    * per user — the first event where the running sum of `value` crosses
-    * `threshold`. Not expressible with windows (the emission depends on a
-    * cross-batch accumulator), so this is the genuine GroupState surface:
-    * state = (running total, fired?), carried across micro-batches; in
-    * batch mode each group arrives as one iterator and the same code
-    * runs. Events are ordered (ms, event_id) within each delivery for
-    * deterministic accumulation. */
+  /** Custom stateful operator: emit ONE alert per user — the first event
+    * where the running sum of `value` crosses `threshold`. Not expressible
+    * with windows (the emission depends on a cross-batch accumulator).
+    *
+    * Two execution paths with identical semantics (proven stream==batch in
+    * StreamingSpec):
+    *   - streaming: `flatMapGroupsWithState` — state = (running total,
+    *     fired?) carried across micro-batches; the in-memory sort is
+    *     bounded by one micro-batch's slice of one group, not the group's
+    *     full history.
+    *   - batch: `flatMapSortedGroups` — a *secondary sort* delivers each
+    *     group's iterator already (ms, event_id)-ordered, and [[consume]]
+    *     reads it streamingly and stops at the first crossing, so a hot
+    *     user with 10⁷ events never materializes (the previous
+    *     `it.toSeq.sortBy` buffered whole groups — an executor OOM at
+    *     power-law scale). */
   def thresholdAlerts(events: DataFrame, threshold: Double = 500.0): Dataset[Alert] = {
     val spark = events.sparkSession
     import spark.implicits._
     val evs = events.select(col("user_id"), col("event_id"),
       unix_millis(col("ts")).as("ms"), col("value")).as[Ev]
-    evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState[RunState, Alert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (user, it, state: GroupState[RunState]) =>
-          val prior = state.getOption.getOrElse(RunState(0.0, fired = false))
-          var cum = prior.cum
-          var fired = prior.fired
-          val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
-          it.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
-            cum += e.value
-            if (!fired && cum >= threshold) {
-              fired = true
-              out += Alert(user, e.event_id, e.ms, cum)
-            }
-          }
-          state.update(RunState(cum, fired))
-          out.iterator
+
+    // Shared core: consume time-ordered events, return (end state, alert).
+    // Stops pulling the iterator once fired — no further alert is possible
+    // and cum is only carried for un-fired state.
+    def consume(user: Long, prior: RunState, ordered: Iterator[Ev]): (RunState, Option[Alert]) =
+      if (prior.fired) (prior, None)
+      else {
+        var cum = prior.cum
+        var alert = Option.empty[Alert]
+        while (ordered.hasNext && alert.isEmpty) {
+          val e = ordered.next()
+          cum += e.value
+          if (cum >= threshold) alert = Some(Alert(user, e.event_id, e.ms, cum))
+        }
+        (RunState(cum, alert.nonEmpty), alert)
       }
+
+    if (events.isStreaming)
+      evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState[RunState, Alert](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (user, it, state: GroupState[RunState]) =>
+            val prior = state.getOption.getOrElse(RunState(0.0, fired = false))
+            val (next, alert) =
+              consume(user, prior, it.toSeq.sortBy(e => (e.ms, e.event_id)).iterator)
+            state.update(next)
+            alert.iterator
+        }
+    else
+      evs.groupByKey(_.user_id)
+        .flatMapSortedGroups(col("ms"), col("event_id")) { (user, it) =>
+          consume(user, RunState(0.0, fired = false), it)._2
+        }
   }
 
   /** Tumbling 1-hour windows per event type. Works on batch or stream;

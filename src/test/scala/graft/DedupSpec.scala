@@ -68,6 +68,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains(0L -> 4L)) // lang-blocked despite identical text
   }
 
+  test("ngramJaccard: df cap is a no-op when no shingle is hot") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 200)
+    val uncapped = Dedup.ngramJaccardPairs(corpus, 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    // cap above any real df: the anti-join path runs with an empty hot
+    // list and must return exactly the uncapped result
+    val capped = Dedup.ngramJaccardPairs(corpus, 0.1, maxShingleDf = 1000000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("ngramJaccard: hot shingle is dropped from the join and the universe") {
+    // every doc shares the hot bigram "zz zz"; only docs 0/1 share more
+    val hotDocs = Seq(
+      (0L, "zz zz alpha beta gamma", "en"),
+      (1L, "zz zz alpha beta delta", "en"),
+      (2L, "zz zz unrelated words here", "en"),
+      (3L, "zz zz other totally different", "en")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccardPairs(hotDocs, 0.01, maxShingleDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // "zz zz" has df=4 > 3 -> dropped; docs 2,3 share nothing else
+    assert(!pairs.contains(2L -> 3L))
+    // docs 0,1 still pair on "alpha beta" etc.; jaccard over the capped
+    // universe: shingles/doc = {zz-alpha, alpha-beta, beta-gamma|delta}
+    // minus nothing else hot -> inter=2 of sizes 3,3 -> 2/4
+    assert(pairs.contains(0L -> 1L))
+    assert(math.abs(pairs(0L -> 1L) - 0.5) < 1e-9)
+  }
+
   test("cosine: hand-computed values and self-similarity") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(1.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))

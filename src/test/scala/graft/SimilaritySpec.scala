@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall characterization of the ANN operators against the exact top-k —
+  * the recall/cost curve IS the operator's spec: single-table recall falls
+  * as planes grow (AND-amplification), and the multi-table path buys it
+  * back (OR-amplification) to the ≥0.8 target the registered s03 setting
+  * ships with. */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val k = 10
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val queries = emb.filter($"vec_id" < 50)
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact = topkSet(Similarity.bruteForceTopK(emb, queries, k))
+
+  private def recall(approx: Set[(Long, Long)]): Double =
+    (exact & approx).size.toDouble / exact.size
+
+  test("single-table recall@10 falls with planes (AND-amplification)") {
+    val curve = Seq(4, 8, 12).map { p =>
+      p -> recall(topkSet(Similarity.lshTopK(emb, queries, k, planes = p)))
+    }
+    info(s"single-table recall@10 by planes: $curve")
+    // more planes -> stricter buckets -> recall must not increase
+    assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b <= a + 1e-9 })
+    // and every single-table setting is far below the 0.8 target on this
+    // weakly-clustered corpus — which is why s03 is the registered ANN path
+    assert(curve.forall(_._2 < 0.8))
+  }
+
+  test("multi-table recall@10 >= 0.8 at the registered s03 setting (4 planes x 16 tables)") {
+    val r = recall(topkSet(Similarity.lshTopKMulti(emb, queries, k, planes = 4, tables = 16)))
+    info(s"multi-table recall@10 (planes=4, tables=16): $r")
+    assert(r >= 0.8, s"recall $r below target")
+  }
+
+  test("multi-table recall grows with table count (OR-amplification)") {
+    val r4 = recall(topkSet(Similarity.lshTopKMulti(emb, queries, k, planes = 4, tables = 4)))
+    val r16 = recall(topkSet(Similarity.lshTopKMulti(emb, queries, k, planes = 4, tables = 16)))
+    info(s"recall@10: tables=4 -> $r4, tables=16 -> $r16")
+    assert(r16 > r4)
+  }
+
+  test("multi-table with 1 table == single-table lshTopK") {
+    val multi = topkSet(Similarity.lshTopKMulti(emb, queries, k, planes = 4, tables = 1))
+    val single = topkSet(Similarity.lshTopK(emb, queries, k, planes = 4))
+    assert(multi === single)
+  }
+}
