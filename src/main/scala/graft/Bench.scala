@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
@@ -25,18 +22,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private final class ShuffleTotals extends SparkListener {
-    val read = new AtomicLong
-    val written = new AtomicLong
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,8 +32,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val totals = new ShuffleTotals
-    spark.sparkContext.addSparkListener(totals)
+    val totals = ShuffleTotals.install(spark)
 
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
@@ -61,15 +45,12 @@ object Bench {
         fn(spark, sfDir).count() // untimed warmup
         val times = (1 to runs).map { i =>
           if (i == runs) {
-            // listener events land asynchronously; let the bus drain so the
-            // snapshot delta attributes this run's tasks to this query
-            Thread.sleep(150)
-            val r0 = totals.read.get(); val w0 = totals.written.get()
+            val (r0, w0) = totals.snapshotAfter()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             val sec = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(150)
-            (sec, totals.read.get() - r0, totals.written.get() - w0)
+            val (r1, w1) = totals.snapshotAfter()
+            (sec, r1 - r0, w1 - w0)
           } else {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()

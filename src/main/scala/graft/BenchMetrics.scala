@@ -1,0 +1,40 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Process-wide shuffle read/write byte totals from task metrics.
+  *
+  * Wall-clock at sf0.1 doesn't predict cost at 100× data — shuffle volume
+  * does, so every bench main records it (BASELINE.md's "v0 action").
+  * Snapshot deltas around a query attribute its bytes; listener delivery
+  * is asynchronous, so [[snapshotAfter]] waits a beat for the bus to
+  * drain before reading.
+  */
+final class ShuffleTotals extends SparkListener {
+  private val read = new AtomicLong
+  private val written = new AtomicLong
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  def snapshot(): (Long, Long) = (read.get(), written.get())
+
+  def snapshotAfter(): (Long, Long) = { Thread.sleep(150); snapshot() }
+}
+
+object ShuffleTotals {
+  /** Install a fresh listener on the session's context. */
+  def install(spark: SparkSession): ShuffleTotals = {
+    val t = new ShuffleTotals
+    spark.sparkContext.addSparkListener(t)
+    t
+  }
+}

@@ -13,9 +13,11 @@ object GraphBench {
     else Seq("50", "10k", "20k", "50k", "100k")
       .map(n => s"/root/reference/src/main/resources/$n.txt")
     val spark = GraftSession.get(appName = "graft-graph-bench")
+    val totals = ShuffleTotals.install(spark)
     // warm-up
     spark.range(1000).selectExpr("sum(id)").collect()
     files.foreach { f =>
+      val (r0, w0) = totals.snapshotAfter()
       val t0 = System.nanoTime()
       // persist the canonical edge set: the triangle join references it
       // with three different keys, so it would otherwise be recomputed
@@ -24,7 +26,8 @@ object GraphBench {
       val n = GraphOps.trianglesFromCanonical(canon).count()
       val sec = (System.nanoTime() - t0) / 1e9
       canon.unpersist()
-      println(s"""{"file":"$f","triangles":$n,"sec":$sec}""")
+      val (r1, w1) = totals.snapshotAfter()
+      println(s"""{"file":"$f","triangles":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
     }
     spark.stop()
   }

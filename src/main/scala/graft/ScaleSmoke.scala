@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{Dedup, GraphOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke test: the "would it survive 100×" evidence local[32]
+  * correctness runs can't give (BASELINE_SELF.md records results).
+  *
+  * Synthesizes deterministic inputs ~10–50× the sf0.1 fixtures:
+  *   - a power-law graph (default 5M edges over ~1M nodes): endpoint
+  *     `floor(N·u²)` concentrates degree on low ids — the top hub gets
+  *     ~10⁴ edges, the realistic adversary for wedge/triangle joins;
+  *   - a 50k-doc corpus (~80 words each, zipf-ish vocab so some shingles
+  *     are corpus-hot, 5% exact duplicates for LSH to find).
+  *
+  * Runs g01 (triangles), g03 (common neighbors, degree-capped), d02
+  * (MinHash LSH pairs) and reports wall-clock + shuffle bytes + result
+  * counts as JSON lines.
+  *
+  * Skew evidence, two distinct mechanisms (the 100 TB design uses both,
+  * for different problems):
+  *   - wedge joins on hubs explode OUTPUT, not input partitions — AQE
+  *     skew split can't help there; the degree cap is the mitigation,
+  *     and g03's runtime under the cap is the measurement;
+  *   - skewed FACT joins (one key owning a big slice of the rows)
+  *     oversize shuffle-INPUT partitions — exactly AQE skew split's
+  *     job. The smoke builds a zipf fact (top key ≈ 20% of rows),
+  *     sort-merge-joins it to a dim, and asserts from the EXECUTED plan
+  *     that the join ran with skew=true.
+  *
+  * Everything is derived from xxhash64 of the row id — reruns, any
+  * parallelism, same data.
+  *
+  * Usage: `runMain graft.ScaleSmoke [nEdges] [nDocs]` (defaults 5M / 50k).
+  */
+object ScaleSmoke {
+
+  /** u ~ Uniform(0,1] derived from a hashed id. */
+  private def uniform(seed: Int) =
+    (pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L)) + 1).cast("double") / 1e9
+
+  /** Power-law-ish node id in [0, n): floor(n·u²) — density ∝ x^(-1/2),
+    * hubs at low ids. */
+  private def zipfNode(n: Long, seed: Int) =
+    least(floor(lit(n.toDouble) * pow(uniform(seed), 2.0)), lit(n - 1)).cast("long")
+
+  def edges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame =
+    spark.range(nEdges).select(
+      zipfNode(nNodes, 1).as("src"), zipfNode(nNodes, 2).as("dst"))
+
+  def docs(spark: SparkSession, nDocs: Long, vocab: Int = 5000, words: Int = 80): DataFrame = {
+    // 5% of docs copy their predecessor's text: exact-dup pairs for LSH
+    val base = when(pmod(col("id"), lit(20)) === 1, col("id") - 1).otherwise(col("id"))
+    val wordAt = (j: Int) => {
+      val u = (pmod(xxhash64(base * 131 + lit(j), lit(7)), lit(1000000000L)) + 1)
+        .cast("double") / 1e9
+      concat(lit("w"), least(floor(lit(vocab.toDouble) * pow(u, 2.0)),
+        lit(vocab - 1)).cast("int").cast("string"))
+    }
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(array((0 until words).map(wordAt): _*), " ").as("text"),
+      lit("en").as("lang"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val skewOnly = args.contains("--skew-only")
+    val posArgs = args.filterNot(_.startsWith("--"))
+    val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
+    val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
+    val nNodes = nEdges / 5
+    val spark = GraftSession.get(appName = "graft-scale-smoke")
+    val totals = ShuffleTotals.install(spark)
+    import spark.implicits._
+
+    def timed(name: String)(body: => Long): Unit = {
+      val (r0, w0) = totals.snapshotAfter()
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (r1, w1) = totals.snapshotAfter()
+      println(s"""{"step":"$name","rows":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
+    }
+
+    if (!skewOnly) {
+      val e = edges(spark, nEdges, nNodes).persist()
+      val d = docs(spark, nDocs).persist()
+      println(s"""{"step":"gen","edges":${e.count()},"docs":${d.count()},"top_degree":${
+        e.groupBy("src").count().agg(max("count")).as[Long].head()}}""")
+
+      timed("g01_triangles") {
+        val canon = GraphOps.canonicalEdges(e).persist()
+        val n = GraphOps.trianglesFromCanonical(canon).count()
+        canon.unpersist(); n
+      }
+
+      // g03: the degree cap is the hub mitigation (output-explosion skew);
+      // runtime under the cap on a 5M-edge power-law graph is the evidence
+      timed("g03_common_neighbors_capped") {
+        GraphOps.commonNeighbors(e, minCommon = 2, maxDegree = 64).count()
+      }
+
+      timed("d02_minhash_lsh") {
+        Dedup.minhashLshPairs(d).filter(col("est_jaccard") >= 0.5).count()
+      }
+    }
+
+    // Skewed FACT join: 20M-row fact whose hottest key owns ~20% of rows
+    // (floor(K·u⁸): P(key=0) = K^(-1/8)), joined to a per-key dim.
+    // Broadcast off forces the sort-merge path; with the hot partition
+    // ~10× the median, AQE must split it — assert skew=true on the
+    // EXECUTED join node.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // demo-scale thresholds (defaults are 256m/5x, sized for real clusters).
+    // AQE sizes partitions on COMPRESSED map-output bytes, and a hot key's
+    // partition (millions of identical keys) compresses hard — the payload
+    // column is a hash so the partition stays incompressible, like real data
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    val nKeys = 100000L
+    val fact = spark.range(20000000L).select(
+      least(floor(lit(nKeys.toDouble) * pow(uniform(9), 8.0)), lit(nKeys - 1))
+        .cast("long").as("k"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("v"))
+    val dim = spark.range(nKeys).select(col("id").as("k"), (col("id") % 13).as("grp"))
+    var skewFired = false
+    timed("skewed_fact_join") {
+      val joined = fact.join(dim, "k").groupBy("grp").agg(sum("v").as("sv"))
+      // collect() (not count()) so the inspected QueryExecution is the one
+      // that ran — df.count() plans a separate query, whose executed plan
+      // would still read isFinalPlan=false here
+      val n = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      skewFired = plan.contains("skew=true")
+      if (!skewFired) System.err.println(plan)
+      n
+    }
+    println(s"""{"step":"skew_evidence","aqe_skew_split_fired":$skewFired}""")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+
+    if (!skewFired)
+      println("""{"warn":"AQE skew split did not fire - inspect plan/thresholds"}""")
+    spark.stop()
+  }
+}

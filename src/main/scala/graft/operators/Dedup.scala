@@ -37,6 +37,19 @@ object Dedup {
   def contentSample(docs: DataFrame, percent: Int): DataFrame =
     docs.filter(PortableHash.baseHash(TextFns.normalizeText(col("text"))) % 100 < percent)
 
+  /** Stratified deterministic sample: per-stratum keep rates keyed by
+    * `lang` (fallback `defaultPercent`) over the same content hash as
+    * [[contentSample]] — rebalances a multilingual mix while staying a
+    * pure, reproducible function of the content. One scan, no shuffle. */
+  def stratifiedSample(docs: DataFrame, percentByLang: Map[String, Int],
+      defaultPercent: Int): DataFrame = {
+    val rate = percentByLang.foldLeft(lit(defaultPercent)) {
+      case (acc, (lang, pct)) => when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    docs.filter(
+      PortableHash.baseHash(TextFns.normalizeText(col("text"))) % 100 < rate)
+  }
+
   /** Exact dedup decision per document: keeper = min doc_id sharing the
     * normalized-content fingerprint. */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -266,6 +279,22 @@ object Dedup {
       Some(s"""SELECT doc_id, lang, source
               |FROM documents
               |WHERE ${PortableHash.baseHashSql(TextFns.normalizeSql("text"))} % 100 < 20
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d07: stratified content-hash sample ---------------------------
+    // Per-language sampling rates (downsample dominant en to 10%, keep
+    // 30% of the rest) with the same content-hash determinism as d06 —
+    // the rebalancing pass a multilingual training mix needs, still a
+    // pure function of the content.
+    Q("d07_stratified_sample",
+      (s, dir) => stratifiedSample(Tables.load(s, dir, "documents"),
+          Map("en" -> 10), defaultPercent = 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang
+              |FROM documents
+              |WHERE ${PortableHash.baseHashSql(TextFns.normalizeSql("text"))} % 100
+              |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- d05: embedding-cosine near-dup pairs --------------------------

@@ -93,9 +93,13 @@ object GraphOps {
   /** Common-neighbor counts for node pairs — the link-prediction score the
     * reference's README motivates (README.md:2, "Redundant Graph
     * Detection"). Returns pairs `u < v` with ≥ `minCommon` shared
-    * neighbors. The wedge join fans out Σ deg(w)² — at scale AQE's skew
-    * split handles hub nodes; a degree-cap pre-filter is the documented
-    * mitigation for true power-law graphs. */
+    * neighbors. The wedge join fans out Σ deg(w)² — an OUTPUT explosion
+    * on hub nodes, which AQE's skew split cannot fix (it rebalances
+    * oversized shuffle-input partitions; a hub's input rows are few, its
+    * join output is huge). The degree-cap pre-filter is therefore THE
+    * mitigation for power-law graphs (ScaleSmoke measures it at 5M
+    * edges); AQE skew split earns its keep on skewed fact joins, which
+    * ScaleSmoke demonstrates separately. */
   def commonNeighbors(edges: DataFrame, minCommon: Long = 2,
       maxDegree: Long = Long.MaxValue): DataFrame = {
     val symAll = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
@@ -129,6 +133,71 @@ object GraphOps {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
+
+  /** Connected components by min-label propagation to a fixed point: each
+    * node's label starts as its own id and iteratively takes the min of
+    * its neighborhood; at convergence label = min node id of the
+    * component.
+    *
+    * Iterations are driver-coordinated (the standard shape for iterative
+    * graph algorithms on Spark — GraphX's Pregel does the same): each
+    * round is ONE shuffle (join + min-aggregate), results are persisted
+    * and the previous round unpersisted, and convergence costs one
+    * `count()`. Rounds needed = graph diameter; at 100 TB you would
+    * switch to the large-star/small-star algorithm (O(log n) rounds) —
+    * this min-propagation form is the exact, portable fixed point the
+    * oracle can re-derive as a recursive closure. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
+    // localCheckpoint (not persist) each round: it truncates the logical
+    // plan, which otherwise grows by one join per iteration until analysis
+    // and codegen dominate — the classic iterative-DataFrame OOM
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("n2")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("nl"))
+        .localCheckpoint()
+      changed = next.filter(col("nl") < col("label")).count()
+      labels = next.select(col("node"), col("nl").as("label"))
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Fixed-point (integer) PageRank: ranks are parts-per-billion longs,
+    * contributions use integer division, damping is 85/100 in integer
+    * arithmetic. Floating-point PageRank sums in nondeterministic order,
+    * so two engines (or two RUNS at different parallelism) disagree in
+    * the last ulps — the fixed-point formulation is bit-reproducible
+    * anywhere, which is worth more at 100 TB than the dropped sub-ppb
+    * precision. `iters` is fixed (no convergence test): each iteration is
+    * one join + one aggregation, all map-side-combinable. */
+  def pageRankPpb(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val SCALE = 1000000000L
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(ranks, sym("src") === ranks("node"))
+        .join(deg, sym("src") === deg("src"))
+        .select(sym("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      // every node of the symmetrized graph has in-edges, so no dangling
+      // base-only rows are needed
+      ranks = contrib.select(col("node"),
+        (lit(SCALE * 15 / 100 / n) + expr("85 * cs div 100")).as("r"))
+    }
+    sym.unpersist(); deg.unpersist()
+    ranks.select(col("node"), col("r").as("rank_ppb"))
+  }
 
   // ---- driver queries over a graph derived from the fixture corpus -----
   // The sf dirs carry no edge table, so the oracle-checked graph queries
@@ -209,6 +278,54 @@ object GraphOps {
               |      UNION ALL SELECT b FROM tri
               |      UNION ALL SELECT c FROM tri) x
               |GROUP BY node
+              |ORDER BY node""".stripMargin)),
+
+    // ---- g06: fixed-point PageRank (3 iterations, ppb longs) -----------
+    // Integer arithmetic end-to-end, so the oracle unrolls the identical
+    // three iterations and every rank matches exactly — no FP sum-order
+    // hazard (see pageRankPpb scaladoc).
+    Q("g06_pagerank",
+      (s, dir) => pageRankPpb(derivedEdges(s, dir), iters = 3)
+        .orderBy(col("node")),
+      Some {
+        val iterSql = (1 to 3).map { i =>
+          s"""c$i AS (SELECT s.dst AS node, sum(r.r // d.deg) AS cs
+             |     FROM sym s JOIN r${i - 1} r ON s.src = r.node
+             |     JOIN deg d ON s.src = d.src GROUP BY s.dst),
+             |r$i AS (SELECT node, (150000000 // n) + (85 * cs) // 100 AS r
+             |     FROM c$i, nn)""".stripMargin
+        }.mkString(",\n")
+        s"""$derivedSql,
+           |sym AS (SELECT u AS src, v AS dst FROM canon
+           |        UNION ALL SELECT v, u FROM canon),
+           |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS node, 1000000000 // n AS r FROM deg, nn),
+           |$iterSql
+           |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3
+           |ORDER BY node""".stripMargin
+      }),
+
+    // ---- g07: connected components (min-label fixed point) -------------
+    // All-integer labels, so the converged Spark propagation equals the
+    // oracle's recursive reachability closure exactly.
+    Q("g07_components",
+      (s, dir) => connectedComponents(derivedEdges(s, dir))
+        .orderBy(col("node")),
+      Some("""WITH RECURSIVE e AS (
+              |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+              |  FROM lineitem WHERE l_linenumber = 1),
+              |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |          FROM e WHERE src <> dst),
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |reach(a, b) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+              |)
+              |SELECT a AS node, min(b) AS component FROM reach
+              |GROUP BY a
               |ORDER BY node""".stripMargin)),
   )
 }

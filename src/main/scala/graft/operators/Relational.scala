@@ -480,5 +480,50 @@ object Relational {
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q26: exact interpolated percentiles per group -----------------
+    // Spark `percentile` and DuckDB `quantile_cont` share the same
+    // definition (linear interpolation at p·(n-1)); 4dp rounding absorbs
+    // the last-ulp difference between their interpolation formulas.
+    Q("q26_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5D)"), 4).as("qty_p50"),
+          round(expr("percentile(l_quantity, 0.95D)"), 4).as("qty_p95"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("price_p50"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS qty_p95,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q27: edit-distance self-join (fuzzy string matching) ----------
+    // Same-brand part-name pairs within Levenshtein distance 12 — the
+    // brand blocking bounds the quadratic pair space the way `lang` does
+    // for d04; both engines implement classic DP Levenshtein, so the
+    // distances are identical integers.
+    Q("q27_levenshtein",
+      (s, dir) => {
+        val p = t(s, dir, "part").filter(col("p_partkey") < 200)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+          .filter(col("dist") <= 12)
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+             |  levenshtein(a.p_name, b.p_name) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE a.p_partkey < 200 AND b.p_partkey < 200
+             |  AND levenshtein(a.p_name, b.p_name) <= 12
+             |ORDER BY k1, k2""".stripMargin)),
   )
 }

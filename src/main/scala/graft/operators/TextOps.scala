@@ -104,5 +104,77 @@ object TextOps {
       Some(s"""SELECT doc_id, md5($normSql) AS fp, source
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- t05: TF-IDF top terms per document ----------------------------
+    // One explode + two aggregations (tf, then df) + a broadcast of the
+    // tiny doc count; ranking is on the ROUNDED score with a term
+    // tiebreak, so the ln() last-ulp difference between libm and DuckDB
+    // can't reorder rows. At corpus scale df is the only global state —
+    // a map-side-combined count per term.
+    Q("t05_tfidf",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nn = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        tf.join(df, "term").crossJoin(broadcast(nn))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf
+              |       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |nn AS (SELECT count(*) AS n FROM documents),
+              |scored AS (SELECT doc_id, tf.term,
+              |    round(tf * ln(n / df), 4) AS tfidf
+              |  FROM tf JOIN df ON tf.term = df.term, nn),
+              |ranked AS (SELECT doc_id, term, tfidf,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY tfidf DESC, term) AS rank
+              |  FROM scored)
+              |SELECT doc_id, rank, term, tfidf
+              |FROM ranked WHERE rank <= 3
+              |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- t06: inverted index (posting lists) ---------------------------
+    // term → document frequency + first-10 sorted posting list. The
+    // posting list is the one genuinely order-sensitive aggregate here, so
+    // it is sorted in-engine (`sort_array` / `list_sort`) before
+    // truncation — engine-portable by construction. Mid-frequency band
+    // keeps the demo output bounded; the operator itself is one
+    // aggregation at any scale.
+    Q("t06_inverted_index",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "").distinct()
+        toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), ",")
+              .as("postings_10"))
+          .filter(col("df").between(5, 50))
+          .orderBy(col("term"))
+      },
+      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, term FROM (
+              |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+              |  WHERE term <> '')
+              |SELECT term, CAST(count(*) AS BIGINT) AS df,
+              |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_10
+              |FROM toks
+              |GROUP BY term
+              |HAVING count(*) BETWEEN 5 AND 50
+              |ORDER BY term""".stripMargin)),
   )
 }

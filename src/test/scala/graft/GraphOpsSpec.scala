@@ -113,6 +113,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(triSet(GraphOps.triangles(df)) === bruteTriangles(es))
   }
 
+  test("maxSplitBytes bounds input split size without changing results") {
+    // 100k.txt is ~1.8 MB: a 256 KiB split cap must yield 7 scan
+    // partitions (1.8M/256K = 7.02; the trailing 2% folds into the last
+    // split under Hadoop's 1.1x slop) — the reference's per-run
+    // split-size knob, §2.1 — and the parsed edges must be identical to
+    // the default read
+    val path = "/root/reference/src/main/resources/100k.txt"
+    val capped = EdgeList.read(spark, path, maxSplitBytes = Some(256L << 10))
+    assert(capped.rdd.getNumPartitions >= 7)
+    val default = EdgeList.read(spark, path)
+    assert(capped.count() === default.count())
+    assert(capped.exceptAll(default).isEmpty && default.exceptAll(capped).isEmpty)
+  }
+
+  test("connectedComponents: min-label fixed point on disjoint shapes") {
+    // triangle {1,2,3}, chain 10-11-12-13, isolated pair {20,21}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+    val cc = GraphOps.connectedComponents(edgesDF(es))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("pageRankPpb: symmetric graphs give equal ranks; hubs outrank leaves") {
+    // K3: perfect symmetry -> every node keeps SCALE/3
+    val k3 = GraphOps.pageRankPpb(edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(k3.values.toSet.size === 1)
+    assert(math.abs(k3(1L) - 1000000000L / 3) < 3)
+    // star: center must outrank leaves, ranks conserved up to int truncation
+    val star = GraphOps.pageRankPpb(edgesDF(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star(0L) > star(1L))
+    assert(star(1L) === star(2L) && star(2L) === star(3L) && star(3L) === star(4L))
+    val total = star.values.sum
+    assert(total > 900000000L && total <= 1000000000L)
+  }
+
   test("invariance: permutation + direction flips + duplicate injection") {
     val rnd = new scala.util.Random(42)
     val base = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
