@@ -101,6 +101,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate clusters: LSH candidate pairs above an estimated
+    * Jaccard threshold become edges, and connected components over them
+    * assign every document a cluster id (`min doc_id` of its cluster;
+    * singletons cluster with themselves). This is the operator
+    * composition a corpus-dedup pass actually ships — band join for
+    * candidates, graph closure for transitive duplicates ("A≈B, B≈C ⇒
+    * one cluster") — and both stages are the scale-correct shapes proven
+    * elsewhere (banded equi-join; one-shuffle-per-round label
+    * propagation). */
+  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comps, col("doc_id") === comps("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+  }
+
   /** 16-bit SimHash per document over whitespace tokens (with
     * multiplicity): bit k is the majority vote of bit k across token
     * hashes. */
@@ -228,6 +248,42 @@ object Dedup {
                 |JOIN sig sa ON sa.doc_id = d1
                 |JOIN sig sb ON sb.doc_id = d2
                 |ORDER BY d1, d2""".stripMargin)
+      }),
+
+    // ---- d08: near-dup clusters (LSH pairs -> connected components) ----
+    // The oracle rebuilds the identical pair set (same generated MinHash
+    // constants as d02), then closes it transitively with a recursive CTE
+    // — min-reachable-id equals the propagation fixed point exactly.
+    Q("d08_dup_clusters", { (s, dir) =>
+        dupClusters(Tables.load(s, dir, "documents"))
+          .orderBy(col("doc_id"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        val matchSum = (0 until K)
+          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""WITH RECURSIVE ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects),
+                |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                |         FROM bands a JOIN bands b
+                |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                |dup AS (SELECT d1, d2 FROM cand
+                |        JOIN sig sa ON sa.doc_id = d1
+                |        JOIN sig sb ON sb.doc_id = d2
+                |        WHERE round(($matchSum) / ${K}.0, 4) >= 0.5),
+                |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+                |        UNION ALL SELECT d2, d1 FROM dup),
+                |reach(a, b) AS (
+                |  SELECT src, src FROM sym
+                |  UNION
+                |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+                |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
+                |SELECT doc_id, coalesce(c, doc_id) AS cluster_id
+                |FROM documents LEFT JOIN comp ON doc_id = node
+                |ORDER BY doc_id""".stripMargin)
       }),
 
     // ---- d03: SimHash signatures ---------------------------------------

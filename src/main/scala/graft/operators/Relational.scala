@@ -525,5 +525,35 @@ object Relational {
              |WHERE a.p_partkey < 200 AND b.p_partkey < 200
              |  AND levenshtein(a.p_name, b.p_name) <= 12
              |ORDER BY k1, k2""".stripMargin)),
+
+    // ---- q28: range join (events within 7 days after an order) ---------
+    // Equi key (user = custkey) + time-range predicate: Catalyst plans an
+    // equi-join with the range as a post-join filter — hash/SMJ on the
+    // key, never a nested-loop — which is the scale-correct shape for
+    // "activity within N days of an anchor" joins.
+    Q("q28_range_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            // o_orderdate is TIMESTAMP_NTZ; cast in the UTC session so
+            // unix_millis agrees with DuckDB's naive epoch_ms
+            unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"))
+        val e = t(s, dir, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("e_ms"))
+        o.join(e,
+            col("o_custkey") === col("user_id") &&
+              col("e_ms") >= col("o_ms") &&
+              col("e_ms") < col("o_ms") + lit(7L * 86400000L))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events
+             |FROM orders JOIN events
+             |  ON o_custkey = user_id
+             |  AND epoch_ms(ts) >= epoch_ms(o_orderdate)
+             |  AND epoch_ms(ts) < epoch_ms(o_orderdate) + 604800000
+             |GROUP BY o_orderkey
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -123,6 +123,19 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-vector max-abs int8 quantization: q_i = floor(e_i·127/‖e‖∞),
+    * plus the scale needed to dequantize. The 4× size cut is the standard
+    * first step before shipping embeddings to an ANN index at corpus
+    * scale; floor over identically-ordered double ops keeps every
+    * quantized integer engine-portable. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val e = VectorFns.toDouble(col("embedding"))
+    emb.select(col("vec_id"), e.as("e"))
+      .withColumn("mx", greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12)))
+      .select(col("vec_id"), round(col("mx"), 6).as("scale"),
+        transform(col("e"), x => floor(x * lit(127.0) / col("mx")).cast("int")).as("q"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- s01: exact cosine top-10 for query vectors 0..4 ---------------
@@ -204,5 +217,29 @@ object Similarity {
               |SELECT qid, vec_id, cos, rank
               |FROM ranked WHERE rank <= 10
               |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- s04: int8 embedding quantization ------------------------------
+    // Checked as scale + integer checksum + leading lanes: the quantized
+    // values are exact integers in both engines (same floor over the same
+    // double ops), so the checksum pins the whole vector.
+    Q("s04_quantize_int8",
+      (s, dir) => quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+          element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q2"),
+          element_at(col("q"), 3).as("q3"), element_at(col("q"), 4).as("q4"))
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |m AS (SELECT vec_id, e,
+             |        greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS mx
+             |      FROM e),
+             |q AS (SELECT vec_id, round(mx, 6) AS scale,
+             |        list_transform(e, x -> CAST(floor(x * 127 / mx) AS INT)) AS q
+             |      FROM m)
+             |SELECT vec_id, scale,
+             |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum,
+             |  q[1] AS q1, q[2] AS q2, q[3] AS q3, q[4] AS q4
+             |FROM q
+             |ORDER BY vec_id""".stripMargin)),
   )
 }

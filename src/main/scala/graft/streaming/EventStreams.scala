@@ -133,6 +133,31 @@ object EventStreams {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
         col("ne"), col("dur"))
 
+  /** Stream-stream interval join: each left-type event paired with every
+    * right-type event by the same user within `(lts, lts + maxGap]`.
+    * Batch and streaming run the SAME join; streaming callers add
+    * `.withWatermark` on both inputs (state is then bounded by the gap +
+    * watermark — the canonical Structured Streaming interval-join shape;
+    * StreamingSpec proves stream==batch on it). Output is in portable
+    * epoch millis. */
+  def intervalJoin(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase", maxGapMin: Int = 60): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    // the range condition stays on the event-time columns (not derived
+    // epoch longs): that is what lets Structured Streaming bound the join
+    // state to the gap + watermark instead of keeping both sides forever
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapMin MINUTES"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("gap_ms"))
+  }
+
   /** Per-user session statistics (batch rollup of [[sessions]]; a second
     * stateful aggregation, so streaming callers stop at [[sessions]]). */
   def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
@@ -254,5 +279,19 @@ object EventStreams {
              |  round(p.value, 2) AS value
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- st07: stream-stream interval join (click -> purchase <= 1h) ---
+    Q("st07_interval_join",
+      (s, dir) => intervalJoin(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id")),
+      Some("""WITH l AS (SELECT user_id, event_id AS l_id, ts AS l_ts
+             |           FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id AS r_user, event_id AS r_id, ts AS r_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, l_id, r_id,
+             |  epoch_ms(r_ts) - epoch_ms(l_ts) AS gap_ms
+             |FROM l JOIN r ON user_id = r_user
+             |  AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 60 MINUTES
+             |ORDER BY user_id, l_id, r_id""".stripMargin)),
   )
 }

@@ -100,6 +100,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(0L -> 1L) - 0.5) < 1e-9)
   }
 
+  test("dupClusters: transitive closure over near-dup pairs, singletons keep own id") {
+    // A==B and B==C near-dups but A,C in different bands would still
+    // cluster transitively; here identical texts guarantee the pairs
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (5L, "alpha beta gamma delta epsilon zeta", "en"),
+      (7L, "totally different content words here now", "en"),
+      (9L, "another unrelated document entirely on purpose", "en")
+    ).toDF("doc_id", "text", "lang")
+    val clusters = Dedup.dupClusters(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 9L))
+  }
+
   test("cosine: hand-computed values and self-similarity") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(1.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))

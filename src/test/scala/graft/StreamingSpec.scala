@@ -96,4 +96,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("stream-stream interval join == batch interval join") {
+    // genuine stream-stream join: both sides derive from one watermarked
+    // file stream; the event-time range condition bounds the state
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+      .withWatermark("ts", "2 hours")
+    val q = EventStreams.intervalJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ij_out")
+      .orderBy(col("user_id"), col("l_id"), col("r_id")).collect().map(_.toSeq)
+    val batch = EventStreams.intervalJoin(Tables.load(spark, dir, "events"))
+      .orderBy(col("user_id"), col("l_id"), col("r_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
