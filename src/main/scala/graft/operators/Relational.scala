@@ -555,5 +555,24 @@ object Relational {
              |  AND epoch_ms(ts) < epoch_ms(o_orderdate) + 604800000
              |GROUP BY o_orderkey
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q29: JSON extraction over a string column ---------------------
+    // Schema-on-read for semi-structured payloads (`events.props` carries
+    // JSON): `get_json_object` is a codegen'd path expression — the scan
+    // stays columnar and the extraction never leaves the executor.
+    Q("q29_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
   )
 }

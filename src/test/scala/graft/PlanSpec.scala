@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executed-plan assertions for the plan shapes the 100 TB design depends
+  * on: the right join strategies, pushdown reaching the scan, and no
+  * accidental nested-loop or full-scan regressions. These complement the
+  * value-level oracle gate — a query can be correct and still carry a
+  * plan that dies at scale. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q28 range join plans as an equi hash join, not a nested loop") {
+    val plan = executedPlan(
+      SparkEntry.queries("q28_range_join")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on the key:\n$plan")
+  }
+
+  test("s03 candidate join broadcasts the query side") {
+    val plan = executedPlan(
+      SparkEntry.queries("s03_lsh_multitable")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$plan")
+  }
+
+  test("t01 scan prunes to the referenced columns") {
+    val df = SparkEntry.queries("t01_token_stats")(spark, dir)
+    val plan = executedPlan(df)
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q02 filter pushes down to the parquet scan") {
+    val plan = executedPlan(SparkEntry.queries("q02_filter_project")(spark, dir))
+    assert(plan.contains("PushedFilters: [") &&
+      "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no pushed filters in scan:\n$plan")
+  }
+
+  test("q29 JSON extraction stays in one whole-stage codegen span over the scan") {
+    val plan = executedPlan(SparkEntry.queries("q29_json_extract")(spark, dir))
+    // whole-stage codegen spans print as "*(n) Op" in the plan string
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython"), "extraction left the JVM")
+  }
+}
