@@ -79,6 +79,25 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
+  /** Deterministic "resize" for image payloads: keep every `stride`-th
+    * byte as the thumbnail — the stub stand-in for a real downscale (a
+    * real deployment swaps the inner loop for an image-library resample;
+    * the batched per-partition shape and the 1/stride output-size
+    * contract are what the pipeline depends on). */
+  def resize(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val thumbLen = (n + stride - 1) / stride
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (r.payload(i) & 0xff); i += stride }
+        (r.doc_id, n, thumbLen, sum)
+      }
+    }.toDF("doc_id", "n_bytes", "thumb_bytes", "thumb_sum")
+  }
+
   private def mediaDs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     mediaTable(Tables.load(s, dir, "documents")).as[MediaRow]
@@ -152,5 +171,23 @@ object Multimodal {
              |FROM f
              |WHERE frame_idx % 4 = 0
              |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- m04: resize (every-4th-byte thumbnail for image payloads) -----
+    // Checked as thumbnail size + unsigned-byte checksum: the oracle
+    // re-derives the same sampled bytes from hex(payload) pairs, so the
+    // whole thumbnail is pinned by exact integers.
+    Q("m04_resize",
+      (s, dir) => resize(mediaDs(s, dir))
+        .orderBy(col("doc_id")),
+      Some("""WITH m AS (SELECT doc_id, encode(text) AS payload
+             |           FROM documents WHERE doc_id % 3 = 0),
+             |h AS (SELECT doc_id, octet_length(payload) AS n,
+             |        regexp_extract_all(hex(payload), '..') AS pairs FROM m)
+             |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+             |  CAST((n + 3) // 4 AS INT) AS thumb_bytes,
+             |  CAST(coalesce(list_sum(list_transform(range(0, (n + 3) // 4),
+             |        i -> ('0x' || pairs[1 + 4 * i])::INT)), 0) AS BIGINT) AS thumb_sum
+             |FROM h
+             |ORDER BY doc_id""".stripMargin)),
   )
 }
