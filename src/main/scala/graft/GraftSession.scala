@@ -30,6 +30,7 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.register(spark)
+    installRules(spark)
     spark
   }
 
@@ -38,6 +39,16 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftFunctions.register(spark)
+    installRules(spark)
     spark
+  }
+
+  /** Install graft optimizer rules on a LIVE session (new sessions can use
+    * `spark.sql.extensions=graft.plans.GraftExtensions` instead). */
+  private def installRules(spark: SparkSession): Unit = {
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.RewriteHofDotProduct
   }
 }

@@ -526,35 +526,35 @@ object Relational {
              |  AND levenshtein(a.p_name, b.p_name) <= 12
              |ORDER BY k1, k2""".stripMargin)),
 
-    // ---- q28: range join (events within 7 days after an order) ---------
-    // Equi key (user = custkey) + time-range predicate: Catalyst plans an
-    // equi-join with the range as a post-join filter — hash/SMJ on the
-    // key, never a nested-loop — which is the scale-correct shape for
-    // "activity within N days of an anchor" joins.
+    // ---- q28: range join (activity within 7 days after each signup) ----
+    // Equi key (user) + time-range predicate: Catalyst plans an equi-join
+    // with the range as a post-join filter — hash/SMJ on the key, never a
+    // nested-loop — which is the scale-correct shape for "activity within
+    // N days of an anchor" joins (PlanSpec pins the plan).
     Q("q28_range_join",
       (s, dir) => {
-        val o = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            // o_orderdate is TIMESTAMP_NTZ; cast in the UTC session so
-            // unix_millis agrees with DuckDB's naive epoch_ms
-            unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"))
-        val e = t(s, dir, "events")
-          .select(col("user_id"), unix_millis(col("ts")).as("e_ms"))
-        o.join(e,
-            col("o_custkey") === col("user_id") &&
-              col("e_ms") >= col("o_ms") &&
-              col("e_ms") < col("o_ms") + lit(7L * 86400000L))
-          .groupBy(col("o_orderkey"))
+        val ev = t(s, dir, "events")
+        val anchors = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            unix_millis(col("ts")).as("a_ms"))
+        val acts = ev.select(col("user_id").as("u2"),
+          unix_millis(col("ts")).as("e_ms"))
+        anchors.join(acts,
+            col("user_id") === col("u2") &&
+              col("e_ms") > col("a_ms") &&
+              col("e_ms") <= col("a_ms") + lit(7L * 86400000L))
+          .groupBy(col("signup_id"))
           .agg(count(lit(1)).as("n_events"))
-          .orderBy(col("o_orderkey"))
+          .orderBy(col("signup_id"))
       },
-      Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events
-             |FROM orders JOIN events
-             |  ON o_custkey = user_id
-             |  AND epoch_ms(ts) >= epoch_ms(o_orderdate)
-             |  AND epoch_ms(ts) < epoch_ms(o_orderdate) + 604800000
-             |GROUP BY o_orderkey
-             |ORDER BY o_orderkey""".stripMargin)),
+      Some("""SELECT a.event_id AS signup_id, CAST(count(*) AS BIGINT) AS n_events
+             |FROM events a JOIN events e
+             |  ON a.user_id = e.user_id
+             |  AND epoch_ms(e.ts) > epoch_ms(a.ts)
+             |  AND epoch_ms(e.ts) <= epoch_ms(a.ts) + 604800000
+             |WHERE a.event_type = 'signup'
+             |GROUP BY a.event_id
+             |ORDER BY signup_id""".stripMargin)),
 
     // ---- q29: JSON extraction over a string column ---------------------
     // Schema-on-read for semi-structured payloads (`events.props` carries
