@@ -280,6 +280,54 @@ object EventStreams {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- st08: strict-sequence funnel (view -> click -> purchase) ------
+    // Per user: earliest view, earliest click strictly after it, earliest
+    // purchase strictly after that; stage flags + completion latency.
+    // One pass of conditional aggregation per stage — no self-joins, so
+    // at 100 TB it is three map-side-combined aggs on the same user key
+    // (one shuffle, reused partitioning).
+    Q("st08_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ms") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ms")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ms") > col("t2"))
+          .groupBy(col("user_id"))
+          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("ms")).as("t3"))
+        v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            lit(1).as("viewed"),
+            col("t2").isNotNull.cast("int").as("clicked"),
+            col("t3").isNotNull.cast("int").as("purchased"),
+            coalesce(col("t3") - col("t1"), lit(-1L)).as("funnel_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |v AS (SELECT user_id, min(ms) AS t1 FROM e
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(v.t1) AS t1, min(e.ms) AS t2
+             |      FROM e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ms > v.t1
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(c.t1) AS t1, min(c.t2) AS t2, min(e.ms) AS t3
+             |      FROM e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ms > c.t2
+             |      GROUP BY e.user_id)
+             |SELECT v.user_id, 1 AS viewed,
+             |  CAST(c.user_id IS NOT NULL AS INT) AS clicked,
+             |  CAST(p.user_id IS NOT NULL AS INT) AS purchased,
+             |  coalesce(p.t3 - v.t1, -1) AS funnel_ms
+             |FROM v
+             |LEFT JOIN c ON v.user_id = c.user_id
+             |LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin)),
+
     // ---- st07: stream-stream interval join (click -> purchase <= 1h) ---
     Q("st07_interval_join",
       (s, dir) => intervalJoin(Tables.load(s, dir, "events"))
