@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{PortableHash, TextFns, VectorFns}
+import graft.functions.{PortableBloom, PortableHash, TextFns, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -285,6 +285,33 @@ object Dedup {
                 |FROM documents LEFT JOIN comp ON doc_id = node
                 |ORDER BY doc_id""".stripMargin)
       }),
+
+    // ---- d09: Bloom-filter membership vs a reference set ---------------
+    // Filter a corpus against the already-ingested set without joining
+    // it: bloom built over the reference fingerprints (docs < 400),
+    // probed by every document. The filter bits are integer-exact in both
+    // engines (portable hash family), so the whole result hash-matches —
+    // including which non-reference docs false-positive. Exact-duplicate
+    // docs of a reference doc genuinely hit; the no-false-negative
+    // invariant is also spec-asserted (DedupSpec).
+    Q("d09_bloom_filter", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val fp = TextFns.fingerprint(col("text"))
+        val bloom = PortableBloom.build(docs.filter(col("doc_id") < 400), fp)
+        PortableBloom.probe(docs, "doc_id", fp, bloom)
+          .withColumn("in_reference", (col("doc_id") < 400).cast("int"))
+          .withColumn("maybe_present", col("maybe_present").cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${PortableBloom.buildSql(
+                 "documents WHERE doc_id < 400", s"md5(${TextFns.normalizeSql("text")})")},
+              |${PortableBloom.probeSql(
+                 "documents", "doc_id", s"md5(${TextFns.normalizeSql("text")})")}
+              |SELECT id AS doc_id,
+              |  CAST(maybe_present AS INT) AS maybe_present,
+              |  CAST(id < 400 AS INT) AS in_reference
+              |FROM probed
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- d03: SimHash signatures ---------------------------------------
     Q("d03_simhash",

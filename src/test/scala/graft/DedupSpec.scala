@@ -115,6 +115,23 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 9L))
   }
 
+  test("bloom filter: zero false negatives, bounded false positives") {
+    import graft.functions.{PortableBloom, TextFns}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fp = TextFns.fingerprint($"text")
+    val ref = docs.filter($"doc_id" < 200)
+    val bloom = PortableBloom.build(ref, fp)
+    val probed = PortableBloom.probe(docs, "doc_id", fp, bloom)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // every reference doc must hit (no false negatives, by construction)
+    (0L until 200L).foreach(id => assert(probed(id), s"false negative for $id"))
+    // non-reference docs may false-positive, but nowhere near all of them:
+    // with n=200, m=4096, k=4 the design FP rate is ~(1-e^(-kn/m))^k ≈ 1.4%
+    val others = probed.filter(_._1 >= 200)
+    val fpRate = others.count(_._2).toDouble / others.size
+    assert(fpRate < 0.2, s"false-positive rate $fpRate implausibly high")
+  }
+
   test("cosine: hand-computed values and self-similarity") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(1.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))
