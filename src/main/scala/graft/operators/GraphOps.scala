@@ -157,6 +157,11 @@ object GraphOps {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // edge relax: take the min label over the neighborhood. (A
+      // pointer-jumping variant — label <- label(label) each round — was
+      // measured and reverted: on these hub-dense graphs the label
+      // converges in few rounds anyway, and the extra self-join +
+      // checkpoint per round cost more than the rounds it saved.)
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("n2")).agg(min(col("label")).as("nbr"))
       val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")

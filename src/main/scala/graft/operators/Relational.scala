@@ -556,6 +556,28 @@ object Relational {
              |GROUP BY a.event_id
              |ORDER BY signup_id""".stripMargin)),
 
+    // ---- q30: approximate quantile sketch (percentile_approx) ----------
+    // The sketch's raw value is engine-specific, so like q25 the checked
+    // output is the exact quantile plus a derived invariant: the
+    // accuracy-10000 estimate lands within 1% of exact (rank error is
+    // bounded by n/accuracy, a ~60-rank slack at sf0.1).
+    Q("q30_approx_quantile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("exact_p50"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("approx"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("approx") - col("exact_p50")) <=
+            col("exact_p50") * lit(0.01)).cast("int").as("within_tol"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+             |  1 AS within_tol
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- q29: JSON extraction over a string column ---------------------
     // Schema-on-read for semi-structured payloads (`events.props` carries
     // JSON): `get_json_object` is a codegen'd path expression — the scan
