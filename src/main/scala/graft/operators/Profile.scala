@@ -40,6 +40,37 @@ object Profile {
     wide.select(explode(entries).as("p")).select(col("p.*"))
   }
 
+  /** Fixed-width histogram of a numeric column: bucket i covers
+    * `[i·width, (i+1)·width)`, values ≥ nBuckets·width clamp into the
+    * last bucket. Fixed bounds (not data-driven min/max) keep the
+    * operator a single scan-parallel pass — no pre-pass to find the
+    * range — and make bucket ids pure integer floors, portable to any
+    * engine. */
+  def histogram(df: DataFrame, c: String, width: Double, nBuckets: Int): DataFrame =
+    df.select(least(floor(col(c) / width), lit(nBuckets - 1)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Key-skew profile of a prospective join/aggregation key: group-size
+    * quantiles plus the hottest key's share — the numbers that decide
+    * whether a key needs salting or a degree cap BEFORE the expensive
+    * join runs. One aggregation over the key, one tiny aggregation over
+    * the group sizes. Shares are exact integer ratios scaled to basis
+    * points, so the output is engine-portable. */
+  def keySkew(df: DataFrame, key: String): DataFrame = {
+    val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("sz")).as("n_rows"),
+      max(col("sz")).as("max_group"),
+      // floor before the integer cast: Spark's cast truncates but
+      // DuckDB's ::BIGINT rounds — floor makes both exact
+      floor(expr("percentile(sz, 0.5D)")).as("p50_group"),
+      floor(expr("percentile(sz, 0.99D)")).as("p99_group"))
+      .select(col("n_keys"), col("n_rows"), col("max_group"),
+        col("p50_group"), col("p99_group"),
+        expr("max_group * 10000 div n_rows").as("top_share_bp"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -60,5 +91,32 @@ object Profile {
           one("c_mktsegment", "min(c_mktsegment)"),
         ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
       }),
+
+    // ---- p02: fixed-width histogram ------------------------------------
+    Q("p02_histogram",
+      (s, dir) => histogram(Tables.load(s, dir, "lineitem"),
+          "l_extendedprice", width = 10000.0, nBuckets = 12)
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(least(floor(l_extendedprice / 10000.0), 11) AS INT) AS bucket,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // ---- p03: key-skew profile (pre-join diagnostics) ------------------
+    // Profiles events.user_id — the key the streaming/funnel queries
+    // group on — reporting group-size quantiles and the hottest key's
+    // share in basis points.
+    Q("p03_key_skew",
+      (s, dir) => keySkew(Tables.load(s, dir, "events"), "user_id"),
+      Some("""WITH sizes AS (SELECT user_id, count(*) AS sz
+             |               FROM events GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(sz) AS BIGINT) AS n_rows,
+             |  CAST(max(sz) AS BIGINT) AS max_group,
+             |  CAST(floor(quantile_cont(sz, 0.5)) AS BIGINT) AS p50_group,
+             |  CAST(floor(quantile_cont(sz, 0.99)) AS BIGINT) AS p99_group,
+             |  CAST(max(sz) * 10000 // sum(sz) AS BIGINT) AS top_share_bp
+             |FROM sizes""".stripMargin)),
   )
 }

@@ -565,14 +565,19 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.5D)").as("exact"),
           expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("approx"))
-        .select(col("l_returnflag"), col("exact_p50"),
-          (abs(col("approx") - col("exact_p50")) <=
-            col("exact_p50") * lit(0.01)).cast("int").as("within_tol"))
+        // floor-of-cents, not round: the interpolated median can land
+        // exactly on a half-cent, where the engines' rounding algorithms
+        // disagree on the representation error; floor of the identical
+        // double product is deterministic
+        .select(col("l_returnflag"),
+          floor(col("exact") * 100).cast("long").as("exact_p50_cents"),
+          (abs(col("approx") - col("exact")) <=
+            col("exact") * lit(0.01)).cast("int").as("within_tol"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+             |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exact_p50_cents,
              |  1 AS within_tol
              |FROM lineitem
              |GROUP BY l_returnflag
