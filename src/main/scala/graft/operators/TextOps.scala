@@ -147,6 +147,39 @@ object TextOps {
               |FROM ranked WHERE rank <= 3
               |ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- t07: PII redaction (training-data privacy pass) ---------------
+    // Scrub digit runs and email-shaped tokens from the text before it
+    // enters a training mix; one scan-parallel pass of two regexes.
+    // Checked via the md5 of the redacted text (pins every byte of the
+    // transform without dumping the corpus) plus the redaction count.
+    // Patterns stay in the Java/RE2 common subset so both engines match
+    // identically.
+    Q("t07_redact",
+      (s, dir) => {
+        val email = "[a-z0-9.]+@[a-z0-9.]+"
+        val digits = "[0-9]+"
+        val norm = TextFns.normalizeText(col("text"))
+        val redacted = regexp_replace(
+          regexp_replace(norm, email, "<EMAIL>"), digits, "<NUM>")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(redacted).as("redacted_md5"),
+            (size(regexp_extract_all(norm, lit(email), lit(0))) +
+              size(regexp_extract_all(
+                regexp_replace(norm, email, "<EMAIL>"), lit(digits), lit(0))))
+              .as("n_redactions"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+              |r AS (SELECT doc_id, t,
+              |        regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1
+              |      FROM n)
+              |SELECT doc_id,
+              |  md5(regexp_replace(t1, '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+              |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+'))
+              |     + len(regexp_extract_all(t1, '[0-9]+')) AS INT) AS n_redactions
+              |FROM r
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- t06: inverted index (posting lists) ---------------------------
     // term → document frequency + first-10 sorted posting list. The
     // posting list is the one genuinely order-sensitive aggregate here, so
