@@ -50,6 +50,12 @@ class PlanSpec extends AnyFunSuite {
       s"no pushed filters in scan:\n$plan")
   }
 
+  test("d09 bloom probe broadcasts the filter side and never shuffles the corpus") {
+    val plan = executedPlan(SparkEntry.queries("d09_bloom_filter")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bloom side should broadcast:\n$plan")
+  }
+
   test("q29 JSON extraction stays in one whole-stage codegen span over the scan") {
     val plan = executedPlan(SparkEntry.queries("q29_json_extract")(spark, dir))
     // whole-stage codegen spans print as "*(n) Op" in the plan string
