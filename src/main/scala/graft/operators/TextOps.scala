@@ -180,6 +180,73 @@ object TextOps {
               |FROM r
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- t08: vocabulary coverage / OOV rate ---------------------------
+    // Top-1000 corpus vocabulary (deterministic: count desc, term asc),
+    // then per-document out-of-vocabulary token ratio — the data-quality
+    // number that tells you whether a document is language/domain drift
+    // before it enters a training mix. The vocab is tiny and broadcast;
+    // the corpus pass is one explode + one aggregation.
+    Q("t08_vocab_coverage",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(w)).filter(col("r") <= 1000)
+          .select(col("term"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term
+              |             FROM documents),
+              |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+              |freq AS (SELECT term, count(*) AS n FROM tk GROUP BY term),
+              |vocab AS (SELECT term FROM (
+              |    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS r
+              |    FROM freq) WHERE r <= 1000)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              |  round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+              |        / count(*), 4) AS oov_ratio
+              |FROM tk LEFT JOIN vocab v ON tk.term = v.term
+              |GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d10: importance sampling by quality score ---------------------
+    // Keep a document with probability proportional to its quality score
+    // — deterministic (content-hash threshold, like d06/d07), so the
+    // sampled slice is reproducible across runs and engines. Registered
+    // here because it composes the quality heuristics with the sampling
+    // primitive.
+    Q("d10_importance_sample",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .filter(graft.functions.PortableHash.baseHash(
+            TextFns.normalizeText(col("text"))) % 100 <
+          TextFns.qualityScore(col("text")) * 100)
+        .select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      {
+        val qualitySql =
+          s"""round((CASE WHEN len(t) >= 10 THEN 0.4 ELSE 0.0 END)
+             |  + (CASE WHEN round(length(regexp_replace(n, '[a-z0-9 ]', '', 'g'))::DOUBLE
+             |                   / greatest(length(n), 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END)
+             |  + (CASE WHEN round(${scoreSql(Stopwords.en)}::DOUBLE / greatest(len(t), 1), 4) >= 0.05
+             |          THEN 0.3 ELSE 0.0 END), 2)""".stripMargin
+        Some(s"""WITH d AS (SELECT doc_id, $normSql AS n, $toksSql AS t FROM documents),
+                |q AS (SELECT doc_id, n, $qualitySql AS quality FROM d)
+                |SELECT doc_id, quality
+                |FROM q
+                |WHERE ${graft.functions.PortableHash.baseHashSql("n")} % 100 < quality * 100
+                |ORDER BY doc_id""".stripMargin)
+      }),
+
     // ---- t06: inverted index (posting lists) ---------------------------
     // term → document frequency + first-10 sorted posting list. The
     // posting list is the one genuinely order-sensitive aggregate here, so
