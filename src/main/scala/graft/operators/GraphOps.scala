@@ -285,6 +285,27 @@ object GraphOps {
               |GROUP BY node
               |ORDER BY node""".stripMargin)),
 
+    // ---- g08: log-binned degree distribution ---------------------------
+    // The power-law profile that predicts wedge-join cost and degree-cap
+    // thresholds before running them. Bin = floor(log2(degree)), computed
+    // as binary-representation length minus one: FP log2 lands on
+    // 2.9999... at exact powers of two and floors wrong, string length is
+    // integer-exact in both engines.
+    Q("g08_degree_histogram",
+      (s, dir) => degrees(derivedEdges(s, dir))
+        .select((length(expr("bin(degree)")) - 1).as("log2_bin"))
+        .groupBy(col("log2_bin")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("log2_bin")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+              |SELECT CAST(length(printf('%b', degree)) - 1 AS INT) AS log2_bin,
+              |  count(*) AS n_nodes
+              |FROM deg
+              |GROUP BY 1
+              |ORDER BY log2_bin""".stripMargin)),
+
     // ---- g06: fixed-point PageRank (3 iterations, ppb longs) -----------
     // Integer arithmetic end-to-end, so the oracle unrolls the identical
     // three iterations and every rank matches exactly — no FP sum-order
