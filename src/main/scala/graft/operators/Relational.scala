@@ -583,6 +583,51 @@ object Relational {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- q31: RANGE window frame (trailing time window per key) --------
+    // A value-based frame — "events in the trailing hour", not "previous
+    // N rows" — the window feature ROWS frames can't express when event
+    // spacing is irregular. Pure integer epoch-ms bounds, portable.
+    Q("q31_window_range",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-3600000L, 0L)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .orderBy(col("user_id"), col("ms"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             |                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+             |    AS n_trailing_1h
+             |FROM events
+             |ORDER BY user_id, ms, event_id""".stripMargin)),
+
+    // ---- q32: GROUPING SETS (beyond rollup/cube) -----------------------
+    // Arbitrary grouping-set combinations are SQL-only surface (the
+    // DataFrame API stops at rollup/cube), so this query exercises the
+    // engine's spark.sql interface over a registered view — grouping_id
+    // disambiguates the (NULL-able) set each row belongs to.
+    Q("q32_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_v")
+        s.sql("""SELECT event_type, user_id % 5 AS user_bucket,
+                |  CAST(grouping_id(event_type, user_id % 5) AS INT) AS gid,
+                |  count(*) AS n,
+                |  CAST(round(sum(value)) AS BIGINT) AS sum_value
+                |FROM events_v
+                |GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+                |ORDER BY gid, event_type, user_bucket""".stripMargin('|'))
+      },
+      Some("""SELECT event_type, user_id % 5 AS user_bucket,
+             |  CAST(grouping(event_type, user_id % 5) AS INT) AS gid,
+             |  count(*) AS n,
+             |  CAST(round(sum(value)) AS BIGINT) AS sum_value
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+             |ORDER BY gid, event_type, user_bucket""".stripMargin)),
+
     // ---- q29: JSON extraction over a string column ---------------------
     // Schema-on-read for semi-structured payloads (`events.props` carries
     // JSON): `get_json_object` is a codegen'd path expression — the scan
