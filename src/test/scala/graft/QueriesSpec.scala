@@ -15,8 +15,11 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   private val dir = "/root/testdata/sf0.001"
 
-  // DuckDB-only syntax that Spark SQL can't parse/execute identically.
-  private val sqlSkip = Set.empty[String]
+  // Oracle SQL that Spark parses but executes with DIFFERENT semantics:
+  // g08 uses DuckDB printf('%b') (binary formatting) — Spark's printf is
+  // java.util.Formatter, where %b means boolean. The cross-engine check
+  // for g08 is the DuckDB gate itself.
+  private val sqlSkip = Set("g08_degree_histogram")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {
