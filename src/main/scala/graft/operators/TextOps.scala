@@ -191,10 +191,12 @@ object TextOps {
         val toks = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("term"))
+        // orderBy+limit, not a global row_number window: Spark plans this
+        // as TakeOrderedAndProject (per-partition top-k, merged on the
+        // driver) where an unpartitioned window would sort the whole
+        // frequency table in one task
         val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
-          .withColumn("r", row_number().over(w)).filter(col("r") <= 1000)
+          .orderBy(col("n").desc, col("term")).limit(1000)
           .select(col("term"), lit(1).as("in_vocab"))
         toks.join(broadcast(vocab), Seq("term"), "left")
           .groupBy(col("doc_id"))
