@@ -129,7 +129,9 @@ object Multimodal {
     // equals highNibble >> 1, and the high nibbles are the odd-position
     // chars of hex(payload). The checked columns are the *integer* bin
     // counts (recovered exactly from the float features: count = round(f·n),
-    // |float error·n| < 0.5 for any payload < 2^24 bytes) — integers hash
+    // |float error·n| < 0.5 for any payload < 2^23 bytes — float relative
+    // error is 2^-24 and the recovery needs error·n below a half) —
+    // integers hash
     // identically across engines where re-rounded floats might not.
     Q("m02_media_features",
       (s, dir) => {

@@ -565,19 +565,25 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
+          // Median over exact integer cents, not raw doubles: prices are
+          // 2-decimal, so per-row round(x*100) is an exact integer, and
+          // both engines' interpolation formulas — Spark (1-d)*lo + d*hi,
+          // DuckDB lo + d*(hi-lo) — are bit-identical on integers at
+          // d=0.5 (all terms exact in FP). Raw-double medians differ by
+          // 1 ulp between the formulas, flipping floor() at cent
+          // boundaries. ×2 turns the exact X.0 / X.5 result into an int.
+          expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5D)")
+            .as("exact_cents"),
           expr("percentile(l_extendedprice, 0.5D)").as("exact"),
           expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("approx"))
-        // floor-of-cents, not round: the interpolated median can land
-        // exactly on a half-cent, where the engines' rounding algorithms
-        // disagree on the representation error; floor of the identical
-        // double product is deterministic
         .select(col("l_returnflag"),
-          floor(col("exact") * 100).cast("long").as("exact_p50_cents"),
+          (col("exact_cents") * 2).cast("long").as("exact_p50_halfcents"),
           (abs(col("approx") - col("exact")) <=
             col("exact") * lit(0.01)).cast("int").as("within_tol"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exact_p50_cents,
+             |  CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 2 AS BIGINT)
+             |    AS exact_p50_halfcents,
              |  1 AS within_tol
              |FROM lineitem
              |GROUP BY l_returnflag

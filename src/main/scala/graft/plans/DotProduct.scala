@@ -17,8 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Summation is left-to-right like the HOF form and DuckDB's list
   * functions, so oracle results are unchanged bit-for-bit.
   *
-  * Null elements are not expected (embedding vectors are dense); a null
-  * array yields null.
+  * Observationally equivalent to the HOF form on ALL inputs, so
+  * [[RewriteHofDotProduct]] may substitute it unconditionally:
+  * `zip_with` pads the shorter array with null and `x * null` is null, so
+  * a length mismatch makes the HOF fold null — this expression returns
+  * null there too. Likewise a null element anywhere poisons the HOF sum,
+  * so any null element yields null here. The null-element scan is emitted
+  * only when the input type says `containsNull` — dense embeddings keep
+  * the tight two-load loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,15 +42,31 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null even when both inputs are non-null (length mismatch / null element).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -53,13 +75,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullGuard =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -37,7 +37,19 @@ case class LshSignature(first: Expression, second: Expression, third: Expression
              third.dataType != IntegerType || !third.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires literal INT planes and dim")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // The signature packs one bit per plane into a LONG: planes > 64
+      // would alias bits through `1L << k` (mod-64 shift), planes <= 0 an
+      // empty matrix — reject both here, at analysis time.
+      val p = second.eval().asInstanceOf[Int]
+      val d = third.eval().asInstanceOf[Int]
+      if (p < 1 || p > 64)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName planes must be in 1..64 (one signature bit per plane), got $p")
+      else if (d < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName dim must be positive, got $d")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   @transient private lazy val planes: Int = second.eval().asInstanceOf[Int]
   @transient private lazy val dim: Int = third.eval().asInstanceOf[Int]

@@ -42,6 +42,28 @@ class RulesSpec extends AnyFunSuite {
     assert(viaRule.nonEmpty)
   }
 
+  test("rewrite is observationally equivalent on length mismatch and null elements") {
+    // zip_with pads the shorter array with null and null poisons the HOF
+    // sum — DotProduct must return null on both shapes or the rewrite
+    // would silently change results for exactly these inputs.
+    val rows = Seq(
+      (Array(1.0, 2.0), Array(3.0, 4.0, 5.0)),   // length mismatch
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)) // clean
+    ).toDF("a0", "b0")
+    // second row additionally gets a null element injected into `a`
+    val df = rows
+      .withColumn("a", when(size($"a0") === 3,
+        array($"a0"(0), lit(null).cast("double"), $"a0"(2))).otherwise($"a0"))
+      .withColumn("b", $"b0")
+    val viaRule = df.select(hofDot.as("d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val native = df.select(
+      graft.functions.VectorFns.dot($"a", $"b").as("d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(viaRule.toSeq === Seq(None, None))
+    assert(native.toSeq === viaRule.toSeq)
+  }
+
   test("rule leaves non-dot aggregates alone") {
     // a different zip lambda (x + y) must NOT rewrite
     val df = spark.range(1).select(
