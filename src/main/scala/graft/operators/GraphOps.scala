@@ -134,7 +134,114 @@ object GraphOps {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
 
-  /** Connected components by min-label propagation to a fixed point: each
+  /** Frees the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. `df.unpersist()` does not reach checkpoint blocks — the
+    * data lives in the RDD the plan's `LogicalRDD` leaf wraps — so
+    * iterative loops that checkpoint every round must release the previous
+    * round explicitly or accumulate one cached label table per round. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Connected components: label every node with the min node id of its
+    * component. Two interchangeable algorithms behind one API — both
+    * converge to the identical labeling (GraphPropertySpec proves it on
+    * random graphs), so the choice is purely a scale decision:
+    *
+    *   - `"star"` (default): alternating large-star/small-star
+    *     (Kiveris et al., "Connected Components in MapReduce and
+    *     Beyond", SoCC'14). Rounds = O(log n) REGARDLESS of graph
+    *     diameter — the 100 TB path, where a high-diameter component
+    *     (web chains, road networks) would starve a propagation loop.
+    *   - `"minlabel"`: min-label propagation; rounds = diameter. Fewer
+    *     shuffles per round, so it wins on hub-dense low-diameter
+    *     graphs; kept as the cross-check and small-graph fast path.
+    *
+    * Per round both do driver-coordinated iteration with a
+    * `localCheckpoint` (plan truncation — the lineage otherwise grows
+    * per round until analysis dominates), freeing the previous round's
+    * checkpoint blocks ([[freeLocalCheckpoint]]). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      algorithm: String = "star"): DataFrame = algorithm match {
+    case "star"     => connectedComponentsStar(edges, maxIter)._1
+    case "minlabel" => connectedComponentsMinLabel(edges, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown connected-components algorithm '$other' (star | minlabel)")
+  }
+
+  /** Large-star/small-star alternation to a fixed point; returns
+    * `(labels, roundsUsed)` — ScaleSmoke logs the round count as the
+    * scale evidence. One round =
+    *
+    *   large-star: every node attaches its LARGER neighbors to the min
+    *   of its neighborhood (incl. itself) — hub edges migrate to
+    *   component minima, halving star heights geometrically;
+    *   small-star: every node attaches its smaller-or-equal neighbors
+    *   (and itself) to their min — collapses the chains large-star
+    *   leaves.
+    *
+    * Both halves are pure relational ops (groupBy-min + equi-join +
+    * distinct, all map-side-combinable hash shuffles on the node key),
+    * so AQE handles hub skew and the edge multiset never grows beyond
+    * 2|E|. Convergence = the canonical edge set is unchanged over a
+    * full round, detected by (count, xor-of-hashes) — one cheap
+    * aggregate per round on the already-checkpointed set, no diff join.
+    * At the fixed point the set is exactly the star forest
+    * {(v, min(component)) : v not a root}. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val canon = canonicalEdges(edges).persist()
+    val nodes = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u").as("n"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, sym("u") === mins("n"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy(col("u").as("n")).agg(min(col("v")).as("m"))
+      val om = oriented.join(mins, oriented("u") === mins("n"))
+      om.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(om.select(col("u"), col("m").as("v")))
+    }
+
+    // store pairs canonically (big, small): large-star emits (v, m) with
+    // v > m by construction, small-star likewise — `u` is always the
+    // larger end, so distinct needs no least/greatest normalization
+    var e = canon.select(col("v").as("u"), col("u").as("v")).localCheckpoint()
+    var prev: (Long, Long) = (-1L, -1L)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
+      val chk = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .collect().head
+      val cur = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
+      converged = cur == prev
+      prev = cur
+      freeLocalCheckpoint(e)
+      e = next
+      it += 1
+    }
+    // converged star forest: every non-root points straight at its
+    // component min; roots are the nodes that never appear on the big end
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("cmp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cmp"), col("node")).as("component"))
+    canon.unpersist()
+    (labels, it)
+  }
+
+  /** Min-label propagation to a fixed point: each
     * node's label starts as its own id and iteratively takes the min of
     * its neighborhood; at convergence label = min node id of the
     * component.
@@ -143,11 +250,11 @@ object GraphOps {
     * graph algorithms on Spark — GraphX's Pregel does the same): each
     * round is ONE shuffle (join + min-aggregate), results are persisted
     * and the previous round unpersisted, and convergence costs one
-    * `count()`. Rounds needed = graph diameter; at 100 TB you would
-    * switch to the large-star/small-star algorithm (O(log n) rounds) —
+    * `count()`. Rounds needed = graph diameter — see
+    * [[connectedComponentsStar]] for the O(log n)-round 100 TB path;
     * this min-propagation form is the exact, portable fixed point the
     * oracle can re-derive as a recursive closure. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponentsMinLabel(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
     // localCheckpoint (not persist) each round: it truncates the logical
     // plan, which otherwise grows by one join per iteration until analysis
@@ -169,6 +276,7 @@ object GraphOps {
           least(col("label"), coalesce(col("nbr"), col("label"))).as("nl"))
         .localCheckpoint()
       changed = next.filter(col("nl") < col("label")).count()
+      freeLocalCheckpoint(labels)
       labels = next.select(col("node"), col("nl").as("label"))
       it += 1
     }

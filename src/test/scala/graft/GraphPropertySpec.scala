@@ -57,6 +57,33 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star CC == min-label CC == brute-force components — ∀ random graphs") {
+    samples(edgeGen, 8).foreach { es =>
+      val df = es.toDF("src", "dst")
+      val (starDf, rounds) = GraphOps.connectedComponentsStar(df)
+      val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minl = GraphOps.connectedComponentsMinLabel(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === minl, s"algorithms disagree on $es")
+      assert(rounds >= 1)
+      // independent oracle: union-find over the undirected edge set
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      und.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val oracle = und.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      assert(star === oracle, s"star CC != union-find on $es")
+    }
+  }
+
   private val docGen: Gen[Seq[(Long, String)]] = {
     val word = Gen.oneOf("the", "fast", "key", "order", "sort", "merge", "scan")
     for {
