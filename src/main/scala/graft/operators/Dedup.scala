@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.{PortableBloom, PortableHash, TextFns, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (content
@@ -51,11 +50,20 @@ object Dedup {
   }
 
   /** Exact dedup decision per document: keeper = min doc_id sharing the
-    * normalized-content fingerprint. */
+    * normalized-content fingerprint.
+    *
+    * Shape: groupBy(fp).min + an equi-join back, NOT
+    * `min().over(Window.partitionBy(fp))` — WindowExec buffers each
+    * fingerprint's whole duplicate cluster in one task, so a
+    * pathological 10⁷-copy cluster (empty documents, boilerplate) pins
+    * 10⁷ rows in a single partition's memory. The aggregate form is
+    * map-side-combined partial mins (constant memory per key) and the
+    * join hash-partitions clusters like any other; PlanSpec pins the
+    * window's absence on the executed plan. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-    docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-      .withColumn("keeper_id", min(col("doc_id")).over(w))
+    val fps = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+    val keepers = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+    fps.join(keepers, "fp")
       .select(col("doc_id"), col("keeper_id"),
         (col("doc_id") =!= col("keeper_id")).as("is_dup"))
   }
@@ -72,6 +80,26 @@ object Dedup {
     val withH = shingles(docs).withColumn("h", PortableHash.baseHash(col("s")))
     val aggs = (0 until K).map(k => min(PortableHash.minhash(col("h"), k)).as(s"m$k"))
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The incremental-pipeline MinHash path: each document's shingle
+    * stream is split into deterministic slices (hash parity — stands in
+    * for ingest batches / partition files at 100 TB), every slice is
+    * sketched INDEPENDENTLY with the mergeable
+    * [[graft.functions.MinHashAggregator]], and the per-slice sketches
+    * are merged by elementwise min. The result must equal the
+    * whole-corpus signature computed in one pass — that equality is what
+    * lets a production pipeline persist per-day partial sketches and
+    * fold new data in without re-reading old data (HLL-union-style).
+    * Output columns match [[minhashSignature]] (m0..mK-1). */
+  def incrementalMinhashSignature(docs: DataFrame, slices: Int = 2): DataFrame = {
+    val h = shingles(docs).withColumn("h", PortableHash.baseHash(col("s")))
+      .withColumn("slice", pmod(col("h"), lit(slices)))
+    val partials = h.groupBy(col("doc_id"), col("slice"))
+      .agg(graft.functions.MinHashAggregator.minhashSketch(col("h")).as("sk"))
+    val mergeAggs = (0 until K).map(k =>
+      min(element_at(col("sk"), k + 1)).as(s"m$k"))
+    partials.groupBy(col("doc_id")).agg(mergeAggs.head, mergeAggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band of the MinHash signature,
@@ -311,6 +339,21 @@ object Dedup {
               |  CAST(maybe_present AS INT) AS maybe_present,
               |  CAST(id < 400 AS INT) AS in_reference
               |FROM probed
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d11: incremental MinHash (mergeable partial sketches) ---------
+    // Sketch two deterministic slices of every document independently,
+    // merge by elementwise min, and hash-match the ORACLE'S whole-corpus
+    // signatures (sigCte — same constants, but the oracle never sees the
+    // split). Green means partial-sketch persist-and-merge is exact, the
+    // property the 100 TB incremental pipeline depends on.
+    Q("d11_incremental_minhash",
+      (s, dir) => incrementalMinhashSignature(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shCte()},
+              |$sigCte
+              |SELECT doc_id, ${(0 until K).map(k => s"m$k").mkString(", ")}
+              |FROM sig
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- d03: SimHash signatures ---------------------------------------

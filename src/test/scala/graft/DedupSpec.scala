@@ -18,6 +18,24 @@ class DedupSpec extends AnyFunSuite {
     (4L, "The quick brown fox jumps over the lazy dog", "fr") // exact text, other lang
   ).toDF("doc_id", "text", "lang")
 
+  test("exactDedup aggregate form == window formulation on duplicate-heavy input") {
+    // 200 docs over 7 distinct contents — big clusters, the shape the
+    // bounded-memory groupBy+join form exists for
+    val many = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("content "), pmod(col("id"), lit(7))).as("text"), lit("en").as("lang"))
+    val viaAgg = Dedup.exactDedup(many).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val viaWindow = many
+      .select(col("doc_id"), graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.count(!_._3) === 7) // one keeper per distinct content
+  }
+
   test("exactDedup: normalization variants collapse to one keeper") {
     val rows = Dedup.exactDedup(docs).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap

@@ -56,6 +56,26 @@ class PlanSpec extends AnyFunSuite {
       s"bloom side should broadcast:\n$plan")
   }
 
+  test("p04 salted aggregation runs two aggregation stages (salted partial, keyed merge)") {
+    val df = SparkEntry.queries("p04_salted_agg")(spark, dir)
+    val plan = executedPlan(df)
+    // two-phase salted agg = two logical aggregations, each planned as
+    // partial+final HashAggregate around an exchange → >= 4 HashAggregate
+    // nodes and >= 2 shuffles; a single-stage plan would mean the salt
+    // collapsed away and the hot-key mitigation silently vanished
+    val nAgg = "HashAggregate".r.findAllIn(plan).length
+    assert(nAgg >= 4, s"expected two partial+final aggregation stages, got $nAgg:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2,
+      s"expected a shuffle per aggregation stage:\n$plan")
+  }
+
+  test("d01 exact dedup aggregates per fingerprint — no cluster-buffering window") {
+    val plan = executedPlan(SparkEntry.queries("d01_exact_dedup")(spark, dir))
+    assert(!plan.contains("Window"),
+      s"exactDedup must not buffer duplicate clusters in WindowExec:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected keeper-id aggregation:\n$plan")
+  }
+
   test("q29 JSON extraction stays in one whole-stage codegen span over the scan") {
     val plan = executedPlan(SparkEntry.queries("q29_json_extract")(spark, dir))
     // whole-stage codegen spans print as "*(n) Op" in the plan string
