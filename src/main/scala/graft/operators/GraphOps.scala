@@ -166,7 +166,7 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       algorithm: String = "star"): DataFrame = algorithm match {
     case "star"     => connectedComponentsStar(edges, maxIter)._1
-    case "minlabel" => connectedComponentsMinLabel(edges, maxIter)
+    case "minlabel" => connectedComponentsMinLabel(edges, maxIter)._1
     case other => throw new IllegalArgumentException(
       s"unknown connected-components algorithm '$other' (star | minlabel)")
   }
@@ -253,8 +253,9 @@ object GraphOps {
     * `count()`. Rounds needed = graph diameter — see
     * [[connectedComponentsStar]] for the O(log n)-round 100 TB path;
     * this min-propagation form is the exact, portable fixed point the
-    * oracle can re-derive as a recursive closure. */
-  def connectedComponentsMinLabel(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * oracle can re-derive as a recursive closure. Returns
+    * `(labels, roundsUsed)` like [[connectedComponentsStar]]. */
+  def connectedComponentsMinLabel(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
     // localCheckpoint (not persist) each round: it truncates the logical
     // plan, which otherwise grows by one join per iteration until analysis
@@ -281,7 +282,7 @@ object GraphOps {
       it += 1
     }
     sym.unpersist()
-    labels.select(col("node"), col("label").as("component"))
+    (labels.select(col("node"), col("label").as("component")), it)
   }
 
   /** Fixed-point (integer) PageRank: ranks are parts-per-billion longs,
@@ -392,6 +393,32 @@ object GraphOps {
               |      UNION ALL SELECT c FROM tri) x
               |GROUP BY node
               |ORDER BY node""".stripMargin)),
+
+    // ---- g09: degree-capped common neighbors ---------------------------
+    // The registered form of the hub mitigation: wedge centers above the
+    // degree cap are dropped BEFORE the wedge join, bounding its fan-out
+    // at Σ min(deg, cap)² — the plan that survives a power-law graph at
+    // 100× (ScaleSmoke measures it with cap 64 at 5M edges; g03 above
+    // stays as the uncapped exact baseline). Cap 8 here, sized so it
+    // actually filters the fixture graph (max degree 19 at sf0.01 —
+    // a 64 cap would gate a no-op). The oracle applies the identical
+    // degree filter in a CTE, so the cap's SEMANTICS are driver-gated,
+    // not just its runtime.
+    Q("g09_common_neighbors_capped",
+      (s, dir) => commonNeighbors(derivedEdges(s, dir), minCommon = 1, maxDegree = 8)
+        .orderBy(col("u"), col("v")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT dst AS w, count(*) AS deg FROM sym GROUP BY dst),
+              |small AS (SELECT s.src, s.dst FROM sym s
+              |          JOIN deg ON s.dst = deg.w WHERE deg.deg <= 8)
+              |SELECT n1.src AS u, n2.src AS v, count(*) AS cn
+              |FROM small n1 JOIN small n2 ON n1.dst = n2.dst
+              |WHERE n1.src < n2.src
+              |GROUP BY n1.src, n2.src
+              |HAVING count(*) >= 1
+              |ORDER BY u, v""".stripMargin)),
 
     // ---- g08: log-binned degree distribution ---------------------------
     // The power-law profile that predicts wedge-join cost and degree-cap

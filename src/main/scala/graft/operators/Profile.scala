@@ -118,5 +118,28 @@ object Profile {
              |  CAST(floor(quantile_cont(sz, 0.99)) AS BIGINT) AS p99_group,
              |  CAST(max(sz) * 10000 // sum(sz) AS BIGINT) AS top_share_bp
              |FROM sizes""".stripMargin)),
+
+    // ---- p04: two-phase salted aggregation -----------------------------
+    // The hot-key mitigation as a driver-gated query: count + sum per
+    // user_id through Skew.saltedAggregate (deterministic event_id salt,
+    // 16 shards, partial-then-merge). Salting must be INVISIBLE in the
+    // result — the oracle is the plain GROUP BY. The summed value is
+    // integer cents (per-row round is exact), because a salted sum of
+    // DOUBLEs would re-order FP addition and drift from the oracle's sum
+    // in the last ulps; integers are order-independent. PlanSpec pins the
+    // two aggregation stages on the executed plan.
+    Q("p04_salted_agg",
+      (s, dir) => graft.functions.Skew.saltedAggregate(
+          Tables.load(s, dir, "events"),
+          key = col("user_id"), unique = col("event_id"), salts = 16,
+          sums = Map("value_cents" -> round(col("value") * 100).cast("long")))
+        .select(col("key").as("user_id"), col("n"), col("value_cents"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
   )
 }

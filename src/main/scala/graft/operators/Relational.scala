@@ -634,6 +634,72 @@ object Relational {
              |GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
              |ORDER BY gid, event_type, user_bucket""".stripMargin)),
 
+    // ---- q33: correlated scalar subquery (TPC-H Q2 shape) --------------
+    // Cheapest line per part via a per-row correlated min — the shape
+    // Catalyst decorrelates into an aggregate + self-join, so the plan is
+    // two scans and a hash join, not a per-row probe (anything per-row
+    // would be dead at 100 TB). Price compared raw (identical stored
+    // doubles in both engines), emitted as exact integer cents.
+    Q("q33_correlated_scalar",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_partkey, l_orderkey, l_linenumber,
+                |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+                |FROM lineitem_v l1
+                |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                |                         FROM lineitem_v l2
+                |                         WHERE l2.l_partkey = l1.l_partkey)
+                |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin('|'))
+      },
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber,
+             |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+             |FROM lineitem l1
+             |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+             |                         FROM lineitem l2
+             |                         WHERE l2.l_partkey = l1.l_partkey)
+             |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- q34: chained EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------
+    // Suppliers who are the SOLE returning supplier on a finished
+    // multi-supplier order: one correlated EXISTS (another supplier
+    // shipped in the order) and one correlated NOT EXISTS (no OTHER
+    // supplier had a return). Both decorrelate to left-semi / left-anti
+    // joins on l_orderkey — scale-safe equi-joins, no per-row probes.
+    Q("q34_exists_chain",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+        s.sql("""SELECT s_suppkey, s_name, count(*) AS n_lines
+                |FROM supplier_v, lineitem_v l1, orders_v o
+                |WHERE s_suppkey = l1.l_suppkey
+                |  AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+                |  AND l1.l_returnflag = 'R'
+                |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_returnflag = 'R')
+                |GROUP BY s_suppkey, s_name
+                |ORDER BY s_suppkey""".stripMargin('|'))
+      },
+      Some("""SELECT s_suppkey, s_name, count(*) AS n_lines
+             |FROM supplier, lineitem l1, orders o
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+             |  AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY s_suppkey, s_name
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // ---- q29: JSON extraction over a string column ---------------------
     // Schema-on-read for semi-structured payloads (`events.props` carries
     // JSON): `get_json_object` is a codegen'd path expression — the scan

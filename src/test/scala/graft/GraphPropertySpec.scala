@@ -62,7 +62,7 @@ class GraphPropertySpec extends AnyFunSuite {
       val df = es.toDF("src", "dst")
       val (starDf, rounds) = GraphOps.connectedComponentsStar(df)
       val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val minl = GraphOps.connectedComponentsMinLabel(df).collect()
+      val minl = GraphOps.connectedComponentsMinLabel(df)._1.collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star === minl, s"algorithms disagree on $es")
       assert(rounds >= 1)
