@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Wall-clock at sf0.1 doesn't predict cost at 100× data — shuffle volume
   * does, so every bench main records it (BASELINE.md's "v0 action").
   * Snapshot deltas around a query attribute its bytes; listener delivery
-  * is asynchronous, so [[snapshotAfter]] waits a beat for the bus to
-  * drain before reading.
+  * is asynchronous, so [[snapshotAfter]] drains the listener bus
+  * (deterministic, unlike a fixed sleep under ambient load) before
+  * reading.
   */
-final class ShuffleTotals extends SparkListener {
+final class ShuffleTotals(sc: org.apache.spark.SparkContext) extends SparkListener {
   private val read = new AtomicLong
   private val written = new AtomicLong
 
@@ -27,13 +28,16 @@ final class ShuffleTotals extends SparkListener {
 
   def snapshot(): (Long, Long) = (read.get(), written.get())
 
-  def snapshotAfter(): (Long, Long) = { Thread.sleep(150); snapshot() }
+  def snapshotAfter(): (Long, Long) = {
+    org.apache.spark.graft.ListenerBusHook.waitUntilEmpty(sc)
+    snapshot()
+  }
 }
 
 object ShuffleTotals {
   /** Install a fresh listener on the session's context. */
   def install(spark: SparkSession): ShuffleTotals = {
-    val t = new ShuffleTotals
+    val t = new ShuffleTotals(spark.sparkContext)
     spark.sparkContext.addSparkListener(t)
     t
   }

@@ -104,6 +104,65 @@ object ScaleSmoke {
       timed("d02_minhash_lsh") {
         Dedup.minhashLshPairs(d).filter(col("est_jaccard") >= 0.5).count()
       }
+
+      // Connected components, both algorithms. The power-law graph is
+      // low-diameter (hubs shortcut everything), so min-label is already
+      // cheap there — the interesting numbers are the round counts and
+      // that star's wall-clock stays in the same band.
+      var starRounds = 0
+      timed("cc_star_powerlaw") {
+        val (labels, r) = GraphOps.connectedComponentsStar(e)
+        starRounds = r; labels.count()
+      }
+      var minlRounds = 0
+      timed("cc_minlabel_powerlaw") {
+        val (labels, r) = GraphOps.connectedComponentsMinLabel(e)
+        minlRounds = r; labels.count()
+      }
+      println(s"""{"step":"cc_powerlaw_rounds","star":$starRounds,"minlabel":$minlRounds}""")
+
+      // High-diameter adversary: a 1M-node path (diameter = n). Star
+      // converges in O(log n) rounds; min-label would need n rounds —
+      // give it star's round budget and count the components it still
+      // thinks exist (1 is the truth; anything more = not converged).
+      val nPath = 1000000L
+      val path = spark.range(nPath - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      var pathComponents = -1L
+      timed("cc_star_path1M") {
+        val (labels, r) = GraphOps.connectedComponentsStar(path, maxIter = 100)
+        starRounds = r
+        pathComponents = labels.select(countDistinct(col("component"))).as[Long].head()
+        pathComponents
+      }
+      var minlPathComponents = -1L
+      timed("cc_minlabel_path1M_star_budget") {
+        val (labels, r) = GraphOps.connectedComponentsMinLabel(path, maxIter = starRounds)
+        minlRounds = r
+        minlPathComponents = labels.select(countDistinct(col("component"))).as[Long].head()
+        minlPathComponents
+      }
+      println(s"""{"step":"cc_path1M","star_rounds":$starRounds,"star_components":$pathComponents,"minlabel_rounds_budget":$minlRounds,"minlabel_components":$minlPathComponents}""")
+
+      // Stateful threshold alerts at 20M events / ~1M users with a
+      // power-law user distribution (hot user ≈ 10⁴ events): the
+      // secondary-sort batch path must stream each group's iterator —
+      // state is one (cum, fired) pair per user, never a buffered group.
+      val nEvents = 20000000L
+      val events = spark.range(nEvents).select(
+        col("id").as("event_id"),
+        zipfNode(nEvents / 20, 21).as("user_id"),
+        timestamp_millis(lit(1700000000000L) +
+          pmod(xxhash64(col("id"), lit(22)), lit(86400000L))).as("ts"),
+        (pmod(xxhash64(col("id"), lit(23)), lit(10000L)).cast("double") / 100.0).as("value"))
+      var nAlerts = -1L
+      var nUsers = -1L
+      timed("st05_alerts_20M") {
+        nUsers = events.select(countDistinct(col("user_id"))).as[Long].head()
+        nAlerts = graft.streaming.EventStreams.thresholdAlerts(events, 500.0).count()
+        nAlerts
+      }
+      println(s"""{"step":"st05_state","n_users":$nUsers,"n_alerts":$nAlerts}""")
     }
 
     // Skewed FACT join: 20M-row fact whose hottest key owns ~20% of rows

@@ -21,6 +21,30 @@ class QueriesSpec extends AnyFunSuite {
   // for g08 is the DuckDB gate itself.
   private val sqlSkip = Set("g08_degree_histogram")
 
+  // Oracles written in DuckDB-only dialect (recursive CTEs, `//` integer
+  // division, unnest/list_* functions, ::CASTs ...) that Spark cannot
+  // parse; their cross-engine check is the DuckDB gate alone. Kept as an
+  // EXPLICIT expected set: if an oracle drifts in or out of Spark
+  // parsability the parity test FAILS loudly instead of silently
+  // shrinking the net (a query whose oracle stops parsing would
+  // otherwise drop out with no signal).
+  private val sqlUnparsable: Set[String] = Set(
+    "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+    "d05_embedding_neardup", "d06_content_sample", "d07_stratified_sample",
+    "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
+    "d11_incremental_minhash",
+    "g05_adjacency", "g06_pagerank", "g07_components",
+    "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
+    "p01_profile", "p03_key_skew",
+    "q26_percentile", "q28_range_join", "q29_json_extract",
+    "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
+    "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
+    "st01_window_hourly", "st02_sessionize", "st03_asof_join",
+    "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
+    "st08_funnel",
+    "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
+    "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage")
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {
       val df = fn(spark, dir)
@@ -30,21 +54,26 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL matches DataFrame results under Spark SQL where parsable") {
     Tables.registerAll(spark, dir)
-    var checked = 0
+    var failedToParse = Set.empty[String]
     for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1) if !sqlSkip(name)) {
       val viaSql =
         try Some(spark.sql(sql))
-        catch { case _: Throwable => None } // DuckDB-only dialect: skip
+        catch { case _: Throwable => failedToParse += name; None }
       viaSql.foreach { sdf =>
         val api = SparkEntry.queries(name)(spark, dir)
         val a = api.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
         val b = sdf.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
         assert(a.length == b.length, s"$name: row count API=${a.length} SQL=${b.length}")
         assert(a.zip(b).forall { case (x, y) => x == y }, s"$name: value mismatch")
-        checked += 1
       }
     }
-    assert(checked > 0, "no oracle SQL was Spark-parsable — parity check vacuous")
+    // exact-set assertion, both directions: a NEW parse failure silently
+    // removing a query from the net, or a STALE entry here masking one,
+    // both fail with the drift spelled out
+    assert(failedToParse === sqlUnparsable,
+      s"""parity-net drift:
+         |  newly unparsable: ${(failedToParse -- sqlUnparsable).toSeq.sorted.mkString(", ")}
+         |  now parsable (remove from sqlUnparsable): ${(sqlUnparsable -- failedToParse).toSeq.sorted.mkString(", ")}""".stripMargin)
   }
 
   test("entry returns rows") {
