@@ -195,8 +195,16 @@ object GraphOps {
     val nodes = canon.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct().localCheckpoint()
 
+    // Both halves hash-partition the edge list ONCE by the grouping node
+    // (explicit repartition) so the min-aggregation runs exchange-free on
+    // it and the join's probe side reuses the same exchange (ReuseExchange
+    // dedups the identical subtree): one shuffle of the edges per half
+    // instead of two. With the final distinct that is 3 shuffles per
+    // round — the round cost that multiplies by O(log n).
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val mins = sym.groupBy(col("u").as("n"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       sym.join(mins, sym("u") === mins("n"))
@@ -207,6 +215,7 @@ object GraphOps {
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+        .repartition(col("u"))
       val mins = oriented.groupBy(col("u").as("n")).agg(min(col("v")).as("m"))
       val om = oriented.join(mins, oriented("u") === mins("n"))
       om.filter(col("v") =!= col("m"))

@@ -700,6 +700,33 @@ object Relational {
              |GROUP BY s_suppkey, s_name
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- q35: LATERAL correlated subquery (per-row top-k) --------------
+    // Top-2 customers per nation through a LATERAL subquery with its own
+    // ORDER BY + LIMIT — the per-row table expression window functions
+    // can't always replace (the inner query could join/aggregate freely).
+    // Catalyst plans the decorrelated form (DomainJoin → window-equiv),
+    // not a per-row re-execution; ties broken by custkey so both engines
+    // pick identical rows.
+    Q("q35_lateral_topk",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation_v")
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT n_name, c_custkey,
+                |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+                |FROM nation_v n, LATERAL (
+                |  SELECT c_custkey, c_acctbal FROM customer_v c
+                |  WHERE c.c_nationkey = n.n_nationkey
+                |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+                |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin('|'))
+      },
+      Some("""SELECT n_name, c_custkey,
+             |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+             |FROM nation n, LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin)),
+
     // ---- q29: JSON extraction over a string column ---------------------
     // Schema-on-read for semi-structured payloads (`events.props` carries
     // JSON): `get_json_object` is a codegen'd path expression — the scan

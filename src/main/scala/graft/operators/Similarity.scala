@@ -123,6 +123,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: a coarse quantizer splits the corpus into `nlist`
+    * inverted lists; queries probe only the `nprobe` nearest lists and
+    * pay exact cosine there — the other standard scale path next to LSH
+    * (FAISS's IVF-Flat shape), better when the corpus is clustered (LSH
+    * hyperplanes are data-blind; centroids follow the data).
+    *
+    * Centroids here are the embeddings of the first `nlist` vec_ids — a
+    * deterministic stand-in for a trained k-means (iterative FP k-means
+    * is not engine-portable); the partitioning math, the inverted-list
+    * build, and the probe shape are exactly what a trained quantizer
+    * uses, so the plan is the one that scales.
+    *
+    * Scale shape: assignment is corpus × broadcast(centroids) scored in
+    * one pass, reduced by a map-side-combinable max(struct) aggregate —
+    * the corpus is never windowed or re-shuffled beyond one equi-join to
+    * attach list ids. Probing broadcasts (query, list) pairs; only
+    * in-list candidates pay the exact cosine. Assignment ties break to
+    * the smallest centroid id on the 6dp-rounded cosine (engine-portable,
+    * like every ranking here). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nlist: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
+      .withColumn("cnrm", VectorFns.norm(col("ce")))
+    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+    def centScores(vecs: DataFrame, id: Column, e: Column, nrm: Column): DataFrame =
+      vecs.join(broadcast(cents))
+        .select(id.as("_id"), col("cid"),
+          round(VectorFns.dot(e, col("ce")) / (nrm * col("cnrm")), 6).as("ccos"))
+    // nearest list per corpus vector: lexicographic max of (cos, -cid) =
+    // max cosine with min-cid tiebreak, as ONE map-side-combinable agg
+    val assigned = centScores(corpus, col("vec_id"), col("e"), col("nrm"))
+      .groupBy(col("_id").as("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+    val index = corpus.join(assigned, "vec_id")
+    // nprobe nearest lists per query (query set is small: window is fine)
+    val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
+    val wp = Window.partitionBy(col("_id")).orderBy(col("ccos").desc, col("cid"))
+    val qprobe = centScores(qs, col("qid"), col("qe"), col("qnrm"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("_id").as("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    index.join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-vector max-abs int8 quantization: q_i = floor(e_i·127/‖e‖∞),
     * plus the scale needed to dequantize. The 4× size cut is the standard
     * first step before shipping embeddings to an ANN index at corpus
@@ -217,6 +271,43 @@ object Similarity {
               |SELECT qid, vec_id, cos, rank
               |FROM ranked WHERE rank <= 10
               |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- s05: IVF ANN (inverted-list scale path) -----------------------
+    // Full hash parity like s02/s03: deterministic centroids + 6dp-rounded
+    // cosines mean DuckDB rebuilds the identical inverted lists, probes
+    // the identical nprobe lists, and ranks the identical candidates.
+    Q("s05_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+             |ascore AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents),
+             |abest AS (SELECT vec_id, max(ccos) AS best FROM ascore GROUP BY vec_id),
+             |assign AS (SELECT a.vec_id, min(cid) AS cid
+             |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id),
+             |qprobe AS (SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS pr
+             |    FROM ascore WHERE vec_id < 5) WHERE pr <= 2),
+             |scored AS (SELECT qp.qid, a.vec_id,
+             |    round(list_cosine_similarity(qe.e, ce2.e), 6) AS cos
+             |  FROM qprobe qp
+             |  JOIN assign a ON a.cid = qp.cid
+             |  JOIN e qe ON qe.vec_id = qp.qid
+             |  JOIN e ce2 ON ce2.vec_id = a.vec_id
+             |  WHERE qp.qid <> a.vec_id),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin)),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized
