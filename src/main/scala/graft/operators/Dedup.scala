@@ -149,6 +149,23 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Eval-set decontamination: flag corpus documents that share ANY
+    * word-bigram shingle with the benchmark/eval set — the overlap check
+    * every training-data pipeline runs before shipping a corpus (a
+    * benchmark answer leaking into training data invalidates the eval).
+    * The eval shingle universe is tiny relative to the corpus, so it
+    * broadcasts and the corpus-side shingle stream is scanned once with
+    * no shuffle besides the per-doc hit count — at 100 TB the corpus
+    * never moves. */
+  def decontaminate(docs: DataFrame, evalSet: DataFrame): DataFrame = {
+    val evalSh = shingles(evalSet).select(col("s")).distinct()
+    val hits = shingles(docs).join(broadcast(evalSh), "s")
+      .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** 16-bit SimHash per document over whitespace tokens (with
     * multiplicity): bit k is the majority vote of bit k across token
     * hashes. */
@@ -355,6 +372,27 @@ object Dedup {
               |SELECT doc_id, ${(0 until K).map(k => s"m$k").mkString(", ")}
               |FROM sig
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d12: eval-set decontamination ---------------------------------
+    // Benchmark stand-in = docs 0..19; corpus = the rest. A corpus doc is
+    // contaminated iff it shares any bigram shingle with the benchmark.
+    Q("d12_decontaminate",
+      (s, dir) => {
+        val all = Tables.load(s, dir, "documents")
+        decontaminate(all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${shCte()},
+              |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+              |hits AS (SELECT doc_id, count(DISTINCT sh.s) AS n_hits
+              |         FROM sh JOIN ev ON sh.s = ev.s
+              |         WHERE doc_id >= 20 GROUP BY doc_id)
+              |SELECT d.doc_id AS doc_id,
+              |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+              |  CAST(coalesce(n_hits, 0) > 0 AS INT) AS contaminated
+              |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+              |WHERE d.doc_id >= 20
+              |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- d03: SimHash signatures ---------------------------------------
     Q("d03_simhash",

@@ -25,6 +25,35 @@ object TextOps {
 
   val queries: Seq[Q] = Seq(
 
+    // ---- t09: repetition score -----------------------------------------
+    // Repeated-bigram fraction (1 - distinct/total) — the cheap repetition
+    // detector that catches boilerplate, keyword stuffing, and degenerate
+    // generations before they reach training. Pure per-row column math:
+    // one scan, zero shuffles, exact 4dp ratio portable to the oracle.
+    Q("t09_repetition",
+      (s, dir) => {
+        val bi = TextFns.wordBigrams(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(bi).cast("long").as("n_bigrams"),
+            size(array_distinct(bi)).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct").cast("double") /
+              greatest(col("n_bigrams"), lit(1L)), 4).as("repetition"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |b AS (SELECT doc_id,
+              |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+              |      FROM d)
+              |SELECT doc_id,
+              |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+              |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+              |  round(1.0 - len(list_distinct(bg))::DOUBLE / greatest(len(bg), 1), 4)
+              |    AS repetition
+              |FROM b
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- t01: token statistics -----------------------------------------
     Q("t01_token_stats",
       (s, dir) => Tables.load(s, dir, "documents")

@@ -32,7 +32,7 @@ class QueriesSpec extends AnyFunSuite {
     "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
     "d05_embedding_neardup", "d06_content_sample", "d07_stratified_sample",
     "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
-    "d11_incremental_minhash",
+    "d11_incremental_minhash", "d12_decontaminate",
     "g05_adjacency", "g06_pagerank", "g07_components",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
     "p01_profile", "p03_key_skew",
@@ -44,7 +44,8 @@ class QueriesSpec extends AnyFunSuite {
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
     "st08_funnel",
     "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
-    "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage")
+    "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage",
+    "t09_repetition")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {
