@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, GraphOps}
+import graft.operators.{Dedup, GraphOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,28 @@ object ScaleSmoke {
 
       timed("d02_minhash_lsh") {
         Dedup.minhashLshPairs(d).filter(col("est_jaccard") >= 0.5).count()
+      }
+
+      // d12 at 50k docs: the eval shingle set broadcasts; the corpus-side
+      // stream must stay a single scan (shuffle = per-doc hit counts only)
+      timed("d12_decontaminate") {
+        Dedup.decontaminate(d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+          .filter(col("contaminated") === 1).count()
+      }
+
+      // s05 IVF at 500k synthetic 64-dim embeddings (250x the sf0.1
+      // fixture): assignment = corpus x 64 broadcast centroids reduced by
+      // one agg; probe pays exact cosine on ~nprobe/nlist of the corpus
+      val nVecs = 500000L
+      val embCols = (0 until 64).map(i =>
+        ((pmod(xxhash64(col("id"), lit(i)), lit(2001L)) - 1000).cast("double") / 1000.0))
+      val bigEmb = spark.range(nVecs)
+        .select(col("id").as("vec_id"), array(embCols: _*).as("embedding"))
+        .persist()
+      timed("s05_ivf_topk_500k") {
+        val n = Similarity.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 10),
+          k = 10, nlist = 64, nprobe = 4).count()
+        bigEmb.unpersist(); n
       }
 
       // Connected components, both algorithms. The power-law graph is

@@ -727,6 +727,33 @@ object Relational {
              |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
              |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin)),
 
+    // ---- q36: distribution window functions ----------------------------
+    // ntile / percent_rank / cume_dist over a per-flag price ordering —
+    // the remaining window surface (ranking + running + RANGE frames are
+    // q10/q21/q31). Ordering ties broken by (orderkey, linenumber) so
+    // both engines assign identical bucket/rank values; percent_rank and
+    // cume_dist become exact 6dp decimals of small-integer ratios.
+    Q("q36_window_distribution",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            ntile(8).over(w).as("octile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             |  ntile(8) OVER w AS octile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- q29: JSON extraction over a string column ---------------------
     // Schema-on-read for semi-structured payloads (`events.props` carries
     // JSON): `get_json_object` is a codegen'd path expression — the scan

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Scan/sink layer: CSV / JSON / Parquet with the engine's defaults.
+/** Scan/sink layer: CSV / JSON / Parquet / ORC with the engine's defaults.
   *
   * Reads default to FAILFAST with an explicit schema — the reference's
   * fail-on-malformed semantics (`Long.parseLong` throwing on bad lines,
@@ -42,6 +42,18 @@ object Formats {
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w: DataFrameWriter[Row] = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** ORC round-trip — same columnar pushdown/pruning properties as
+    * parquet (predicate pushdown, column projection, partition dirs);
+    * offered because warehouse interop often dictates the format, and the
+    * engine's plans are format-agnostic above the scan. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
   /** Bucketed managed table: pre-shuffles rows into `buckets` files by

@@ -158,6 +158,23 @@ object EventStreams {
         (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("gap_ms"))
   }
 
+  /** Stream-static enrichment join + aggregation: events joined to a
+    * STATIC dimension (nation, keyed by user_id % 25) and rolled up per
+    * nation. The canonical lookup-enrichment shape: the static side
+    * broadcasts and each micro-batch joins against it with NO join state
+    * at all (unlike stream-stream joins) — at 100 TB the dimension
+    * refreshes by restarting the query, the stream never shuffles for
+    * the join. The summed measure is integer cents so the result is
+    * engine-portable and identical at any micro-batch slicing. */
+  def enrichByNation(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("value"), pmod(col("user_id"), lit(25)).as("nk"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
   /** Per-user session statistics (batch rollup of [[sessions]]; a second
     * stateful aggregation, so streaming callers stop at [[sessions]]). */
   def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
@@ -341,5 +358,17 @@ object EventStreams {
              |FROM l JOIN r ON user_id = r_user
              |  AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 60 MINUTES
              |ORDER BY user_id, l_id, r_id""".stripMargin)),
+
+    // ---- st09: stream-static enrichment join ---------------------------
+    Q("st09_enrich_static",
+      (s, dir) => enrichByNation(Tables.load(s, dir, "events"),
+          Tables.load(s, dir, "nation"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events JOIN nation ON user_id % 25 = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
   )
 }

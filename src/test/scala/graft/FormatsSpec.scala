@@ -57,6 +57,22 @@ class FormatsSpec extends AnyFunSuite {
     assert(!scanDesc.contains("o_orderstatus=F"))
   }
 
+  test("ORC round-trip preserves values and pushes filters to the scan") {
+    val src = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    Formats.writeOrc(src, tmp)
+    val back = Formats.readOrc(spark, tmp, src.schema)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    val filtered = back.filter($"c_custkey" < 100)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"ORC scan did not receive the pushed filter:\n$plan")
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse conf is static and can't be set per-test

@@ -76,6 +76,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"expected keeper-id aggregation:\n$plan")
   }
 
+  test("q33/q34 correlated subqueries decorrelate to equi-joins, not per-row probes") {
+    for (q <- Seq("q33_correlated_scalar", "q34_exists_chain")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q kept a nested-loop (per-row re-execution shape):\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$q should decorrelate to an equi join:\n$plan")
+    }
+  }
+
   test("q29 JSON extraction stays in one whole-stage codegen span over the scan") {
     val plan = executedPlan(SparkEntry.queries("q29_json_extract")(spark, dir))
     // whole-stage codegen spans print as "*(n) Op" in the plan string

@@ -35,6 +35,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-static enrichment join == batch (dimension broadcasts, no join state)") {
+    val nation = Tables.load(spark, dir, "nation")
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.enrichByNation(stream, nation)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("enrich_out")
+      .orderBy(col("n_name")).collect().map(_.toSeq)
+    val batch = EventStreams.enrichByNation(
+        Tables.load(spark, dir, "events"), nation)
+      .orderBy(col("n_name")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming dedup collapses a doubled stream to the original") {
     val d = streamDir
     val doubled = EventStreams.readEventsStream(spark, d)
