@@ -429,6 +429,52 @@ object GraphOps {
               |HAVING count(*) >= 1
               |ORDER BY u, v""".stripMargin)),
 
+    // ---- g10: recursive CTE (bounded walk counts) ----------------------
+    // Spark 4's WITH RECURSIVE, exercised through the engine's SQL
+    // surface: count the walks of length <= 3 from node 0 per end node.
+    // Depth-bounded UNION ALL recursion is cycle-safe in both engines and
+    // needs no engine-specific recursion knobs; the iterative OPERATOR
+    // path for unbounded reachability remains connectedComponents (g07) —
+    // this query pins the SQL feature itself.
+    Q("g10_bounded_walks",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""WITH RECURSIVE e AS (
+                |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+                |  FROM lineitem_v WHERE l_linenumber = 1),
+                |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                |          FROM e WHERE src <> dst),
+                |sym AS (SELECT u AS src, v AS dst FROM canon
+                |        UNION ALL SELECT v, u FROM canon),
+                |walk AS (
+                |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+                |  UNION ALL
+                |  SELECT s.dst AS node, w.depth + 1 AS depth
+                |  FROM walk w JOIN sym s ON w.node = s.src
+                |  WHERE w.depth < 3)
+                |SELECT node, count(*) AS n_walks
+                |FROM walk
+                |GROUP BY node
+                |ORDER BY node""".stripMargin('|'))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+             |  FROM lineitem WHERE l_linenumber = 1),
+             |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             |          FROM e WHERE src <> dst),
+             |sym AS (SELECT u AS src, v AS dst FROM canon
+             |        UNION ALL SELECT v, u FROM canon),
+             |walk AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+             |  UNION ALL
+             |  SELECT s.dst AS node, w.depth + 1 AS depth
+             |  FROM walk w JOIN sym s ON w.node = s.src
+             |  WHERE w.depth < 3)
+             |SELECT node, count(*) AS n_walks
+             |FROM walk
+             |GROUP BY node
+             |ORDER BY node""".stripMargin)),
+
     // ---- g08: log-binned degree distribution ---------------------------
     // The power-law profile that predicts wedge-join cost and degree-cap
     // thresholds before running them. Bin = floor(log2(degree)), computed
