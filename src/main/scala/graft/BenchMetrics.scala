@@ -29,7 +29,10 @@ final class ShuffleTotals(sc: org.apache.spark.SparkContext) extends SparkListen
   def snapshot(): (Long, Long) = (read.get(), written.get())
 
   def snapshotAfter(): (Long, Long) = {
-    org.apache.spark.graft.ListenerBusHook.waitUntilEmpty(sc)
+    // waitUntilEmpty throws TimeoutException after 10 s if the bus stays
+    // busy; stale-by-a-beat byte counts beat aborting a whole bench run
+    try org.apache.spark.graft.ListenerBusHook.waitUntilEmpty(sc)
+    catch { case _: java.util.concurrent.TimeoutException => () }
     snapshot()
   }
 }

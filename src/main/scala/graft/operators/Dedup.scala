@@ -61,7 +61,13 @@ object Dedup {
     * join hash-partitions clusters like any other; PlanSpec pins the
     * window's absence on the executed plan. */
   def exactDedup(docs: DataFrame): DataFrame = {
+    // explicit repartition on fp: the keeper aggregation and the join
+    // probe then both consume the SAME exchange (ReuseExchange dedups the
+    // identical subtree), so the text is scanned and fingerprinted once —
+    // without it the two references to `fps` each re-read the source and
+    // re-run the md5, the dominant per-row cost
     val fps = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .repartition(col("fp"))
     val keepers = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
     fps.join(keepers, "fp")
       .select(col("doc_id"), col("keeper_id"),

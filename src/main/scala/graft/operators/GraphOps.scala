@@ -242,9 +242,14 @@ object GraphOps {
       it += 1
     }
     // converged star forest: every non-root points straight at its
-    // component min; roots are the nodes that never appear on the big end
+    // component min; roots never appear on the big end. The min-aggregate
+    // (a no-op at the fixed point, where each u occurs once) also keeps
+    // the labeling well-formed — exactly one row per node — if maxIter
+    // ran out before convergence, where the raw edge set could still
+    // hold conflicting (v, m1)/(v, m2) pairs.
     val labels = nodes
-      .join(e.select(col("u").as("node"), col("v").as("cmp")), Seq("node"), "left")
+      .join(e.groupBy(col("u").as("node")).agg(min(col("v")).as("cmp")),
+        Seq("node"), "left")
       .select(col("node"), coalesce(col("cmp"), col("node")).as("component"))
     canon.unpersist()
     (labels, it)

@@ -731,27 +731,34 @@ object Relational {
     // ntile / percent_rank / cume_dist over a per-flag price ordering —
     // the remaining window surface (ranking + running + RANGE frames are
     // q10/q21/q31). Ordering ties broken by (orderkey, linenumber) so
-    // both engines assign identical bucket/rank values; percent_rank and
-    // cume_dist become exact 6dp decimals of small-integer ratios.
+    // both engines assign identical values. The two ratio functions are
+    // emitted as their exact integer numerators — percent_rank·(n-1) =
+    // rank-1 and cume_dist·n = rows-≤-current, recovered by rounding a
+    // product whose FP error is ≪ 0.5 — because a round(ratio, 6dp) can
+    // land on a representable halfway point where the engines' rounding
+    // disagrees (the q30 lesson; integers can't).
     Q("q36_window_distribution",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_returnflag"))
           .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
         t(s, dir, "lineitem")
+          .withColumn("np", count(lit(1)).over(wp))
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             ntile(8).over(w).as("octile"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            round(percent_rank().over(w) * (col("np") - 1)).cast("long").as("pr_num"),
+            round(cume_dist().over(w) * col("np")).cast("long").as("cume_n"))
           .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
              |  ntile(8) OVER w AS octile,
-             |  round(percent_rank() OVER w, 6) AS pct_rank,
-             |  round(cume_dist() OVER w, 6) AS cume
+             |  CAST(round(percent_rank() OVER w * (count(*) OVER wp - 1)) AS BIGINT) AS pr_num,
+             |  CAST(round(cume_dist() OVER w * count(*) OVER wp) AS BIGINT) AS cume_n
              |FROM lineitem
              |WINDOW w AS (PARTITION BY l_returnflag
-             |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |             ORDER BY l_extendedprice, l_orderkey, l_linenumber),
+             |  wp AS (PARTITION BY l_returnflag)
              |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
 
     // ---- q29: JSON extraction over a string column ---------------------

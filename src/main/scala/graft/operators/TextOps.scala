@@ -38,8 +38,12 @@ object TextOps {
             size(bi).cast("long").as("n_bigrams"),
             size(array_distinct(bi)).cast("long").as("n_distinct"))
           .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
-            round(lit(1.0) - col("n_distinct").cast("double") /
-              greatest(col("n_bigrams"), lit(1L)), 4).as("repetition"))
+            // zero-bigram docs (empty / single word) score 0, not the
+            // 1 - 0/1 = 1.0 the bare formula gives: "no repetition
+            // observed" must not read as "maximally repetitive"
+            when(col("n_bigrams") === 0, lit(0.0))
+              .otherwise(round(lit(1.0) - col("n_distinct").cast("double") /
+                col("n_bigrams"), 4)).as("repetition"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -49,8 +53,9 @@ object TextOps {
               |SELECT doc_id,
               |  CAST(len(bg) AS BIGINT) AS n_bigrams,
               |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
-              |  round(1.0 - len(list_distinct(bg))::DOUBLE / greatest(len(bg), 1), 4)
-              |    AS repetition
+              |  CASE WHEN len(bg) = 0 THEN 0.0
+              |       ELSE round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
+              |  END AS repetition
               |FROM b
               |ORDER BY doc_id""".stripMargin)),
 

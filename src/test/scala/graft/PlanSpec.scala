@@ -74,6 +74,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"exactDedup must not buffer duplicate clusters in WindowExec:\n$plan")
     assert(plan.contains("HashAggregate"), s"expected keeper-id aggregation:\n$plan")
+    // the agg and the join probe must share one exchange (= one scan +
+    // one fingerprint pass), not re-read the source per reference
+    assert(plan.contains("ReusedExchange"),
+      s"fingerprint exchange not shared between aggregate and join:\n$plan")
   }
 
   test("q33/q34 correlated subqueries decorrelate to equi-joins, not per-row probes") {
