@@ -84,6 +84,21 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star CC with an exhausted round budget still labels every node exactly once") {
+    // a path needs ~log2(n) star rounds; cap below that and the edge set
+    // is NOT a star forest — the labeling must still be one row per node
+    val n = 64L
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labelsDf, rounds) = GraphOps.connectedComponentsStar(path, maxIter = 2)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rounds === 2)
+    assert(labels.length === n, "one row per node even when unconverged")
+    assert(labels.map(_._1).distinct.length === n)
+    // and with enough budget the same graph fully converges to component 0
+    val (conv, _) = GraphOps.connectedComponentsStar(path)
+    assert(conv.collect().map(_.getLong(1)).toSet === Set(0L))
+  }
+
   private val docGen: Gen[Seq[(Long, String)]] = {
     val word = Gen.oneOf("the", "fast", "key", "order", "sort", "merge", "scan")
     for {
