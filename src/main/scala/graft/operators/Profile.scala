@@ -71,6 +71,28 @@ object Profile {
         expr("max_group * 10000 div n_rows").as("top_share_bp"))
   }
 
+  /** Approximate heavy hitters (Spark's `stat.freqItems`, the
+    * Karp/Misra-Gries family) cross-checked against the exact frequency
+    * table: emits every key whose exact share exceeds `support`, with a
+    * flag saying whether the single-pass sketch surfaced it. The sketch
+    * guarantees NO false negatives above the support threshold, so the
+    * flag column is constant 1 — which is exactly what the oracle (that
+    * never runs the sketch) asserts. The sketch result is one array row
+    * (collected like a broadcast build side, not a per-row action); the
+    * exact side is one map-side-combined aggregation. */
+  def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column,
+      support: Double): DataFrame = {
+    val keyed = df.select(key.as("k"))
+    val sketch = keyed.stat.freqItems(Seq("k"), support)
+      .head().getSeq[Any](0).toSet
+    val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("n"))
+    counts.join(broadcast(total))
+      .filter(col("freq") > lit(support) * col("n"))
+      .select(col("k"), col("freq"),
+        col("k").isin(sketch.toSeq: _*).cast("int").as("found_by_sketch"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -141,5 +163,24 @@ object Profile {
              |FROM events
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- p05: approximate heavy hitters vs exact frequencies -----------
+    // Key = floor(sqrt(l_orderkey % 100)): linear density, shares 1%..19%
+    // — a portable skewed categorical (floor before any cast: Spark's INT
+    // cast truncates, DuckDB's rounds). The oracle computes the exact
+    // > 10% keys with found_by_sketch = 1; the Spark side earns that 1
+    // from the sketch's no-false-negative guarantee.
+    Q("p05_heavy_hitters",
+      (s, dir) => heavyHitters(Tables.load(s, dir, "lineitem"),
+          floor(sqrt(col("l_orderkey") % 100)).cast("long"), support = 0.1)
+        .orderBy(col("k")),
+      Some("""WITH k AS (SELECT CAST(floor(sqrt(l_orderkey % 100)) AS BIGINT) AS k
+             |          FROM lineitem),
+             |c AS (SELECT k, count(*) AS freq FROM k GROUP BY k),
+             |t AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM c)
+             |SELECT k, freq, 1 AS found_by_sketch
+             |FROM c, t
+             |WHERE freq > 0.1 * n
+             |ORDER BY k""".stripMargin)),
   )
 }
