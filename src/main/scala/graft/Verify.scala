@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    // one predicate for both the query loop and the oracle map — they
+    // must select the same set or a filtered rerun compares stale output
+    val keep = (name: String) => only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => keep(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -45,7 +48,7 @@ object Verify {
     // stale parquet from an earlier unfiltered run (or report missing
     // dumps for queries that were intentionally skipped)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -83,14 +83,24 @@ object Profile {
   def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column,
       support: Double): DataFrame = {
     val keyed = df.select(key.as("k"))
-    val sketch = keyed.stat.freqItems(Seq("k"), support)
+    // freqItems sizes its Misra-Gries sketch as (1/support).toInt counters
+    // — a TRUNCATION, so a non-integral reciprocal (e.g. 0.15 → 6
+    // counters) would only guarantee keys above n/6, quietly weaker than
+    // the requested threshold. Feed it the support whose reciprocal is
+    // the next integer up: same-or-stronger guarantee at every input.
+    val sketchSupport = 1.0 / math.ceil(1.0 / support)
+    val sketch = keyed.stat.freqItems(Seq("k"), sketchSupport)
       .head().getSeq[Any](0).toSet
     val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("freq"))
     val total = counts.agg(sum(col("freq")).as("n"))
+    // isin is three-valued on a NULL key (NULL, not false) — a NULL
+    // heavy hitter must still get a definite 0/1 flag
+    val found = when(col("k").isNull,
+        lit(if (sketch.contains(null)) 1 else 0))
+      .otherwise(col("k").isin(sketch.toSeq.filter(_ != null): _*).cast("int"))
     counts.join(broadcast(total))
       .filter(col("freq") > lit(support) * col("n"))
-      .select(col("k"), col("freq"),
-        col("k").isin(sketch.toSeq: _*).cast("int").as("found_by_sketch"))
+      .select(col("k"), col("freq"), found.as("found_by_sketch"))
   }
 
   val queries: Seq[Q] = Seq(
