@@ -98,6 +98,20 @@ object Multimodal {
     }.toDF("doc_id", "n_bytes", "thumb_bytes", "thumb_sum")
   }
 
+  /** Byte-exact payload dedup: keeper = min doc_id per md5 of the RAW
+    * binary payload — the multimodal sibling of [[Dedup.exactDedup]]
+    * (which fingerprints normalized text; identical images/audio dedupe
+    * on bytes, not on any normalization). Same bounded-memory shape:
+    * shared-exchange aggregate + join, never a per-cluster window. */
+  def payloadDedup(media: DataFrame): DataFrame = {
+    val fps = media.select(col("doc_id"), md5(col("payload")).as("fp"))
+      .repartition(col("fp"))
+    val keepers = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+    fps.join(keepers, "fp")
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+  }
+
   private def mediaDs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     mediaTable(Tables.load(s, dir, "documents")).as[MediaRow]
@@ -190,6 +204,22 @@ object Multimodal {
              |  CAST(coalesce(list_sum(list_transform(range(0, (n + 3) // 4),
              |        i -> ('0x' || pairs[1 + 4 * i])::INT)), 0) AS BIGINT) AS thumb_sum
              |FROM h
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- m05: byte-exact payload dedup ---------------------------------
+    // Unlike d01 (normalized-text fingerprints), payload dedup is over
+    // the RAW bytes — the dedup pass a mixed media corpus runs before
+    // any decode. The oracle re-derives the payload as encode(text).
+    Q("m05_payload_dedup",
+      (s, dir) => payloadDedup(mediaTable(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id")),
+      // DuckDB's md5 takes VARCHAR, not BLOB; md5(text) hashes the same
+      // UTF-8 bytes the Spark side gets from encode(text, 'UTF-8')
+      Some("""WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
+             |SELECT doc_id,
+             |  min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+             |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+             |FROM f
              |ORDER BY doc_id""".stripMargin)),
   )
 }
