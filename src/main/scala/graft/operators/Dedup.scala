@@ -229,6 +229,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtered exact Jaccard join — the AllPairs/PPJoin candidate
+    * generation (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06) that
+    * makes EXACT similarity joins survive corpus scale, where
+    * [[ngramJaccardPairs]]'s per-shingle self-join is the verifier-stage
+    * baseline.
+    *
+    * Principle: order every document's shingles by a GLOBAL rarest-first
+    * key `(df, s)` and keep only the first `|d| - ⌈t·|d|⌉ + 1` as the
+    * document's prefix. If `J(a,b) ≥ t`, the prefixes must intersect —
+    * proof: were they disjoint, order the two prefix maxima and every
+    * common shingle lands in the smaller-maximum document's suffix, which
+    * holds only `⌈t·|d|⌉ - 1 < ⌈t·|d|⌉ ≤ |a∩b|` shingles. So joining
+    * prefixes loses NO true pair: the oracle is the naive quadratic SQL,
+    * blind to the filter.
+    *
+    * Why it scales where the naive join dies: the self-join's fan-out per
+    * shingle is df², and rarest-first prefixes hold each document's
+    * LOWEST-df shingles — the corpus-frequent shingles ("of the") never
+    * enter the join. At threshold t the candidate volume drops by
+    * (1-t)² on the doc side times the df skew on the key side; candidates
+    * are then verified per-pair in-row (`array_intersect` of the two
+    * sorted shingle arrays — no second shuffle of the shingle stream).
+    * The threshold test runs on the UNROUNDED ratio in both engines: the
+    * prefix guarantee covers J ≥ t, not round(J) ≥ t. */
+  def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val pos = row_number().over(byDoc.orderBy(col("df"), col("s")))
+    val prefix = sh.join(dfreq, "s")
+      .select(col("doc_id"), col("lang"), col("s"), pos.as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+      .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("doc_id"), col("lang"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("s"))).as("arr"), count(lit(1)).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("a1"), col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("a1"), col("a2"))).cast("double") /
+          (col("sz1") + col("sz2") - size(array_intersect(col("a1"), col("a2"))))).as("j"))
+      .filter(col("j") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("j"), 4).as("jaccard"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `minCos` (computed in double,
     * rounded to 4dp). Brute-force all-pairs — the exact baseline; the LSH
     * path for scale is [[Similarity.lshTopK]]. Norms are computed once per
@@ -466,6 +518,29 @@ object Dedup {
               |WHERE ${PortableHash.baseHashSql(TextFns.normalizeSql("text"))} % 100
               |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d13: prefix-filtered exact Jaccard (the scale path) -----------
+    // Runs over the FULL documents table — the point of prefix filtering
+    // is that the exact join no longer needs d04's doc_id cap. The oracle
+    // is the naive quadratic join with NO knowledge of the prefix filter:
+    // green here is a machine check of the filter's losslessness, not
+    // just of the arithmetic.
+    Q("d13_prefix_jaccard",
+      (s, dir) => prefixJaccardPairs(Tables.load(s, dir, "documents"), 0.5)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH ${shCte()},
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM sh a JOIN sh b
+              |            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+              |          GROUP BY a.doc_id, b.doc_id)
+              |SELECT d1, d2,
+              |  round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = d1
+              |JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.5
+              |ORDER BY d1, d2""".stripMargin)),
 
     // ---- d05: embedding-cosine near-dup pairs --------------------------
     Q("d05_embedding_neardup",

@@ -118,6 +118,40 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(0L -> 1L) - 0.5) < 1e-9)
   }
 
+  test("prefixJaccard: lossless vs brute force across thresholds") {
+    // 48 docs drawn from word pools with id-driven mutations — many pairs
+    // straddle the 0.4..0.7 similarity band, so a lossy prefix would show
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rows = (0 until 48).map { i =>
+      val base = pool.drop(i % 3).take(8)
+      val mutated = base.updated(i % 8, pool((i * 5) % pool.size)) ++
+        Vector(pool((i * 7) % pool.size))
+      (i.toLong, mutated.mkString(" "), if (i % 5 == 0) "fr" else "en")
+    }
+    val corpus = rows.toDF("doc_id", "text", "lang")
+
+    // brute force, independent of the operator AND the oracle SQL
+    def bigrams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toVector
+      toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+    }
+    val byId = rows.map { case (id, t, l) => (id, (bigrams(t), l)) }.toMap
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val expected = (for {
+        (i, (si, li)) <- byId; (j, (sj, lj)) <- byId
+        if i < j && li == lj && si.nonEmpty
+        inter = (si & sj).size
+        jacc = inter.toDouble / (si.size + sj.size - inter)
+        if jacc >= t
+      } yield (i, j, BigDecimal(jacc)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      val got = Dedup.prefixJaccardPairs(corpus, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"threshold $t")
+    }
+  }
+
   test("dupClusters: transitive closure over near-dup pairs, singletons keep own id") {
     // A==B and B==C near-dups but A,C in different bands would still
     // cluster transitively; here identical texts guarantee the pairs
