@@ -299,6 +299,48 @@ object GraphOps {
     (labels.select(col("node"), col("label").as("component")), it)
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k,
+    * by iterative peeling — drop all nodes below degree k, recompute
+    * degrees, repeat to the fixed point (simultaneous removal per round,
+    * the textbook semantics). Returns `(nodes-with-core-degree, rounds)`.
+    *
+    * Each round is one degree aggregation (map-side combined) plus two
+    * semi-joins of the edge set against the surviving nodes — all hash
+    * shuffles on the node key, AQE-friendly, and the edge set only
+    * shrinks. `localCheckpoint` per round truncates the growing plan and
+    * the previous round's blocks are freed ([[freeLocalCheckpoint]]);
+    * convergence is edge-count stability (peeling is monotone decreasing,
+    * so equal count ⇔ fixed point). Rounds needed = peeling depth of the
+    * graph — bounded by the longest chain the peel unravels, NOT by
+    * O(log n): a path peels from its ends at one layer per round. That is
+    * inherent to the simultaneous-removal semantics (matching the
+    * oracle's unrolled rounds); at 100 TB you bound it with `maxIter` and
+    * accept a slightly-larger-than-k-core supergraph if the budget runs
+    * out. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): (DataFrame, Int) = {
+    var e = canonicalEdges(edges).localCheckpoint()
+    var nEdges = e.count()
+    var it = 0
+    var converged = nEdges == 0
+    while (!converged && it < maxIter) {
+      val keep = symmetrize(e.toDF("src", "dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = e.join(keep.toDF("u"), Seq("u"), "left_semi")
+        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == nEdges
+      nEdges = m
+      freeLocalCheckpoint(e)
+      e = next
+      it += 1
+    }
+    val core = symmetrize(e.toDF("src", "dst"))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+    (core, it)
+  }
+
   /** Fixed-point (integer) PageRank: ranks are parts-per-billion longs,
     * contributions use integer division, damping is 85/100 in integer
     * arithmetic. Floating-point PageRank sums in nondeterministic order,
@@ -500,6 +542,35 @@ object GraphOps {
               |FROM deg
               |GROUP BY 1
               |ORDER BY log2_bin""".stripMargin)),
+
+    // ---- g11: k-core decomposition (iterative peeling) -----------------
+    // The oracle unrolls 16 peeling rounds as a CTE chain — measured
+    // convergence on the derived graph is ≤ 8 rounds across sf0.001/0.01/
+    // 0.1 (k ∈ {2,3}; probed 2026-08-12), a 2× margin; the Spark side
+    // runs to the true fixed point, and a fixture that ever needed more
+    // than 16 rounds would surface as a gate mismatch, not silent
+    // wrongness. The per-round CTEs are MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, and each round references its
+    // predecessor 3× — un-materialized, the chain expands 3^16 scans.
+    Q("g11_kcore",
+      (s, dir) => kCore(derivedEdges(s, dir), k = 2)._1.orderBy(col("node")),
+      Some {
+        val rounds = 16
+        val roundSql = (1 to rounds).map { i =>
+          s"""k$i AS MATERIALIZED (SELECT node
+             |     FROM (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) s$i
+             |     GROUP BY node HAVING count(*) >= 2),
+             |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+             |     JOIN k$i a ON e.u = a.node JOIN k$i b ON e.v = b.node)""".stripMargin
+        }.mkString(",\n")
+        s"""$derivedSql,
+           |e0 AS MATERIALIZED (SELECT u, v FROM canon),
+           |$roundSql
+           |SELECT node, count(*) AS core_degree
+           |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) fin
+           |GROUP BY node
+           |ORDER BY node""".stripMargin
+      }),
 
     // ---- g06: fixed-point PageRank (3 iterations, ppb longs) -----------
     // Integer arithmetic end-to-end, so the oracle unrolls the identical

@@ -152,6 +152,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(total > 900000000L && total <= 1000000000L)
   }
 
+  test("kCore: peels pendants and chains; K4 is its own 3-core") {
+    // K4 with a pendant chain hanging off node 0: 3-core = exactly K4,
+    // and the chain peels one layer per round (peeling depth > 1)
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val chain = Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val (core3, rounds3) = GraphOps.kCore(edgesDF(k4 ++ chain), 3)
+    val got3 = core3.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got3 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(rounds3 >= 2) // chain nodes go in the first peel, +1 to detect fixpoint
+    // 2-core of a pure path is empty, and takes ceil(len/2) peels
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val (core2, rounds2) = GraphOps.kCore(edgesDF(path), 2)
+    assert(core2.count() === 0)
+    assert(rounds2 === 4) // ends peel inward one layer per round, +1 to detect
+    // a cycle survives 2-core intact in one round
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val (coreC, _) = GraphOps.kCore(edgesDF(cyc), 2)
+    assert(coreC.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("invariance: permutation + direction flips + duplicate injection") {
     val rnd = new scala.util.Random(42)
     val base = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))

@@ -32,8 +32,8 @@ class QueriesSpec extends AnyFunSuite {
     "d01_exact_dedup", "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
     "d05_embedding_neardup", "d06_content_sample", "d07_stratified_sample",
     "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
-    "d11_incremental_minhash", "d12_decontaminate",
-    "g05_adjacency", "g06_pagerank", "g07_components",
+    "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
+    "g05_adjacency", "g06_pagerank", "g07_components", "g11_kcore",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
     "p01_profile", "p03_key_skew",
     "q26_percentile", "q28_range_join", "q29_json_extract",
