@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Sequence packing for pretraining: concatenate documents in a
+    * deterministic order and cut the stream every `budgetTokens` tokens,
+    * GPT-style (documents may straddle a cut — the tokenizer inserts the
+    * separator; here we record where each document lands). Output per
+    * document: its shard, token count, the sequence index its first token
+    * falls in, and the offset within that sequence.
+    *
+    * Scale shape: a single global concatenation order would be one
+    * all-data sort through one task, so the corpus is first split into
+    * `shards` deterministic streams (portable content-independent hash of
+    * doc_id — stable under re-partitioning and corpus append ordering),
+    * and the running token total is a window per shard: each shard is an
+    * independent spill-able sort + streaming sum, so parallelism and
+    * per-task state are both set by `shards`. At 100 TB you size shards
+    * to the training-data writer's output file count (thousands), giving
+    * ~GB-scale sorted runs per task — the same partition-then-window
+    * shape st05's alerts use. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, budgetTokens: Int = 512,
+      shards: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+      pmod(graft.functions.PortableHash.baseHash(col("doc_id").cast("string")),
+        lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    t.withColumn("pre", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"pre div $budgetTokens").as("seq_id"),
+        (col("pre") % budgetTokens).as("seq_offset"))
+  }
+
   private def inListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -57,6 +88,28 @@ object TextOps {
               |       ELSE round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
               |  END AS repetition
               |FROM b
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- t10: sequence packing -----------------------------------------
+    // Where every document lands after shard-parallel GPT-style
+    // concatenate-and-cut packing (budget 512 tokens, 8 shards). The
+    // oracle re-derives the same per-shard running sums with a window —
+    // integer-exact, so the whole layout is hash-gated.
+    Q("t10_pack_sequences",
+      (s, dir) => packSequences(Tables.load(s, dir, "documents"), 512, 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |    ${graft.functions.PortableHash.baseHashSql("doc_id::VARCHAR")} % 8 AS shard
+              |  FROM documents),
+              |c AS (SELECT doc_id, shard, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              |         - n_tokens AS BIGINT) AS pre
+              |  FROM t)
+              |SELECT doc_id, shard, n_tokens,
+              |  CAST(pre // 512 AS BIGINT) AS seq_id,
+              |  CAST(pre % 512 AS BIGINT) AS seq_offset
+              |FROM c
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- t01: token statistics -----------------------------------------

@@ -45,7 +45,7 @@ class QueriesSpec extends AnyFunSuite {
     "st08_funnel",
     "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
     "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage",
-    "t09_repetition")
+    "t09_repetition", "t10_pack_sequences")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {

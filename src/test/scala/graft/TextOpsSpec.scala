@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("packSequences: per-shard token stream is gapless and cut every budget") {
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill((i % 7).toInt + 1)(s"w$i").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val budget = 16
+    val out = TextOps.packSequences(docs, budget, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 200)
+    // reconstruct each doc's start offset and check the stream per shard:
+    // consecutive docs (by doc_id) in a shard abut exactly — no gaps, no
+    // overlaps — and every in-sequence offset is < budget
+    for ((_, rows) <- out.groupBy(_._2)) {
+      var expectedPre = 0L
+      for ((_, _, n, seqId, off) <- rows.sortBy(_._1)) {
+        assert(off < budget)
+        assert(seqId * budget + off === expectedPre)
+        expectedPre += n
+      }
+    }
+    // shard assignment is a pure function of doc_id: a reshuffled input
+    // maps every doc to the identical (shard, seq, offset) slot
+    val again = TextOps.packSequences(docs.repartition(13), budget, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+}
