@@ -103,6 +103,45 @@ object Profile {
       .select(col("k"), col("freq"), found.as("found_by_sketch"))
   }
 
+  // Shared formula text for p06 — the SAME strings feed Spark's selectExpr
+  // and the DuckDB oracle, so the two engines execute the identical IEEE
+  // double expression tree over identical exact integer sums. sqrt (not
+  // pow(x,1.5)): IEEE requires sqrt be correctly rounded, so it is
+  // bit-identical across engines where pow's last ulp is libm's choice.
+  private[operators] val momentMean = "d1 / nd"
+  private[operators] val momentM2 = "d2 / nd - mean * mean"
+  private[operators] val momentM3 =
+    "d3 / nd - 3 * mean * (d2 / nd) + 2 * mean * mean * mean"
+  private[operators] val momentM4 =
+    "d4 / nd - 4 * mean * (d3 / nd) + 6 * mean * mean * (d2 / nd) - 3 * mean * mean * mean * mean"
+  private[operators] val momentSkew = "round(m3 / (m2 * sqrt(m2)), 6)"
+  private[operators] val momentKurt = "round(m4 / (m2 * m2) - 3, 6)"
+
+  /** Distribution moments per group: mean, skewness, excess kurtosis of a
+    * price column, from one aggregation pass.
+    *
+    * FP sums re-order across partitions, so double power sums are not
+    * reproducible; instead the raw moments s1..s4 are EXACT integer sums
+    * of cent powers (decimal(38,0) — cents⁴ ≈ 10²⁸ per row, well inside
+    * 38 digits at any gated SF), and the float math happens once,
+    * driver-deterministic, on the three aggregated rows. One scan,
+    * map-side-combined, order-independent — the same integer-cents trick
+    * p04 uses, taken to 4th powers. */
+  def moments(df: DataFrame, group: String, price: String): DataFrame =
+    df.selectExpr(group, s"CAST(round($price * 100) AS DECIMAL(16,0)) AS c")
+      .groupBy(col(group)).agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s1"), sum(expr("c*c")).as("s2"),
+        sum(expr("c*c*c")).as("s3"), sum(expr("c*c*c*c")).as("s4"))
+      .selectExpr(group, "n", "CAST(n AS DOUBLE) AS nd",
+        "CAST(s1 AS DOUBLE) AS d1", "CAST(s2 AS DOUBLE) AS d2",
+        "CAST(s3 AS DOUBLE) AS d3", "CAST(s4 AS DOUBLE) AS d4")
+      .selectExpr(group, "n", "nd", s"$momentMean AS mean", "d2", "d3", "d4")
+      .selectExpr(group, "n", "mean",
+        s"$momentM2 AS m2", s"$momentM3 AS m3", s"$momentM4 AS m4")
+      .selectExpr(group, "n", "round(mean / 100, 4) AS mean_price",
+        s"$momentSkew AS skewness", s"$momentKurt AS kurtosis")
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -192,5 +231,32 @@ object Profile {
              |FROM c, t
              |WHERE freq > 0.1 * n
              |ORDER BY k""".stripMargin)),
+
+    // ---- p06: distribution moments (skewness / kurtosis) ---------------
+    // Exact HUGEINT power sums on the DuckDB side mirror Spark's
+    // decimal(38,0) sums; both engines then run the same formula strings
+    // (momentM2..momentKurt) over the same exact integers — the float
+    // stage is identical IEEE arithmetic, not two engines' libm moments.
+    Q("p06_moments",
+      (s, dir) => moments(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH c AS (SELECT l_returnflag,
+              |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS c FROM lineitem),
+              |a AS (SELECT l_returnflag, count(*) AS n,
+              |    sum(c) AS s1, sum(c*c) AS s2, sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+              |  FROM c GROUP BY l_returnflag),
+              |d AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+              |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+              |    CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+              |  FROM a),
+              |m AS (SELECT l_returnflag, n, nd, $momentMean AS mean, d2, d3, d4 FROM d),
+              |mo AS (SELECT l_returnflag, n, mean,
+              |    $momentM2 AS m2, $momentM3 AS m3, $momentM4 AS m4
+              |  FROM m)
+              |SELECT l_returnflag, n, round(mean / 100, 4) AS mean_price,
+              |  $momentSkew AS skewness, $momentKurt AS kurtosis
+              |FROM mo
+              |ORDER BY l_returnflag""".stripMargin)),
   )
 }

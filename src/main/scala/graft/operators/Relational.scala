@@ -779,5 +779,56 @@ object Relational {
              |FROM events
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    // ---- q37: UNPIVOT (wide measures -> long) --------------------------
+    // Dataset.unpivot keeps the melt inside one narrow projection (each
+    // input row emits its 3 measure rows in place — no shuffle until the
+    // aggregate), so at 100 TB the cost is the aggregation, not the
+    // reshape. Totals are exact integer cents (the p04 trick), so the
+    // melted sums hash-match across engines.
+    Q("q37_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+        .orderBy(col("l_returnflag"), col("measure")),
+      Some("""WITH u AS (
+             |  UNPIVOT (SELECT l_returnflag, l_quantity, l_discount, l_tax FROM lineitem)
+             |  ON l_quantity, l_discount, l_tax INTO NAME measure VALUE value)
+             |SELECT l_returnflag, measure,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM u
+             |GROUP BY l_returnflag, measure
+             |ORDER BY l_returnflag, measure""".stripMargin)),
+
+    // ---- q38: array higher-order functions -----------------------------
+    // filter/transform/aggregate over the embedding arrays — per-row
+    // lambda pipelines that stay inside whole-stage codegen (no UDF). The
+    // L1 mass is integerized per element (round(|x|·10⁴) as BIGINT) so
+    // the fold is order-independent and exact across engines; only the
+    // max — a comparison, no accumulation — stays float.
+    Q("q38_array_hof",
+      (s, dir) => {
+        val e = graft.functions.VectorFns.toDouble(col("embedding"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(filter(e, x => x > 0)).cast("long").as("n_pos"),
+            aggregate(transform(e, x => round(abs(x) * 10000).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("l1_e4"),
+            round(array_max(e), 4).as("max_val"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT vec_id,
+             |  CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  CAST(list_sum(list_transform(e, x -> CAST(round(abs(x) * 10000) AS BIGINT))) AS BIGINT) AS l1_e4,
+             |  round(list_max(e), 4) AS max_val
+             |FROM e
+             |ORDER BY vec_id""".stripMargin)),
   )
 }
