@@ -26,6 +26,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // comma-separated query-name filter for iterating on one line of the
+    // bench without paying for the whole suite; empty = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,7 +44,9 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var failed = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // untimed warmup
         val times = (1 to runs).map { i =>
@@ -74,7 +80,15 @@ object Bench {
       s"""\"$k\":{\"read\":$r,\"write\":$w}""" }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"\"$k\":\"${esc(m)}\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's tail-capture truncates stdout (BENCH_r0*.json carried
+    // "parsed": null for three rounds) — persist the full record too, but
+    // only for whole-suite runs so a filtered dev run can't shadow a real one
+    if (only.isEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -254,29 +254,69 @@ object Dedup {
     * The threshold test runs on the UNROUNDED ratio in both engines: the
     * prefix guarantee covers J ≥ t, not round(J) ≥ t. */
   def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val t = minJaccard
+    // Shingles are carried as xxhash64 longs from the source: Jaccard only
+    // needs equality, and longs join/sort/intersect without string hashing
+    // or string shuffles (a corpus-wide collision is ~n²/2⁶⁴ — far beyond
+    // the 4dp rounding of the reported ratio). The shingle stream is NOT
+    // pre-repartitioned by sid: the df aggregation map-side-combines to a
+    // vocab-sized table that AQE broadcasts when small (so sh never
+    // shuffles by sid), and at corpus scale AQE falls back to a shuffled
+    // join on its runtime size. The round-3 plan instead materialized a
+    // full shuffle of the exploded stream, which dominated its cost —
+    // re-scanning the source is cheaper than shuffling its explosion.
     val sh = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val pos = row_number().over(byDoc.orderBy(col("df"), col("s")))
-    val prefix = sh.join(dfreq, "s")
-      .select(col("doc_id"), col("lang"), col("s"), pos.as("pos"),
-        count(lit(1)).over(byDoc).as("sz"))
-      .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
-      .select(col("doc_id"), col("lang"), col("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
+        explode(array_distinct(transform(TextFns.wordBigrams(col("text")),
+          s => xxhash64(s)))).as("sid"))
+    val dfreq = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    // one per-doc aggregation carrying the WHOLE rarest-first ordering:
+    // sort_array on (df, sid) structs reproduces the global (df, sid) key
+    // order, so the prefix and the verify array are slices of one array
+    val arrs = sh.join(dfreq, "sid")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("sid")))),
+        x => x.getField("sid")).as("arr"))
+      .withColumn("sz", size(col("arr")))
+    // prefix = first |d| - ceil(t*|d|) + 1 entries, sliced in-row — no
+    // window, no second pass over the shingle stream. pos (0-based) feeds
+    // the positional bound below.
+    val pref = arrs.select(col("doc_id"), col("lang"), col("sz"),
+        posexplode(slice(col("arr"), lit(1),
+          (col("sz") - ceil(lit(t) * col("sz")) + lit(1)).cast("int"))))
+      .select(col("doc_id"), col("lang"), col("sz"), col("pos"),
+        col("col").as("sid"))
+    // Two PPJoin candidate filters (each epsilon only ever ADMITS borderline
+    // pairs — the exact verify below decides):
+    //  - length: J ≥ t ⇒ t·max(sz1,sz2) ≤ min(sz1,sz2)
+    //  - positional: J ≥ t ⇒ |a∩b| ≥ ⌈t/(1+t)·(sz1+sz2)⌉ = α, and at a
+    //    match on prefix positions p1,p2 the remaining-suffix bound says
+    //    |a∩b| ≤ min(sz1-p1, sz2-p2); the FIRST common prefix element has
+    //    no common elements before it, so a true pair always passes there
+    //    (later matches only tighten the bound — any-match + distinct is
+    //    exactly first-match semantics, lossless).
+    val alpha = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sid") === col("b.sid") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= lit(t) * col("a.sz") - lit(1e-9) &&
+          col("a.sz") >= lit(t) * col("b.sz") - lit(1e-9) &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    val arrs = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("s"))).as("arr"), count(lit(1)).as("sz"))
+    // verify: attach the two sid-sorted long arrays (AQE broadcasts arrs
+    // when small; at corpus scale these are plain doc_id equi-shuffles) and
+    // merge-count in-row — graft_sorted_intersect is a codegen'd two-pointer
+    // over primitive longs (no per-pair hash set, no output array); the
+    // sort_array runs once per DOCUMENT, the merge once per candidate pair
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val byId = arrs.select(col("doc_id"), sort_array(col("arr")).as("arr"),
+      col("sz"))
     cand
-      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("a1"), col("sz").as("sz1")), "d1")
-      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"), col("sz").as("sz2")), "d2")
-      .select(col("d1"), col("d2"),
-        (size(array_intersect(col("a1"), col("a2"))).cast("double") /
-          (col("sz1") + col("sz2") - size(array_intersect(col("a1"), col("a2"))))).as("j"))
+      .join(byId.toDF("d1", "a1", "sz1"), "d1")
+      .join(byId.toDF("d2", "a2", "sz2"), "d2")
+      .withColumn("inter", call_function("graft_sorted_intersect",
+        col("a1"), col("a2")))
+      .select(col("d1"), col("d2"), (col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter"))).as("j"))
       .filter(col("j") >= minJaccard)
       .select(col("d1"), col("d2"), round(col("j"), 4).as("jaccard"))
   }

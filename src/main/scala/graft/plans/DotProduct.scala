@@ -107,5 +107,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_sig", exprs => LshSignature(exprs.head, exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -75,6 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_sig"),
       new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
       (exprs: Seq[Expression]) => LshSignature(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
