@@ -20,6 +20,72 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Distribution window functions (ntile / percent_rank / cume_dist
+    * numerators) over a LOW-CARDINALITY grouping, without ever sorting a
+    * whole group in one task.
+    *
+    * `Window.partitionBy(group)` puts each group's rows through ONE
+    * WindowExec task — with a 3-value key that is a third of the corpus
+    * per task at any scale, the classic window scale-killer. This
+    * operator is the two-pass global-rank shape instead:
+    *
+    *  1. range-partition by (group ++ order) — each task holds a
+    *     contiguous slice of ONE group's ordering (`parts` slices total,
+    *     so max task load is n/parts regardless of group cardinality);
+    *  2. count rows per (slice, group) — a map-side-combined aggregate of
+    *     at most parts × |groups| rows — and turn it into per-group
+    *     prefix-sum offsets with a window over that TINY table;
+    *  3. broadcast the offsets back and add a per-slice `row_number`, so
+    *     global rank = slice offset + local rank. The only per-row
+    *     shuffles are the range partitioning and the (slice, group) local
+    *     sort; both spread over `parts` tasks.
+    *
+    * Requires `order` to be a TOTAL order within each group (tie-broken,
+    * as every cross-engine-deterministic query here already does): with
+    * ties, row_number-based ranks would split what rank()/cume_dist()
+    * merge. Emits the same exact-integer numerators as the window form —
+    * `pr_num` = percent_rank·(n-1) = rank-1 and `cume_n` = cume_dist·n —
+    * plus Spark-semantics `ntile` (first n mod k buckets take the extra
+    * row), all from pure integer arithmetic on (rank, n). */
+  def distributionRanks(df: DataFrame, groupCols: Seq[String],
+      order: Seq[org.apache.spark.sql.Column], ntiles: Int,
+      numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val g = groupCols.map(col)
+    val ranged = df.repartitionByRange(parts, (g ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy(col("__pid") +: g: _*)
+      .agg(count(lit(1)).as("__c"))
+    val perGroup = Window.partitionBy(g: _*)
+    val offsets = counts.select(col("__pid") +: g :+
+      coalesce(sum(col("__c")).over(perGroup.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off") :+
+      sum(col("__c")).over(perGroup).as("__n"): _*)
+    val localW = Window.partitionBy(col("__pid") +: g: _*).orderBy(order: _*)
+    // Integer division on longs: subtracting the remainder first makes the
+    // double division exact for any count below 2^53 rows per group.
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    // Spark/standard ntile from (rank, n): bucketSize = n div k with the
+    // first n % k buckets one larger; cutoff is where the larger buckets
+    // end. When n < k, cutoff = n so the zero-size branch is unreachable.
+    val r = col("__r")
+    val bs = idiv(col("__n"), lit(ntiles.toLong))
+    val rem = col("__n") % ntiles
+    val cutoff = rem * (bs + 1)
+    val tile = when(r <= cutoff, idiv(r - 1, bs + 1) + 1)
+      .otherwise(rem + idiv(r - cutoff - 1, bs) + 1)
+    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn("__r", col("__off") + row_number().over(localW))
+      .withColumn("octile", tile.cast("int"))
+      .withColumn("pr_num", (r - 1).cast("long"))
+      .withColumn("cume_n", r.cast("long"))
+      .drop("__pid", "__off", "__n", "__r")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- q01: full-table hash aggregation (TPC-H Q1 shape) -------------
@@ -730,27 +796,27 @@ object Relational {
     // ---- q36: distribution window functions ----------------------------
     // ntile / percent_rank / cume_dist over a per-flag price ordering —
     // the remaining window surface (ranking + running + RANGE frames are
-    // q10/q21/q31). Ordering ties broken by (orderkey, linenumber) so
-    // both engines assign identical values. The two ratio functions are
-    // emitted as their exact integer numerators — percent_rank·(n-1) =
-    // rank-1 and cume_dist·n = rows-≤-current, recovered by rounding a
-    // product whose FP error is ≪ 0.5 — because a round(ratio, 6dp) can
-    // land on a representable halfway point where the engines' rounding
-    // disagrees (the q30 lesson; integers can't).
+    // q10/q21/q31). l_returnflag has THREE values, so the window form
+    // `PARTITION BY l_returnflag` (still the oracle below) sorts a third
+    // of the corpus in one task; the engine side instead runs
+    // [[distributionRanks]] — range-partitioned two-pass global ranks —
+    // which the oracle proves pointwise-equal to the window functions.
+    // The two ratio functions are emitted as their exact integer
+    // numerators — percent_rank·(n-1) = rank-1 and cume_dist·n =
+    // rows-≤-current — because a round(ratio, 6dp) can land on a
+    // representable halfway point where the engines' rounding disagrees
+    // (the q30 lesson; integers can't). Ordering ties broken by
+    // (orderkey, linenumber): the total order distributionRanks requires
+    // and cross-engine determinism both need it.
     Q("q36_window_distribution",
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
-        t(s, dir, "lineitem")
-          .withColumn("np", count(lit(1)).over(wp))
-          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-            ntile(8).over(w).as("octile"),
-            round(percent_rank().over(w) * (col("np") - 1)).cast("long").as("pr_num"),
-            round(cume_dist().over(w) * col("np")).cast("long").as("cume_n"))
-          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
-      },
+      (s, dir) => distributionRanks(
+          t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          ntiles = 8)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("octile"), col("pr_num"), col("cume_n"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber")),
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
              |  ntile(8) OVER w AS octile,
              |  CAST(round(percent_rank() OVER w * (count(*) OVER wp - 1)) AS BIGINT) AS pr_num,

@@ -96,4 +96,29 @@ class PlanSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen span:\n$plan")
     assert(!plan.contains("BatchEvalPython"), "extraction left the JVM")
   }
+
+  test("q36 distribution ranks carry no single-task-sort window partition") {
+    // l_returnflag has 3 values: a window PARTITION BY on it alone sorts a
+    // third of the corpus in one task. distributionRanks must window only
+    // on (spark_partition_id, group) after a range partitioning, so every
+    // Window's partition spec in the executed plan mentions __pid.
+    val plan = executedPlan(
+      SparkEntry.queries("q36_window_distribution")(spark, dir))
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range partitioning pass:\n$plan")
+    // the only PER-ROW window is the local row_number, keyed by __pid (the
+    // offsets prefix sums window over the tiny per-slice counts table and
+    // may key by group alone — parts × |groups| rows, not corpus rows)
+    val rowNumberWindows = plan.linesIterator
+      .filter(_.contains("row_number")).toList
+    assert(rowNumberWindows.nonEmpty, s"no row_number window in plan:\n$plan")
+    rowNumberWindows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"row_number window without __pid (single-task-sort shape):\n$w")
+    }
+    Seq("ntile", "percent_rank", "cume_dist").foreach { f =>
+      assert(!plan.contains(f),
+        s"$f window survived — distribution fns must be arithmetic:\n$plan")
+    }
+  }
 }
