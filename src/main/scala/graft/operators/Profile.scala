@@ -142,6 +142,71 @@ object Profile {
       .selectExpr(group, "n", "round(mean / 100, 4) AS mean_price",
         s"$momentSkew AS skewness", s"$momentKurt AS kurtosis")
 
+  /** Certified mergeable-sketch quantiles: per-slice
+    * [[graft.functions.HdrSketch]] partials (the persisted increments of
+    * a 100 TB pipeline), merged by plain bucket-count addition, yielding
+    * quantile estimates that the query itself certifies two ways:
+    *
+    *  - `merge_ok`: the slice-merged sketch equals the whole-corpus
+    *    sketch bucket-for-bucket (the d11 exact-merge property, here for
+    *    quantiles);
+    *  - `within_bound`: each estimate is within the sketch's guaranteed
+    *    relative error of the EXACT rank-based quantile — an integer
+    *    inequality, `64·|est − exact| ≤ exact`.
+    *
+    * The exact arm uses [[Relational.distributionRanks]] (range-
+    * partitioned two-pass global ranks), so even the certificate is
+    * scale-safe — no global sort, no percentile over raw rows. The only
+    * single-task structures are the merged bucket table and the
+    * rank/probability tables, all constant-bounded (< 1 888 buckets for
+    * any long value, |ps| rows). Rank convention: the ⌈p·n/100⌉-th
+    * smallest (1-based) — integer-exact in both engines, no
+    * interpolation-formula ulp hazards. */
+  def certifiedQuantiles(li: DataFrame, ps: Seq[Int] = Seq(25, 50, 75, 95, 99),
+      slices: Int = 4): DataFrame = {
+    import li.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sb = graft.functions.HdrSketch.SubBuckets // 32
+    val cents = li.select(round(col("l_extendedprice") * 100).cast("long").as("v"),
+      pmod(col("l_orderkey"), lit(slices)).as("slice"))
+    val perSlice = cents.groupBy(col("slice"))
+      .agg(graft.functions.HdrSketch.sketch(col("v")).as("sk"))
+    val merged = perSlice.select(explode(col("sk")).as("e"))
+      .select(col("e._1").as("bucket"), col("e._2").as("cnt0"))
+      .groupBy(col("bucket")).agg(sum(col("cnt0")).as("cnt"))
+    val whole = cents.agg(graft.functions.HdrSketch.sketch(col("v")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1").as("bucket"), col("e._2").as("cnt2"))
+    val mergeOk = merged.join(whole, Seq("bucket"), "full")
+      .agg(min(when(col("cnt") === col("cnt2"), 1).otherwise(0)).as("merge_ok"))
+    val nDf = cents.agg(count(lit(1)).as("n"))
+    // constant-size tables from here down (≤ MaxBuckets rows)
+    val cum = merged.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    val ranks = ps.toDF("p").crossJoin(nDf)
+      .withColumn("rank", ceil(col("p") * col("n") / 100.0).cast("long"))
+      .select(col("p"), col("rank"))
+    val estExpr = expr(
+      s"""CASE WHEN bucket < ${2 * sb} THEN CAST(bucket AS BIGINT)
+         |ELSE shiftleft(CAST(bucket - ((bucket div $sb) - 1) * $sb AS BIGINT),
+         |       (bucket div $sb) - 1)
+         |     + shiftleft(CAST(1 AS BIGINT), (bucket div $sb) - 2) END""".stripMargin)
+    val pick = ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy(col("p"), col("rank")).agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_cents", estExpr)
+    val dr = Relational.distributionRanks(cents.select(col("v")), Seq.empty,
+        Seq(col("v")), ntiles = 2)
+      .select(col("v"), col("cume_n"))
+    val exact = ranks.join(dr, col("cume_n") === col("rank"))
+      .select(col("p").as("pe"), col("v").as("exact_cents"))
+    pick.join(exact, col("p") === col("pe"))
+      .crossJoin(mergeOk)
+      .select(col("p"), col("est_cents"), col("exact_cents"), col("merge_ok"),
+        when(abs(col("est_cents") - col("exact_cents")) * (2 * sb) <= col("exact_cents"), 1)
+          .otherwise(0).as("within_bound"))
+      .orderBy(col("p"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -231,6 +296,41 @@ object Profile {
              |FROM c, t
              |WHERE freq > 0.1 * n
              |ORDER BY k""".stripMargin)),
+
+    // ---- p07: certified mergeable-sketch quantiles ---------------------
+    // The oracle rebuilds the SAME HDR sketch in pure integer SQL
+    // (bit length via format('{:b}',v) — no ln/ceil ulp hazards), walks
+    // the same cumulative ranks, and computes the exact rank-based
+    // quantile; merge_ok / within_bound are literal 1 on the oracle side
+    // and EARNED on the Spark side (exact slice-merge property + the
+    // sketch's 2^-(SubBits+1) relative bound as an integer inequality).
+    Q("p07_quantile_sketch",
+      (s, dir) => certifiedQuantiles(Tables.load(s, dir, "lineitem")),
+      Some("""WITH cents AS (
+             |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+             |n AS (SELECT count(*) AS n FROM cents),
+             |bk AS (SELECT v,
+             |    CASE WHEN v < 64 THEN CAST(v AS INT)
+             |         ELSE CAST((length(format('{:b}', v)) - 1 - 5) * 32
+             |              + (v >> (length(format('{:b}', v)) - 1 - 5)) AS INT) END AS bucket
+             |  FROM cents),
+             |h AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+             |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+             |ps(p) AS (VALUES (25), (50), (75), (95), (99)),
+             |r AS (SELECT p, CAST(ceil(p * n / 100.0) AS BIGINT) AS rnk FROM ps, n),
+             |pick AS (SELECT p, rnk, min(bucket) AS bucket
+             |  FROM r JOIN c ON cum >= rnk GROUP BY p, rnk),
+             |est AS (SELECT p, rnk,
+             |    CASE WHEN bucket < 64 THEN CAST(bucket AS BIGINT)
+             |         ELSE CAST(((bucket - ((bucket // 32) - 1) * 32)
+             |              << ((bucket // 32) - 1))
+             |              + (1 << ((bucket // 32) - 2)) AS BIGINT) END AS est_cents
+             |  FROM pick),
+             |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM cents)
+             |SELECT e.p AS p, e.est_cents, k.v AS exact_cents,
+             |  1 AS merge_ok, 1 AS within_bound
+             |FROM est e JOIN ranked k ON k.r = e.rnk
+             |ORDER BY p""".stripMargin)),
 
     // ---- p06: distribution moments (skewness / kurtosis) ---------------
     // Exact HUGEINT power sums on the DuckDB side mirror Spark's
