@@ -105,6 +105,19 @@ object ScaleSmoke {
         Dedup.minhashLshPairs(d).filter(col("est_jaccard") >= 0.5).count()
       }
 
+      // d13 at 50k docs: the prefix+positional+length filters must keep
+      // the candidate count FAR under the n(n-1)/2 all-pairs bound — that
+      // ratio is the whole survival argument for an exact join at 100×
+      var d13Cands = -1L
+      timed("d13_prefix_jaccard_candidates") {
+        val (_, cand) = Dedup.prefixJaccardParts(d, minJaccard = 0.5)
+        d13Cands = cand.count(); d13Cands
+      }
+      timed("d13_prefix_jaccard_full") {
+        Dedup.prefixJaccardPairs(d, minJaccard = 0.5).count()
+      }
+      println(s"""{"step":"d13_selectivity","docs":$nDocs,"candidates":$d13Cands,"all_pairs_bound":${nDocs * (nDocs - 1) / 2},"candidate_fraction":${d13Cands.toDouble / (nDocs * (nDocs - 1) / 2)}}""")
+
       // d12 at 50k docs: the eval shingle set broadcasts; the corpus-side
       // stream must stay a single scan (shuffle = per-doc hit counts only)
       timed("d12_decontaminate") {
@@ -165,6 +178,17 @@ object ScaleSmoke {
         minlPathComponents
       }
       println(s"""{"step":"cc_path1M","star_rounds":$starRounds,"star_components":$pathComponents,"minlabel_rounds_budget":$minlRounds,"minlabel_components":$minlPathComponents}""")
+
+      // g11 k-core on the 5M-edge power-law graph: rounds = peeling depth
+      // (the inherent bound of simultaneous-removal semantics); each round
+      // only shrinks the edge set, so the logged rounds × per-round cost
+      // is the whole scale story
+      var kcoreRounds = 0
+      timed("g11_kcore_k3_5M") {
+        val (core, r) = GraphOps.kCore(e, k = 3)
+        kcoreRounds = r; core.count()
+      }
+      println(s"""{"step":"g11_kcore_rounds","rounds":$kcoreRounds}""")
 
       // Stateful threshold alerts at 20M events / ~1M users with a
       // power-law user distribution (hot user ≈ 10⁴ events): the

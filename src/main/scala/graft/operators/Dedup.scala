@@ -254,6 +254,32 @@ object Dedup {
     * The threshold test runs on the UNROUNDED ratio in both engines: the
     * prefix guarantee covers J ≥ t, not round(J) ≥ t. */
   def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val (arrs, cand) = prefixJaccardParts(docs, minJaccard)
+    // verify: attach the two sid-sorted long arrays (AQE broadcasts arrs
+    // when small; at corpus scale these are plain doc_id equi-shuffles) and
+    // merge-count in-row — graft_sorted_intersect is a codegen'd two-pointer
+    // over primitive longs (no per-pair hash set, no output array); the
+    // sort_array runs once per DOCUMENT, the merge once per candidate pair
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val byId = arrs.select(col("doc_id"), sort_array(col("arr")).as("arr"),
+      col("sz"))
+    cand
+      .join(byId.toDF("d1", "a1", "sz1"), "d1")
+      .join(byId.toDF("d2", "a2", "sz2"), "d2")
+      .withColumn("inter", call_function("graft_sorted_intersect",
+        col("a1"), col("a2")))
+      .select(col("d1"), col("d2"), (col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter"))).as("j"))
+      .filter(col("j") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** The candidate-generation half of [[prefixJaccardPairs]], split out so
+    * ScaleSmoke can measure the filter's selectivity (candidate pairs vs
+    * the n·(n−1)/2 all-pairs bound) without running the verify stage.
+    * Returns (per-doc rarest-first arrays, distinct candidate pairs). */
+  private[graft] def prefixJaccardParts(docs: DataFrame,
+      minJaccard: Double): (DataFrame, DataFrame) = {
     val t = minJaccard
     // Shingles are carried as xxhash64 longs from the source: Jaccard only
     // needs equality, and longs join/sort/intersect without string hashing
@@ -302,23 +328,7 @@ object Dedup {
           col("a.sz") >= lit(t) * col("b.sz") - lit(1e-9) &&
           least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    // verify: attach the two sid-sorted long arrays (AQE broadcasts arrs
-    // when small; at corpus scale these are plain doc_id equi-shuffles) and
-    // merge-count in-row — graft_sorted_intersect is a codegen'd two-pointer
-    // over primitive longs (no per-pair hash set, no output array); the
-    // sort_array runs once per DOCUMENT, the merge once per candidate pair
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val byId = arrs.select(col("doc_id"), sort_array(col("arr")).as("arr"),
-      col("sz"))
-    cand
-      .join(byId.toDF("d1", "a1", "sz1"), "d1")
-      .join(byId.toDF("d2", "a2", "sz2"), "d2")
-      .withColumn("inter", call_function("graft_sorted_intersect",
-        col("a1"), col("a2")))
-      .select(col("d1"), col("d2"), (col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter"))).as("j"))
-      .filter(col("j") >= minJaccard)
-      .select(col("d1"), col("d2"), round(col("j"), 4).as("jaccard"))
+    (arrs, cand)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `minCos` (computed in double,

@@ -896,5 +896,39 @@ object Relational {
              |  round(list_max(e), 4) AS max_val
              |FROM e
              |ORDER BY vec_id""".stripMargin)),
+
+    // ---- q39: write-path round trip (partitioned parquet sink) ---------
+    // The one registered query that exercises a SINK: project lineitem to
+    // exact integer cents, write it partitioned by l_returnflag (a
+    // directory per flag — the layout later reads prune on), read it
+    // back, and aggregate. The oracle aggregates the SOURCE table, so a
+    // hash match proves the write→read round trip is lossless, row- and
+    // value-exact — putting sources/Formats inside the driver gate
+    // instead of only FormatsSpec. The write lands under java.io.tmpdir
+    // with overwrite mode: re-runs (bench's warm runs) measure a full
+    // rewrite, not an append.
+    Q("q39_write_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_q39_roundtrip").toString
+        graft.sources.Formats.writeParquet(src, out,
+          partitionBy = Seq("l_returnflag"))
+        s.read.parquet(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("total_cents"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }
