@@ -207,6 +207,78 @@ object Profile {
       .orderBy(col("p"))
   }
 
+  // Shared HLL estimator text (p08) — the same string feeds Spark's expr
+  // and the DuckDB oracle. Every literal is CAST to DOUBLE explicitly:
+  // bare decimal literals parse as DECIMAL in both engines, with
+  // engine-specific scales — casting first makes the whole tree identical
+  // IEEE double arithmetic over the exact integer s_total. floor-then-cast
+  // because Spark's BIGINT cast truncates while DuckDB's rounds.
+  private[operators] def hllEstFormula(m: Int): String =
+    s"""CAST(floor(CAST(0.7213 AS DOUBLE) /
+       |  (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($m AS DOUBLE))
+       |  * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
+       |  * CAST(1099511627776 AS DOUBLE)
+       |  / CAST(s_total AS DOUBLE)) AS BIGINT)""".stripMargin
+
+  /** Certified mergeable distinct-count sketch — HyperLogLog (Flajolet et
+    * al. 2007) as a plain declarative aggregation, the distinct-count
+    * companion to [[certifiedQuantiles]] / the d11 MinHash pattern.
+    *
+    * The sketch is a 512-register table `bucket -> max(rho)` built from
+    * the engine-portable 32-bit base hash: bucket = top 9 hash bits,
+    * rho = leading-zero count of the remaining 23 bits + 1. No UDAF:
+    * registers are `groupBy(bucket).agg(max(rho))` — codegen'd,
+    * map-side-combined, and (because MAX is a commutative idempotent
+    * monoid) ORDER- and SLICING-INVARIANT, so per-slice register tables
+    * persisted by an incremental pipeline merge into exactly the
+    * whole-corpus registers. The query certifies both properties:
+    *
+    *  - `merge_ok`: slice-built registers merged by max == whole-corpus
+    *    registers, register-for-register (full outer join compare);
+    *  - `within_bound`: the HLL estimate is within 15% of the exact
+    *    distinct count — >3σ for m=512 (σ ≈ 1.04/√512 ≈ 4.6%) — as an
+    *    exact integer inequality.
+    *
+    * Everything before the single final estimate division is integer
+    * arithmetic: rho via the bit-length of the masked hash (string `bin`,
+    * no log2 ulp hazards), and the harmonic sum Σ2^-M_j is scaled by 2^40
+    * into an EXACT BIGINT (M_j ≤ 24, 512 terms ≤ 2^49), so the one
+    * float division is over identical integers in both engines with the
+    * shared [[hllEstFormula]] text. At 100 TB the register table is the
+    * persisted artifact: 512 rows per corpus slice, folded daily without
+    * re-reading old data. */
+  def certifiedDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
+      slices: Int = 4): DataFrame = {
+    val p = 9; val m = 1 << p; val w = 32 - p; val rhoMax = w + 1
+    val base = df.select(key.cast("string").as("k"))
+    val br = base
+      .select(col("k"), graft.functions.PortableHash.baseHash(col("k")).as("h"))
+      .select(
+        shiftright(col("h"), w).cast("int").as("bucket"),
+        col("h").bitwiseAND(lit((1L << w) - 1)).as("r"),
+        pmod(col("h"), lit(slices)).as("slice"))
+      .withColumn("rho",
+        when(col("r") === 0, rhoMax).otherwise(lit(rhoMax) - length(expr("bin(r)"))))
+    val whole = br.groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+    val merged = br.groupBy(col("slice"), col("bucket")).agg(max(col("rho")).as("ms"))
+      .groupBy(col("bucket")).agg(max(col("ms")).as("m2"))
+    val mergeOk = whole.join(merged, Seq("bucket"), "full")
+      .agg(min(when(col("m") === col("m2"), 1).otherwise(0)).as("merge_ok"))
+    val stats = whole.agg(
+      count(lit(1)).as("nonzero_registers"),
+      sum(col("m")).cast("long").as("register_sum"),
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 40 - m) AS BIGINT)")).as("s_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nonzero_registers")) * lit(1L << 40))
+    val exact = base.agg(countDistinct(col("k")).as("n_exact"))
+    stats.crossJoin(exact).crossJoin(mergeOk)
+      .withColumn("est_distinct", expr(hllEstFormula(m)))
+      .select(col("n_exact"), col("est_distinct"), col("nonzero_registers"),
+        col("register_sum"), col("merge_ok"),
+        when(abs(col("est_distinct") - col("n_exact")) * 100 <= lit(15) * col("n_exact"), 1)
+          .otherwise(0).as("within_bound"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -358,5 +430,42 @@ object Profile {
               |  $momentSkew AS skewness, $momentKurt AS kurtosis
               |FROM mo
               |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- p08: certified mergeable distinct-count sketch (HLL) ----------
+    // The oracle rebuilds the SAME 512 HLL registers in pure integer SQL
+    // from the portable md5 base hash (bit length via format('{:b}',r))
+    // and runs the identical shared estimator text over the identical
+    // exact BIGINT harmonic sum — so est_distinct, register_sum and
+    // nonzero_registers hash-match exactly. merge_ok is literal 1 on the
+    // oracle side and EARNED on the Spark side (slice-merge == whole,
+    // the d11 property for the max monoid); within_bound both sides
+    // derive as the same integer inequality vs the exact distinct count.
+    Q("p08_distinct_sketch",
+      (s, dir) => certifiedDistinct(Tables.load(s, dir, "lineitem"),
+        col("l_orderkey")),
+      Some(s"""WITH k AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+              |h AS (SELECT ${graft.functions.PortableHash.baseHashSql("k")} AS h FROM k),
+              |b AS (SELECT CAST(h >> 23 AS INT) AS bucket, h & 8388607 AS r FROM h),
+              |rr AS (SELECT bucket,
+              |    CASE WHEN r = 0 THEN 24
+              |         ELSE 24 - length(format('{:b}', r)) END AS rho
+              |  FROM b),
+              |regs AS (SELECT bucket, max(rho) AS m FROM rr GROUP BY bucket),
+              |st AS (SELECT CAST(count(*) AS BIGINT) AS nonzero_registers,
+              |    CAST(sum(m) AS BIGINT) AS register_sum,
+              |    CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_present
+              |  FROM regs),
+              |tot AS (SELECT nonzero_registers, register_sum,
+              |    s_present + (512 - nonzero_registers) * (1::BIGINT << 40) AS s_total
+              |  FROM st),
+              |ex AS (SELECT count(DISTINCT k) AS n_exact FROM k),
+              |est AS (SELECT n_exact, ${Profile.hllEstFormula(512)} AS est_distinct,
+              |    nonzero_registers, register_sum
+              |  FROM tot, ex)
+              |SELECT n_exact, est_distinct, nonzero_registers, register_sum,
+              |  1 AS merge_ok,
+              |  CASE WHEN abs(est_distinct - n_exact) * 100 <= 15 * n_exact
+              |       THEN 1 ELSE 0 END AS within_bound
+              |FROM est""".stripMargin)),
   )
 }
