@@ -930,5 +930,33 @@ object Relational {
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q40: salted skew join -----------------------------------------
+    // The hot-key JOIN mitigation as a driver-gated query (p04 covers the
+    // aggregation side): events (hot user_id, the key p03 profiles) join
+    // customer sharded over 8 deterministic event_id salts, the customer
+    // side replicated in-row per salt. Salting must be INVISIBLE — the
+    // oracle is the plain join. Summed value is integer cents (order-
+    // independent); PlanSpec pins the executed shape (salt-replicating
+    // Generate on the small side, join keys including the salt, no
+    // broadcast of the salted side).
+    Q("q40_salted_join",
+      (s, dir) => graft.functions.Skew.saltedJoin(
+          Tables.load(s, dir, "events")
+            .select(col("user_id"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          bigKey = col("user_id"), smallKey = col("c_custkey"),
+          unique = col("event_id"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
   )
 }

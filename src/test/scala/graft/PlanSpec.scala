@@ -56,6 +56,23 @@ class PlanSpec extends AnyFunSuite {
       s"bloom side should broadcast:\n$plan")
   }
 
+  test("q40 salted join shards the hot key: salt-replicating explode, salted join keys, no broadcast") {
+    val df = SparkEntry.queries("q40_salted_join")(spark, dir)
+    val plan = executedPlan(df)
+    // the small side must be replicated per salt in-row (a Generate/
+    // explode), the join must key on the salt alongside the equi key,
+    // and the salted side must NOT broadcast — a broadcast would mean
+    // the salt bought nothing and the hint was dropped
+    assert(plan.contains("Generate explode"),
+      s"no salt-replicating explode on the small side:\n$plan")
+    assert(plan.contains("_salt_"),
+      s"join does not carry the salt key:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash join on (key, salt):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted side broadcast — salting vanished:\n$plan")
+  }
+
   test("p04 salted aggregation runs two aggregation stages (salted partial, keyed merge)") {
     val df = SparkEntry.queries("p04_salted_agg")(spark, dir)
     val plan = executedPlan(df)
