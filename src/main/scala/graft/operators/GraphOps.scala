@@ -123,6 +123,43 @@ object GraphOps {
       .filter(col("cn") >= minCommon)
   }
 
+  /** Link-prediction scores for candidate pairs — the end product the
+    * reference's RGD pipeline feeds (README.md:16-26 ranks candidate
+    * links by shared-neighbor evidence). For each non-adjacent-or-not
+    * pair `u < v` with a common neighbor through a degree-capped center:
+    *
+    *  - `cn`: common-neighbor count (the g03/g09 score);
+    *  - `ra_micro`: resource-allocation index (Zhou et al. 2009),
+    *    Σ 1/deg(w), in exact micro-units — `1000000 div deg(w)` per
+    *    wedge, an integer;
+    *  - `aa_micro`: Adamic-Adar with the log discretized to the integer
+    *    bit length of deg(w) (the g08 trick: `length(bin(deg))` is
+    *    ⌊log₂⌋+1, identical in any engine) — Σ 1000000 div bitlen(deg).
+    *
+    * The float forms (1/ln deg) are NOT used: libm `ln` differs in the
+    * last ulp across engines and FP sums re-order across partitions;
+    * the integer surrogates rank near-identically and are bit-exact
+    * everywhere. Common neighbors always have deg ≥ 2, so no degenerate
+    * ln(1) term exists in either form. The wedge join is degree-capped
+    * like g09 (Σ min(deg,cap)² fan-out — the power-law survival bound);
+    * center degrees ride the wedge rows, so scoring adds zero joins. */
+  def linkPredictionScores(edges: DataFrame, maxDegree: Long,
+      minCommon: Long = 1): DataFrame = {
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+    val smallDeg = sym.groupBy(col("dst").as("w"))
+      .agg(count(lit(1)).as("deg")).filter(col("deg") <= maxDegree)
+    val capped = sym.join(broadcast(smallDeg), sym("dst") === smallDeg("w"))
+      .select(col("src"), col("w"), col("deg"))
+    val n1 = capped.toDF("u", "w", "deg")
+    val n2 = capped.select(col("src").as("v"), col("w").as("w2"))
+    n1.join(n2, col("w") === col("w2")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_micro"),
+        sum(expr("1000000 div length(bin(deg))")).as("aa_micro"))
+      .filter(col("cn") >= minCommon)
+  }
+
   /** Per-node triangle participation count — a single pass over the
     * triangle set (`explode` of the three corners), not three unioned
     * projections: exchange reuse cannot deduplicate the differing
@@ -449,6 +486,30 @@ object GraphOps {
               |      UNION ALL SELECT c FROM tri) x
               |GROUP BY node
               |ORDER BY node""".stripMargin)),
+
+    // ---- g12: link-prediction scores (the reference's end product) -----
+    // RGD ranks candidate links by shared-neighbor evidence; g12 emits
+    // the ranked scores: common-neighbor count plus the resource-
+    // allocation and bit-length-discretized Adamic-Adar indices, all as
+    // exact integer micro-units (no libm ln, no FP sum reordering — see
+    // linkPredictionScores scaladoc). Degree-capped wedge like g09, so
+    // the plan carries the same power-law fan-out bound.
+    Q("g12_link_prediction",
+      (s, dir) => linkPredictionScores(derivedEdges(s, dir), maxDegree = 8)
+        .orderBy(col("u"), col("v")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT dst AS w, count(*) AS deg FROM sym GROUP BY dst),
+              |small AS (SELECT s.src, s.dst, deg.deg FROM sym s
+              |          JOIN deg ON s.dst = deg.w WHERE deg.deg <= 8)
+              |SELECT n1.src AS u, n2.src AS v, count(*) AS cn,
+              |  CAST(sum(1000000 // n1.deg) AS BIGINT) AS ra_micro,
+              |  CAST(sum(1000000 // length(format('{:b}', n1.deg))) AS BIGINT) AS aa_micro
+              |FROM small n1 JOIN small n2 ON n1.dst = n2.dst
+              |WHERE n1.src < n2.src
+              |GROUP BY n1.src, n2.src
+              |ORDER BY u, v""".stripMargin)),
 
     // ---- g09: degree-capped common neighbors ---------------------------
     // The registered form of the hub mitigation: wedge centers above the

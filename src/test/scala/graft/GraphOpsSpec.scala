@@ -80,6 +80,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(cn === Map((1L, 3L) -> 2L, (2L, 4L) -> 2L))
   }
 
+  test("link prediction scores: exact integer RA and bit-length AA on known wedges") {
+    // square 1-2-3-4: pair (1,3) has centers 2 and 4, both degree 2 →
+    // cn=2, ra = 2·(10^6 div 2), aa = 2·(10^6 div bitlen(2)=2)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val scores = GraphOps.linkPredictionScores(edgesDF(sq), maxDegree = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(scores((1L, 3L)) === ((2L, 1000000L, 1000000L)))
+    assert(scores((2L, 4L)) === ((2L, 1000000L, 1000000L)))
+    // star hub 0 -> 1,2,3 with pendant 1-4: center 1 has degree 2 for
+    // pair (0,4); hub 0 (degree 3, bitlen 2) centers pairs among 1,2,3
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L))
+    val s2 = GraphOps.linkPredictionScores(edgesDF(star), maxDegree = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(s2((0L, 4L)) === ((1L, 500000L, 500000L)))
+    assert(s2((1L, 2L)) === ((1L, 333333L, 500000L)))
+    // degree cap drops hub-centered wedges entirely
+    val capped = GraphOps.linkPredictionScores(edgesDF(star), maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 4L)))
+  }
+
   test("node triangle counts on K4: every node in 3 triangles") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val counts = GraphOps.nodeTriangleCounts(edgesDF(k4))
