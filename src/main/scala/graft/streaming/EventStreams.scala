@@ -104,6 +104,84 @@ object EventStreams {
         }
   }
 
+  /** Row shape for the disorder audit's stateful path. */
+  final case class AEv(user_id: Long, event_id: Long, us: Long, arr: Long)
+  /** Per-user disorder state across micro-batches. */
+  final case class AuditState(maxUs: Long, n: Long, l1: Long, l10: Long,
+    l30: Long, maxDis: Long)
+  /** Per-user audit row (cumulative as of the last processed batch). */
+  final case class Audit(user_id: Long, n_events: Long, n_late_1m: Long,
+    n_late_10m: Long, n_late_30m: Long, max_disorder_s: Long)
+
+  /** Ingest-disorder audit — the watermark-SIZING operator: before you
+    * pick `withWatermark("ts", X)`, this measures how out-of-order the
+    * feed actually is, per key: for each event in arrival order, its
+    * disorder is how far its event time lags the maximum event time
+    * already seen for that user; the output counts events a 1m/10m/30m
+    * watermark would have dropped, plus the worst lag. Spark's own
+    * late-row drop is arrival-dependent and so unverifiable by a batch
+    * oracle; the audit is the deterministic ground truth those drops
+    * converge to under the same replay order.
+    *
+    * The fixture's `event_id` order IS its event-time order, so arrival
+    * is modeled as event time plus a deterministic ingest delay — the
+    * portable md5 hash of the event id, bounded below one hour (network
+    * jitter, not clock skew). Everything is integer micros; the oracle
+    * replays the identical permutation.
+    *
+    * Two execution paths, proven equal in StreamingSpec:
+    *  - batch (registered, oracle-gated): running `max(us)` over a
+    *    per-user arrival-ordered window — partitioned by user_id, so no
+    *    single-task sort at scale;
+    *  - streaming: `flatMapGroupsWithState`, state = (max event time,
+    *    counts); each micro-batch slice is sorted by arrival within the
+    *    group (bounded by the batch, as in [[thresholdAlerts]]) and
+    *    emits the refreshed cumulative audit row per touched user. */
+  def disorderAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val D1 = 60L * 1000000; val D10 = 600L * 1000000; val D30 = 1800L * 1000000
+    val us = unix_micros(col("ts"))
+    val evs = events.select(col("user_id"), col("event_id"), us.as("us"),
+      (us + pmod(graft.functions.PortableHash.baseHash(col("event_id").cast("string")),
+        lit(3600L)) * 1000000L).as("arr"))
+
+    def fold(st: AuditState, e: AEv): AuditState = {
+      val dis = if (st.n > 0 && st.maxUs > e.us) st.maxUs - e.us else 0L
+      AuditState(math.max(st.maxUs, e.us), st.n + 1,
+        st.l1 + (if (dis > D1) 1 else 0), st.l10 + (if (dis > D10) 1 else 0),
+        st.l30 + (if (dis > D30) 1 else 0), math.max(st.maxDis, dis))
+    }
+
+    if (events.isStreaming)
+      evs.as[AEv].groupByKey(_.user_id)
+        .flatMapGroupsWithState[AuditState, Audit](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (user, it, state: GroupState[AuditState]) =>
+            val prior = state.getOption.getOrElse(AuditState(Long.MinValue, 0, 0, 0, 0, 0))
+            val next = it.toSeq.sortBy(e => (e.arr, e.event_id)).foldLeft(prior)(fold)
+            state.update(next)
+            Iterator.single(Audit(user, next.n, next.l1, next.l10, next.l30,
+              next.maxDis / 1000000L))
+        }.toDF()
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      evs.withColumn("pm", max(col("us")).over(w))
+        .withColumn("dis",
+          when(col("pm").isNull || col("pm") < col("us"), 0L)
+            .otherwise(col("pm") - col("us")))
+        .groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_events"),
+          sum((col("dis") > D1).cast("long")).as("n_late_1m"),
+          sum((col("dis") > D10).cast("long")).as("n_late_10m"),
+          sum((col("dis") > D30).cast("long")).as("n_late_30m"),
+          expr("max(dis) div 1000000").as("max_disorder_s"))
+    }
+  }
+
   /** Tumbling 1-hour windows per event type. Works on batch or stream;
     * streaming callers add `.withWatermark("ts", ...)` upstream. */
   def hourlyByType(events: DataFrame): DataFrame =
@@ -271,6 +349,33 @@ object EventStreams {
              |SELECT user_id, event_id, ms, round(cum, 2) AS cum
              |FROM crossed WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- st10: ingest-disorder audit (watermark sizing) ----------------
+    // The oracle replays the identical deterministic arrival permutation
+    // (event time + bounded md5 ingest delay) and computes the same
+    // per-user running-max disorder in integer micros.
+    Q("st10_disorder_audit",
+      (s, dir) => disorderAudit(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+              |    epoch_us(ts)
+              |      + (${graft.functions.PortableHash.baseHashSql("CAST(event_id AS VARCHAR)")}
+              |         % 3600) * 1000000 AS arr
+              |  FROM events),
+              |w AS (SELECT user_id, us,
+              |    max(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+              |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              |  FROM x),
+              |d AS (SELECT user_id,
+              |    CASE WHEN pm IS NULL OR pm < us THEN 0 ELSE pm - us END AS dis
+              |  FROM w)
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              |  CAST(sum(CASE WHEN dis > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+              |  CAST(sum(CASE WHEN dis > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+              |  CAST(sum(CASE WHEN dis > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30m,
+              |  CAST(max(dis) // 1000000 AS BIGINT) AS max_disorder_s
+              |FROM d GROUP BY user_id
+              |ORDER BY user_id""".stripMargin)),
 
     // ---- st03: as-of join (latest prior click per purchase) ------------
     Q("st03_asof_join",

@@ -99,6 +99,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming disorder audit == batch (stateful fold == declarative window)") {
+    // two genuinely different formulations — flatMapGroupsWithState fold
+    // vs running-max window + aggregation — must agree exactly
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.disorderAudit(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("audit_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("audit_out")
+      .orderBy(col("user_id")).collect().map(_.toSeq)
+    val batch = EventStreams.disorderAudit(Tables.load(spark, dir, "events"))
+      .orderBy(col("user_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
