@@ -308,6 +308,45 @@ object TextOps {
               |GROUP BY doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- t11: unigram surprisal (LM-ish quality signal) ----------------
+    // Mean per-token surprisal under the corpus's own unigram model —
+    // documents full of rare-token soup score high, natural prose low:
+    // the cheap language-model-quality filter a pretraining pipeline
+    // runs before anything transformer-shaped. Surprisal is discretized
+    // to the integer bit length of (corpus_tokens div token_freq) — the
+    // g12/g08 trick: ⌊log₂⌋+1 with no libm ln and no FP sum reordering,
+    // so per-doc sums are exact integers in any engine. Plan shape: one
+    // token explode, one frequency aggregation, one equi-join back on
+    // term (at 100 TB: broadcast the Zipf head of the frequency table
+    // and shuffle only the long tail), one per-doc aggregation.
+    Q("t11_unigram_surprisal",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val nn = freq.agg(sum(col("freq")).as("n_corpus"))
+        toks.join(freq, "term").crossJoin(broadcast(nn))
+          .withColumn("bits", length(expr("bin(n_corpus div freq)")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("bits")).as("sum_bits"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+            expr("sum_bits * 1000 div n_tokens").as("mean_millibits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+              |freq AS (SELECT term, count(*) AS freq FROM tk GROUP BY term),
+              |nn AS (SELECT CAST(sum(freq) AS BIGINT) AS n_corpus FROM freq)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(sum(length(format('{:b}', n_corpus // freq))) AS BIGINT) AS sum_bits,
+              |  CAST(sum(length(format('{:b}', n_corpus // freq))) * 1000
+              |       // count(*) AS BIGINT) AS mean_millibits
+              |FROM tk JOIN freq USING (term), nn
+              |GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- d10: importance sampling by quality score ---------------------
     // Keep a document with probability proportional to its quality score
     // — deterministic (content-hash threshold, like d06/d07), so the

@@ -48,7 +48,7 @@ class QueriesSpec extends AnyFunSuite {
     "st08_funnel", "st10_disorder_audit",
     "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
     "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage",
-    "t09_repetition", "t10_pack_sequences")
+    "t09_repetition", "t10_pack_sequences", "t11_unigram_surprisal")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {
