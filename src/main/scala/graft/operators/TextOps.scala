@@ -325,7 +325,13 @@ object TextOps {
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
         val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
-        val nn = freq.agg(sum(col("freq")).as("n_corpus"))
+        // total token count from a per-row size(), NOT sum(freq): deriving
+        // it from `freq` duplicates the whole explode+shuffle subtree in
+        // the plan (no exchange reuse across the differing aggregates) —
+        // this form is one scalar scan with no explode and no shuffle
+        val nn = Tables.load(s, dir, "documents")
+          .agg(sum(size(array_remove(TextFns.tokens(col("text")), "")))
+            .as("n_corpus"))
         toks.join(freq, "term").crossJoin(broadcast(nn))
           .withColumn("bits", length(expr("bin(n_corpus div freq)")))
           .groupBy(col("doc_id"))
