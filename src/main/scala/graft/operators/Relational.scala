@@ -958,5 +958,39 @@ object Relational {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- q41: bucketed co-located join ---------------------------------
+    // The exchange-elision layout inside the correctness gate (q39 put
+    // plain writes there; FormatsSpec alone pinned bucketing until now):
+    // both fact tables are written bucketed+sorted on the join key, so
+    // the subsequent join reads co-located buckets and the executed plan
+    // carries NO shuffle on either side (PlanSpec pins it). This is the
+    // layout decision that turns every repeated fact-to-fact join at
+    // 100 TB from a shuffle into a local merge. The oracle is the same
+    // join over the source tables — bucketing must be result-invisible.
+    Q("q41_bucketed_join",
+      (s, dir) => {
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_q41").toString
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"))
+        graft.sources.Formats.writeBucketedAt(li, s"$base/li", "q41_li",
+          Seq("l_orderkey"), buckets = 8)
+        graft.sources.Formats.writeBucketedAt(ord, s"$base/ord", "q41_ord",
+          Seq("o_orderkey"), buckets = 8)
+        s.table("q41_li")
+          .join(s.table("q41_ord"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
   )
 }

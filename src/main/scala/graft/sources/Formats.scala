@@ -67,4 +67,20 @@ object Formats {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Bucketed write at an explicit path (external table): same bucket
+    * metadata in the catalog, but the files land under `path` instead of
+    * the session warehouse — what a registered query uses so repeated
+    * runs overwrite one tmp location. */
+  def writeBucketedAt(df: DataFrame, path: String, table: String,
+      bucketCols: Seq[String], buckets: Int): Unit = {
+    // overwrite of an external table keeps stale files if the table is
+    // dropped first by a failed run — drop THEN write is idempotent
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

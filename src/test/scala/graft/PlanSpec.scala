@@ -73,6 +73,31 @@ class PlanSpec extends AnyFunSuite {
       s"salted side broadcast — salting vanished:\n$plan")
   }
 
+  test("q41 bucketed join reads co-located buckets — no exchange on either join side") {
+    // at fixture scale the dimension fits the broadcast threshold and the
+    // bucket layout never gets to prove itself — disable broadcast so the
+    // plan shows the shape the layout buys at 100 TB (where neither fact
+    // side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q41_bucketed_join")(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") && plan.contains("SelectedBucketsCount"),
+        s"scans are not bucketed:\n$plan")
+      // bucketed layout supplies the join partitioning: no exchange may
+      // key on either join column (the 5-group aggregation above the
+      // join legitimately shuffles on o_orderpriority)
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join over bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles a side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    }
+  }
+
   test("p04 salted aggregation runs two aggregation stages (salted partial, keyed merge)") {
     val df = SparkEntry.queries("p04_salted_agg")(spark, dir)
     val plan = executedPlan(df)
