@@ -177,6 +177,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: int8 stage-1 scan + exact float re-rank — the
+    * memory-bandwidth design for a RAM-resident 100 TB index (SCANN /
+    * IVF-PQ shape): stage 1 scans only the 4×-smaller [[quantizeInt8]]
+    * vectors (plus two per-vector scalars, scale and norm, stored with
+    * the index) and keeps `k·candMult` candidates per query; stage 2
+    * re-fetches full floats BY KEY for candidates only and re-ranks with
+    * exact cosine. The candidate fetch is an equi-join on vec_id — at
+    * scale the float table never scans.
+    *
+    * Portability: the stage-1 integer dot is EXACT in any engine
+    * (|q|≤127, dim 64 → |dot| < 2^21); the scale/norm adjustment is one
+    * shared-order double expression rounded to 6dp, the same convention
+    * as every ranking here. */
+  def quantizedRerank(emb: DataFrame, queries: DataFrame, k: Int,
+      candMult: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val floats = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+    val qt = quantizeInt8(emb)
+    val index = qt.join(floats.select(col("vec_id"), col("nrm")), "vec_id")
+    val qids = queries.select(col("vec_id").as("qid"))
+    val qv = qt.join(floats, "vec_id")
+      .join(broadcast(qids), col("vec_id") === col("qid"), "left_semi")
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("scale").as("qscale"), col("nrm").as("qnrm"), col("e").as("qe"))
+    val intdot = aggregate(
+      zip_with(col("qq"), col("q"), (x, y) => (x * y).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("s1").desc, col("vec_id"))
+    val cands = index
+      .join(broadcast(qv.select(col("qid"), col("qq"), col("qscale"), col("qnrm"))),
+        col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(intdot * col("qscale") * col("scale") / (col("qnrm") * col("nrm")), 6)
+          .as("s1"))
+      .withColumn("s1rank", row_number().over(w1))
+      .filter(col("s1rank") <= k * candMult)
+      .select(col("qid"), col("vec_id"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cands.join(floats, "vec_id")
+      .join(broadcast(qv.select(col("qid"), col("qe"),
+        col("qnrm").as("qn"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-vector max-abs int8 quantization: q_i = floor(e_i·127/‖e‖∞),
     * plus the scale needed to dequantize. The 4× size cut is the standard
     * first step before shipping embeddings to an ANN index at corpus
@@ -313,6 +361,48 @@ object Similarity {
     // Checked as scale + integer checksum + leading lanes: the quantized
     // values are exact integers in both engines (same floor over the same
     // double ops), so the checksum pins the whole vector.
+    // ---- s06: int8 stage-1 scan + exact re-rank ------------------------
+    // The oracle replays the full two-stage pipeline: identical integer
+    // quantization and integer stage-1 dots, identical shared-order
+    // 6dp-rounded adjustment, identical candidate cut, exact re-rank.
+    Q("s06_quantized_rerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        quantizedRerank(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+             |m AS (SELECT vec_id, e,
+             |        greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS mx
+             |      FROM e),
+             |qt AS (SELECT vec_id, round(mx, 6) AS scale,
+             |        list_transform(e, x -> CAST(floor(x * 127 / mx) AS INT)) AS q
+             |      FROM m),
+             |ix AS (SELECT qt.vec_id, qt.scale, qt.q, f.nrm
+             |       FROM qt JOIN f ON qt.vec_id = f.vec_id),
+             |qv AS (SELECT vec_id AS qid, q AS qq, scale AS qscale, nrm AS qnrm
+             |       FROM ix WHERE vec_id < 5),
+             |s1 AS (SELECT qid, ix.vec_id,
+             |    round(CAST(list_dot_product(qq, ix.q) AS DOUBLE)
+             |          * qscale * ix.scale / (qnrm * ix.nrm), 6) AS s1
+             |  FROM ix CROSS JOIN qv WHERE qid <> ix.vec_id),
+             |cand AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY s1 DESC, vec_id) AS r
+             |    FROM s1) WHERE r <= 40),
+             |qe AS (SELECT f.vec_id AS qid, f.e AS qe, f.nrm AS qn
+             |       FROM f WHERE f.vec_id < 5),
+             |rr AS (SELECT c.qid, c.vec_id,
+             |    round(list_dot_product(qe.qe, f.e) / (qe.qn * f.nrm), 6) AS cos
+             |  FROM cand c JOIN f ON c.vec_id = f.vec_id
+             |  JOIN qe ON c.qid = qe.qid)
+             |SELECT qid, vec_id, cos,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+             |FROM rr
+             |QUALIFY rank <= 10
+             |ORDER BY qid, rank""".stripMargin)),
+
     Q("s04_quantize_int8",
       (s, dir) => quantizeInt8(Tables.load(s, dir, "embeddings"))
         .select(col("vec_id"), col("scale"),

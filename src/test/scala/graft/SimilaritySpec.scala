@@ -40,6 +40,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(curve.forall(_._2 < 0.8))
   }
 
+  test("int8 rerank recall@10 >= 0.95: stage-1 quantization barely perturbs the candidate cut") {
+    // the re-rank stage scores candidates with EXACT cosine, so any miss
+    // can only come from a true top-10 neighbor falling outside the
+    // stage-1 top-40 int8 cut — with 7-bit quantization that should be
+    // near-lossless, unlike the LSH paths whose recall is structural
+    val r = recall(topkSet(Similarity.quantizedRerank(emb, queries, k)))
+    info(s"int8-rerank recall@10 (candMult=4): $r")
+    assert(r >= 0.95, s"recall $r below target")
+  }
+
   test("multi-table recall@10 >= 0.8 at the registered s03 setting (4 planes x 16 tables)") {
     val r = recall(topkSet(Similarity.lshTopKMulti(emb, queries, k, planes = 4, tables = 16)))
     info(s"multi-table recall@10 (planes=4, tables=16): $r")
