@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, GraphOps, Similarity}
+import graft.operators.{Dedup, GraphOps, Profile, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,23 @@ object ScaleSmoke {
         val n = Similarity.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 10),
           k = 10, nlist = 64, nprobe = 4).count()
         bigEmb.unpersist(); n
+      }
+
+      // p08 HLL registers over 20M keys (~1300x the sf0.01 gate): the
+      // persisted artifact is <= 512 rows, so shuffle must stay KB-scale
+      // no matter the corpus — the corpus-stationary evidence d12/d09/s05
+      // carry, here for the distinct-count sketch
+      timed("p08_hll_registers_20M") {
+        Profile.hllRegisters(
+          spark.range(20000000L).select((col("id") % 3000000L).as("k")),
+          col("k")).count()
+      }
+
+      // g12 link-prediction scores at 5M edges under the same cap g03
+      // uses: scoring rides the capped wedge rows (zero extra joins), so
+      // its cost must track g03's, not exceed it
+      timed("g12_link_prediction_5M") {
+        GraphOps.linkPredictionScores(e, maxDegree = 64, minCommon = 2).count()
       }
 
       // Connected components, both algorithms. The power-law graph is

@@ -113,26 +113,64 @@ object Dedup {
     * value is engine-portable). The signature array rides through the
     * band self-join, so the estimate is computed in-row on candidate
     * pairs — no extra joins back to the signature table. */
-  def minhashLshPairs(docs: DataFrame, bands: Int = 8): DataFrame = {
+  /** Band table of a document set: one (doc_id, sig, band, bkey) row per
+    * band, the signature array riding along so candidate pairs score
+    * in-row. This IS the persisted LSH index of an incremental pipeline:
+    * appending a day's documents appends their band rows. */
+  private def bandTable(docs: DataFrame, bands: Int): DataFrame = {
     val rows = K / bands
     val sig = minhashSignature(docs)
       .select(col("doc_id"), array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
-    val bandsDf = sig.select(col("doc_id"), col("sig"), explode(array(
+    sig.select(col("doc_id"), col("sig"), explode(array(
         (0 until bands).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws(",", (0 until rows).map(r =>
               element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as("bkey"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Signature-estimated Jaccard of two signature arrays (exact multiple
+    * of 1/K — engine-portable). */
+  private def estJaccard(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / K, 4)
+
+  def minhashLshPairs(docs: DataFrame, bands: Int = 8): DataFrame = {
+    val bandsDf = bandTable(docs, bands)
     bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        round(
-          aggregate(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") / K, 4).as("est_jaccard"))
+        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Incremental dedup: candidate pairs where at least one side is in the
+    * NEW batch — new-vs-corpus probes plus new-vs-new self-pairs, never
+    * corpus-vs-corpus (history already deduped; re-pairing it is the
+    * quadratic cost an incremental pipeline exists to avoid). The batch's
+    * band table BROADCASTS, so the corpus-side index — the persisted,
+    * append-only artifact ([[bandTable]]) — is probed in place: never
+    * shuffled, and at 100 TB never rebuilt (here it is derived inline
+    * because a registered query owns no cross-run state). Result ==
+    * `minhashLshPairs(corpus ∪ batch)` minus its old-old pairs, which is
+    * exactly what the oracle checks. */
+  def incrementalLshPairs(corpus: DataFrame, batch: DataFrame,
+      bands: Int = 8): DataFrame = {
+    val cb = bandTable(corpus, bands)
+    val nb = bandTable(batch, bands)
+    val newVsCorpus = cb.as("a").join(broadcast(nb.as("b")),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+    val newVsNew = nb.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+    newVsCorpus.unionByName(newVsNew).distinct()
   }
 
   /** Near-duplicate clusters: LSH candidate pairs above an estimated
@@ -400,6 +438,39 @@ object Dedup {
                 |FROM pairs
                 |JOIN sig sa ON sa.doc_id = d1
                 |JOIN sig sb ON sb.doc_id = d2
+                |ORDER BY d1, d2""".stripMargin)
+      }),
+
+    // ---- d14: incremental dedup (new batch vs corpus index) ------------
+    // Batch = every 10th doc; corpus = the rest. The oracle computes the
+    // FULL d02 pair set and keeps only pairs touching the batch — the
+    // green row machine-checks that probing the index incrementally loses
+    // nothing vs re-pairing the whole corpus (and the plan never forms
+    // the old-old quadrant).
+    Q("d14_incremental_dedup", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        incrementalLshPairs(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .orderBy(col("d1"), col("d2"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        val matchSum = (0 until K)
+          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects),
+                |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                |          FROM bands a JOIN bands b
+                |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+                |SELECT d1, d2, round(($matchSum) / ${K}.0, 4) AS est_jaccard
+                |FROM pairs
+                |JOIN sig sa ON sa.doc_id = d1
+                |JOIN sig sb ON sb.doc_id = d2
+                |WHERE d1 % 10 = 0 OR d2 % 10 = 0
                 |ORDER BY d1, d2""".stripMargin)
       }),
 

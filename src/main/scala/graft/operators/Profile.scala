@@ -247,11 +247,12 @@ object Profile {
     * shared [[hllEstFormula]] text. At 100 TB the register table is the
     * persisted artifact: 512 rows per corpus slice, folded daily without
     * re-reading old data. */
-  def certifiedDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
-      slices: Int = 4): DataFrame = {
-    val p = 9; val m = 1 << p; val w = 32 - p; val rhoMax = w + 1
-    val base = df.select(key.cast("string").as("k"))
-    val br = base
+  /** (bucket, rho, slice) rows for the HLL register build — the per-event
+    * stream a register table aggregates. p = 9 bucket bits, 23-bit rho
+    * domain, rho via string bit length (engine-portable, no log2). */
+  def hllBucketRho(keyed: DataFrame, slices: Int): DataFrame = {
+    val p = 9; val w = 32 - p; val rhoMax = w + 1
+    keyed
       .select(col("k"), graft.functions.PortableHash.baseHash(col("k")).as("h"))
       .select(
         shiftright(col("h"), w).cast("int").as("bucket"),
@@ -259,6 +260,22 @@ object Profile {
         pmod(col("h"), lit(slices)).as("slice"))
       .withColumn("rho",
         when(col("r") === 0, rhoMax).otherwise(lit(rhoMax) - length(expr("bin(r)"))))
+  }
+
+  /** The HLL register table of a key column: `bucket -> max(rho)`, at most
+    * 512 rows — the artifact an incremental 100 TB pipeline PERSISTS per
+    * corpus slice and folds by elementwise max. One map-side-combined
+    * aggregation; shuffle is bounded by 512 rows per upstream partition
+    * regardless of corpus size. */
+  def hllRegisters(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    hllBucketRho(df.select(key.cast("string").as("k")), slices = 1)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+
+  def certifiedDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
+      slices: Int = 4): DataFrame = {
+    val m = 1 << 9
+    val base = df.select(key.cast("string").as("k"))
+    val br = hllBucketRho(base, slices)
     val whole = br.groupBy(col("bucket")).agg(max(col("rho")).as("m"))
     val merged = br.groupBy(col("slice"), col("bucket")).agg(max(col("rho")).as("ms"))
       .groupBy(col("bucket")).agg(max(col("ms")).as("m2"))

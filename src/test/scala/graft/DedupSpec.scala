@@ -152,6 +152,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental LSH == full pair set minus old-old, for any batch split") {
+    // duplicate-heavy corpus: every 4th doc repeats text of doc_id-1, so
+    // pairs exist inside and across any split
+    val rows = (0 until 40).map { i =>
+      val t = if (i % 4 == 1) s"the quick brown fox ${i - 1} jumps over it"
+              else s"the quick brown fox $i jumps over it"
+      (i.toLong, t, "en")
+    }
+    val all = rows.toDF("doc_id", "text", "lang")
+    val full = Dedup.minhashLshPairs(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (mod <- Seq(2, 5, 10)) {
+      val corpus = all.filter(col("doc_id") % mod =!= 0)
+      val batch = all.filter(col("doc_id") % mod === 0)
+      val inc = Dedup.incrementalLshPairs(corpus, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = full.filter { case (d1, d2, _) =>
+        d1 % mod == 0 || d2 % mod == 0 }
+      assert(inc === expected, s"batch = ids % $mod == 0")
+    }
+  }
+
   test("dupClusters: transitive closure over near-dup pairs, singletons keep own id") {
     // A==B and B==C near-dups but A,C in different bands would still
     // cluster transitively; here identical texts guarantee the pairs

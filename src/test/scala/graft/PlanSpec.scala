@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 probes the corpus index with a broadcast batch — corpus bands never shuffle for the join") {
+    val df = SparkEntry.queries("d14_incremental_dedup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the index build's own signature aggregation legitimately shuffles
+    // on doc_id; the PROBE must broadcast the batch side — a sort-merge
+    // or shuffled-hash join on (band, bkey) would re-shuffle the whole
+    // persisted index per daily batch at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side should broadcast into the index probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"index probe re-shuffles the corpus bands:\n$plan")
+  }
+
   test("p04 salted aggregation runs two aggregation stages (salted partial, keyed merge)") {
     val df = SparkEntry.queries("p04_salted_agg")(spark, dir)
     val plan = executedPlan(df)

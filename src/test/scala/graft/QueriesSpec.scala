@@ -33,6 +33,7 @@ class QueriesSpec extends AnyFunSuite {
     "d05_embedding_neardup", "d06_content_sample", "d07_stratified_sample",
     "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
     "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
+    "d14_incremental_dedup",
     "g05_adjacency", "g06_pagerank", "g07_components", "g11_kcore",
     "g12_link_prediction",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
