@@ -959,6 +959,43 @@ object Relational {
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
 
+    // ---- q42: CDC upsert (apply a changes batch to a base table) -------
+    // The merge shape every dimension table at 100 TB lives by: updated
+    // rows replace their base versions, new rows append — as a broadcast
+    // LEFT ANTI join (base never shuffles; the changes batch is the small
+    // side by construction) plus a union. Updates = every 7th customer
+    // with a re-stated balance; inserts = suppliers re-keyed into the
+    // customer id space. Oracle is the NOT IN + UNION ALL formulation.
+    Q("q42_upsert",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), round(col("c_acctbal") * 100).cast("long").as("acct_cents"))
+        val updates = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("acct_cents") + 10000L).as("acct_cents"))
+        val inserts = t(s, dir, "supplier").select(
+          (col("s_suppkey") + 900000L).as("c_custkey"), col("s_name").as("c_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acct_cents"))
+        val changes = updates.unionByName(inserts)
+        base.join(broadcast(changes), Seq("c_custkey"), "left_anti")
+          .unionByName(changes)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents FROM customer),
+             |changes AS (
+             |  SELECT c_custkey, c_name, acct_cents + 10000 AS acct_cents
+             |  FROM base WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT s_suppkey + 900000, s_name,
+             |    CAST(round(s_acctbal * 100) AS BIGINT)
+             |  FROM supplier)
+             |SELECT * FROM (
+             |  SELECT * FROM base
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+             |  UNION ALL SELECT * FROM changes)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- q41: bucketed co-located join ---------------------------------
     // The exchange-elision layout inside the correctness gate (q39 put
     // plain writes there; FormatsSpec alone pinned bucketing until now):
