@@ -406,6 +406,45 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
+  /** Personalized PageRank from a deterministic seed set — the
+    * graph-feature sibling of [[pageRankPpb]] (proximity TO the seeds
+    * rather than global centrality; the standard random-walk feature for
+    * link prediction and graph-based retrieval). Same parts-per-billion
+    * integer fixed point, so results are bit-identical at any parallelism
+    * and in any engine; the teleport mass returns to the SEEDS, not to
+    * every node.
+    *
+    * Scale shape: the rank vector starts SPARSE (seeds only) and only
+    * ever contains nodes within `iters` hops of a seed — each round is
+    * one join keyed on the rank frontier, so early iterations touch a
+    * neighborhood, not the graph (the global variant pays the full n
+    * every round). Rows whose integer contributions truncate to 0 are
+    * carried, not dropped — the oracle's unrolled algebra keeps them and
+    * bit-parity is the contract. */
+  def personalizedPageRankPpb(edges: DataFrame, seedMod: Long = 100,
+      iters: Int = 3): DataFrame = {
+    val SCALE = 1000000000L
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val seeds = deg.select(col("src").as("node"))
+      .filter(pmod(col("node"), lit(seedMod)) === 0).persist()
+    val nSeeds = seeds.count()
+    var ranks = seeds.select(col("node"), lit(SCALE / nSeeds).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(ranks, sym("src") === ranks("node"))
+        .join(deg, sym("src") === deg("src"))
+        .select(sym("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      val tele = seeds.select(col("node"), lit(SCALE * 15 / 100 / nSeeds).as("t"))
+      ranks = contrib.join(tele, Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("t"), lit(0L)) +
+            expr("85 * coalesce(cs, CAST(0 AS BIGINT)) div 100")).as("r"))
+    }
+    sym.unpersist(); deg.unpersist(); seeds.unpersist()
+    ranks.select(col("node"), col("r").as("rank_ppb"))
+  }
+
   // ---- driver queries over a graph derived from the fixture corpus -----
   // The sf dirs carry no edge table, so the oracle-checked graph queries
   // derive a deterministic graph from lineitem: one edge per order's first
@@ -654,6 +693,36 @@ object GraphOps {
            |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
            |nn AS (SELECT count(*) AS n FROM deg),
            |r0 AS (SELECT src AS node, 1000000000 // n AS r FROM deg, nn),
+           |$iterSql
+           |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3
+           |ORDER BY node""".stripMargin
+      }),
+
+    // ---- g13: personalized PageRank (seeded proximity) -----------------
+    // Seeds = nodes ≡ 0 (mod 100). The oracle unrolls the same integer
+    // fixed point with the teleport FULL JOIN per iteration; // and div
+    // agree (nonneg operands), so ranks hash-match bit-for-bit.
+    Q("g13_personalized_pagerank",
+      (s, dir) => personalizedPageRankPpb(derivedEdges(s, dir), seedMod = 100,
+          iters = 3)
+        .orderBy(col("node")),
+      Some {
+        val iterSql = (1 to 3).map { i =>
+          s"""c$i AS (SELECT s.dst AS node, sum(r.r // d.deg) AS cs
+             |     FROM sym s JOIN r${i - 1} r ON s.src = r.node
+             |     JOIN deg d ON s.src = d.src GROUP BY s.dst),
+             |r$i AS (SELECT coalesce(c.node, t.node) AS node,
+             |     (CASE WHEN t.node IS NOT NULL THEN 150000000 // n ELSE 0 END)
+             |       + 85 * coalesce(c.cs, 0) // 100 AS r
+             |     FROM c$i c FULL JOIN seeds t ON c.node = t.node, ns)""".stripMargin
+        }.mkString(",\n")
+        s"""$derivedSql,
+           |sym AS (SELECT u AS src, v AS dst FROM canon
+           |        UNION ALL SELECT v, u FROM canon),
+           |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+           |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 100 = 0),
+           |ns AS (SELECT count(*) AS n FROM seeds),
+           |r0 AS (SELECT node, 1000000000 // n AS r FROM seeds, ns),
            |$iterSql
            |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3
            |ORDER BY node""".stripMargin

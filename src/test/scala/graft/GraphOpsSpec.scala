@@ -175,6 +175,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(total > 900000000L && total <= 1000000000L)
   }
 
+  test("personalized PageRank: sparse frontier grows one hop per round, mass stays near the seed") {
+    // path 0-1-2-...-9, seed = node 0 (the only node ≡ 0 mod 100):
+    // after 3 rounds only nodes within 3 hops of the seed hold rank
+    val path = edgesDF((0L to 8L).map(i => (i, i + 1)))
+    val one = GraphOps.personalizedPageRankPpb(path, seedMod = 100, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one.keySet === Set(0L, 1L), s"1-round frontier: $one")
+    val ppr = GraphOps.personalizedPageRankPpb(path, seedMod = 100, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ppr.keySet === Set(0L, 1L, 2L, 3L), s"3-round frontier: $ppr")
+    // per-round ranks oscillate with walk parity on a path, so no
+    // per-node monotonicity — but the seed's 1-hop ball must hold the
+    // bulk of the mass, and everything reachable holds some
+    assert(ppr.values.forall(_ > 0))
+    assert(ppr(0L) + ppr(1L) > 3L * (ppr(2L) + ppr(3L)),
+      s"mass should concentrate within one hop of the seed: $ppr")
+  }
+
   test("kCore: peels pendants and chains; K4 is its own 3-core") {
     // K4 with a pendant chain hanging off node 0: 3-core = exactly K4,
     // and the chain peels one layer per round (peeling depth > 1)

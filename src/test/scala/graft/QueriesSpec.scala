@@ -35,7 +35,7 @@ class QueriesSpec extends AnyFunSuite {
     "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
     "d14_incremental_dedup",
     "g05_adjacency", "g06_pagerank", "g07_components", "g11_kcore",
-    "g12_link_prediction",
+    "g12_link_prediction", "g13_personalized_pagerank",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
     "p08_distinct_sketch",
