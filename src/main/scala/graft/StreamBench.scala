@@ -89,6 +89,54 @@ object StreamBench {
       report("st05_threshold_alerts", q, streamed, batch)
     }
 
+    // st10: ingest-disorder audit under a FAITHFUL arrival-ordered
+    // replay. Unlike st01/st05 (count-checked), the audit's VALUES
+    // depend on cross-batch arrival order, so the plain staged chunks
+    // (arbitrary row placement) would not reproduce the batch result.
+    // Chunks are cut along the audit's own arrival key and moved into
+    // the watch directory one by one — ascending modification times
+    // give FileStreamSource the deterministic batch order a real
+    // ingest has — and the cross-check is full CONTENT equality of the
+    // final per-user audit rows, the strongest stream==batch claim in
+    // this bench.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val replayDir = Files.createTempDirectory("graft_replay_arrival")
+      val arr = unix_micros(col("ts")) +
+        pmod(graft.functions.PortableHash.baseHash(col("event_id").cast("string")),
+          lit(3600L)) * 1000000L
+      val ordered = spark.read.parquet(staging)
+        .withColumn("_b", ntile(nFiles).over(
+          Window.orderBy(arr, col("event_id"))))
+        .persist()
+      for (i <- 1 to nFiles) {
+        val tmp = Files.createTempDirectory("graft_replay_chunk").toString
+        ordered.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, replayDir.resolve(f"chunk-$i%04d.parquet"))
+      }
+      ordered.unpersist()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+      val q = EventStreams.disorderAudit(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("bench_audit").start()
+      try q.processAllAvailable() finally q.stop()
+      // append mode emits one cumulative row per touched user per batch;
+      // the final audit per user is the one with the largest n_events
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc, col("max_disorder_s").desc)
+      val finalRows = spark.table("bench_audit")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val batch = EventStreams.disorderAudit(spark.read.parquet(staging))
+      val matched = finalRows.intersect(batch).count()
+      report("st10_disorder_audit_ordered_replay", q, matched, batch.count())
+    }
+
     spark.stop()
   }
 }
