@@ -84,6 +84,29 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("link-prediction scores == brute-force RA/AA over uncapped wedges — ∀ random graphs") {
+    samples(edgeGen, 10).foreach { es =>
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val adj = und.toSeq.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      def bitlen(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val nodes = adj.keys.toSeq.sorted
+      val expected = (for {
+        u <- nodes; v <- nodes if u < v
+        common = adj(u) & adj(v) if common.nonEmpty
+      } yield ((u, v), (common.size.toLong,
+        common.toSeq.map(w => 1000000L / deg(w)).sum,
+        common.toSeq.map(w => 1000000L / bitlen(deg(w))).sum))).toMap
+      val got = GraphOps.linkPredictionScores(es.toDF("src", "dst"),
+          maxDegree = Long.MaxValue).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got === expected, s"edges: $es")
+    }
+  }
+
   test("star CC with an exhausted round budget still labels every node exactly once") {
     // a path needs ~log2(n) star rounds; cap below that and the edge set
     // is NOT a star forest — the labeling must still be one row per node
