@@ -135,9 +135,37 @@ object ScaleSmoke {
         .select(col("id").as("vec_id"), array(embCols: _*).as("embedding"))
         .persist()
       timed("s05_ivf_topk_500k") {
-        val n = Similarity.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 10),
+        Similarity.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 10),
           k = 10, nlist = 64, nprobe = 4).count()
+      }
+
+      // s06 two-stage retrieval on the same 500k corpus: stage 1 scans
+      // int8 vectors for all queries in one pass; stage 2 re-fetches
+      // floats for 40 candidates/query by key — the float table's
+      // contribution to the probe must be candidate-sized, not corpus-
+      // sized
+      timed("s06_quantized_rerank_500k") {
+        val n = Similarity.quantizedRerank(bigEmb,
+          bigEmb.filter(col("vec_id") < 10), k = 10).count()
         bigEmb.unpersist(); n
+      }
+
+      // d14 incremental dedup at 50k docs, 2% daily batch: the batch
+      // probes the corpus index via broadcast — the corpus-side band
+      // table is built once and never shuffled by the join, so the cost
+      // must sit near ONE d02 index build, not two plus a self-join
+      timed("d14_incremental_2pct") {
+        Dedup.incrementalLshPairs(
+          d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
+          .filter(col("est_jaccard") >= 0.5).count()
+      }
+
+      // g13 personalized PageRank on the 5M-edge power-law graph: hubs
+      // put most nodes within 3 hops of the seed set, so this measures
+      // the frontier join at near-full width — the worst case for the
+      // sparse formulation
+      timed("g13_ppr_5M") {
+        GraphOps.personalizedPageRankPpb(e, seedMod = 1000, iters = 3).count()
       }
 
       // p08 HLL registers over 20M keys (~1300x the sf0.01 gate): the

@@ -388,8 +388,14 @@ object GraphOps {
     * one join + one aggregation, all map-side-combinable. */
   def pageRankPpb(edges: DataFrame, iters: Int = 3): DataFrame = {
     val SCALE = 1000000000L
-    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // localCheckpoint, NOT persist+unpersist: the returned plan is lazy,
+    // so an unpersist-before-return would silently evaporate the cache
+    // and the executed query would recompute the canon-distinct subtree
+    // once per iteration per reference (~4 scans/iteration in the
+    // unrolled plan). The checkpoint materializes the edge table once
+    // and every iteration reads the blocks.
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
     var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
     for (_ <- 1 to iters) {
@@ -402,7 +408,6 @@ object GraphOps {
       ranks = contrib.select(col("node"),
         (lit(SCALE * 15 / 100 / n) + expr("85 * cs div 100")).as("r"))
     }
-    sym.unpersist(); deg.unpersist()
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
@@ -424,10 +429,13 @@ object GraphOps {
   def personalizedPageRankPpb(edges: DataFrame, seedMod: Long = 100,
       iters: Int = 3): DataFrame = {
     val SCALE = 1000000000L
-    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).persist()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // localCheckpoint for the same reason as [[pageRankPpb]]: the lazy
+    // returned plan must read materialized blocks, not recompute the
+    // edge derivation per iteration per reference
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val seeds = deg.select(col("src").as("node"))
-      .filter(pmod(col("node"), lit(seedMod)) === 0).persist()
+      .filter(pmod(col("node"), lit(seedMod)) === 0).localCheckpoint()
     val nSeeds = seeds.count()
     var ranks = seeds.select(col("node"), lit(SCALE / nSeeds).as("r"))
     for (_ <- 1 to iters) {
@@ -441,7 +449,6 @@ object GraphOps {
           (coalesce(col("t"), lit(0L)) +
             expr("85 * coalesce(cs, CAST(0 AS BIGINT)) div 100")).as("r"))
     }
-    sym.unpersist(); deg.unpersist(); seeds.unpersist()
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
