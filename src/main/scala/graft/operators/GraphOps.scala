@@ -102,6 +102,11 @@ object GraphOps {
     * ScaleSmoke demonstrates separately. */
   def commonNeighbors(edges: DataFrame, minCommon: Long = 2,
       maxDegree: Long = Long.MaxValue): DataFrame = {
+    // NOT checkpointed, deliberately: the wedge join references sym 2-4
+    // times, but re-deriving it (scan + distinct + union, fully parallel)
+    // measured FASTER than a localCheckpoint materialization barrier
+    // (g03 at sf0.1: 3.2 s recompute vs 5.0 s checkpointed) — the
+    // opposite trade from pageRankPpb's 12-reference unrolled loop
     val symAll = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
     // degree-threshold hybrid (SURVEY.md §7.6): drop wedges through hub
     // nodes whose deg² fan-out would dominate — at power-law scale the
@@ -145,6 +150,7 @@ object GraphOps {
     * center degrees ride the wedge rows, so scoring adds zero joins. */
   def linkPredictionScores(edges: DataFrame, maxDegree: Long,
       minCommon: Long = 1): DataFrame = {
+    // re-derived per reference, not checkpointed — see commonNeighbors
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
     val smallDeg = sym.groupBy(col("dst").as("w"))
       .agg(count(lit(1)).as("deg")).filter(col("deg") <= maxDegree)
