@@ -177,6 +177,25 @@ object GraphOps {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Local clustering coefficient per node: closed wedges over all wedges,
+    * `2·T(v) / (deg(v)·(deg(v)−1))` for nodes with degree ≥ 2 — the
+    * per-node density score behind the reference's redundant-graph ranking
+    * (triangles normalized by opportunity). Emitted in exact integer
+    * micro-units (`div`, no FP division) so the value is engine-portable.
+    *
+    * Shape: [[degrees]] and [[nodeTriangleCounts]] are both
+    * map-side-combined aggregations over the same canonical edge set; the
+    * final LEFT join is node-keyed (high cardinality), so the plan is two
+    * aggregations plus one hash join — no wedge materialization beyond
+    * the triangle join g01 already bounds. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    degrees(edges).filter(col("degree") >= 2)
+      .join(nodeTriangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_micro",
+        expr("2000000 * n_triangles div (degree * (degree - 1))"))
+
   /** Frees the block-manager storage behind a `localCheckpoint()`ed
     * DataFrame. `df.unpersist()` does not reach checkpoint blocks — the
     * data lives in the RDD the plan's `LogicalRDD` leaf wraps — so
@@ -634,6 +653,35 @@ object GraphOps {
              |FROM walk
              |GROUP BY node
              |ORDER BY node""".stripMargin)),
+
+    // ---- g14: local clustering coefficient -----------------------------
+    // Exact integer micro-units (2e6·T/(d·(d−1)) via div) so both engines
+    // hash-match; nodes below degree 2 have no defined coefficient and
+    // are excluded on both sides. LEFT join keeps triangle-free nodes at
+    // coefficient 0.
+    Q("g14_clustering_coefficient",
+      (s, dir) => clusteringCoefficient(derivedEdges(s, dir))
+        .orderBy(col("node")),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+              |tri AS (SELECT t1.u AS a, t1.v AS b, t2.v AS c
+              |        FROM canon t1
+              |        JOIN canon t2 ON t1.u = t2.u AND t1.v < t2.v
+              |        JOIN canon t3 ON t3.u = t1.v AND t3.v = t2.v),
+              |tc AS (SELECT node, count(*) AS n_triangles
+              |       FROM (SELECT a AS node FROM tri
+              |             UNION ALL SELECT b FROM tri
+              |             UNION ALL SELECT c FROM tri) x
+              |       GROUP BY node)
+              |SELECT d.node, d.degree,
+              |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+              |  CAST(2000000 * coalesce(tc.n_triangles, 0)
+              |       // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_micro
+              |FROM deg d LEFT JOIN tc ON d.node = tc.node
+              |WHERE d.degree >= 2
+              |ORDER BY d.node""".stripMargin)),
 
     // ---- g08: log-binned degree distribution ---------------------------
     // The power-law profile that predicts wedge-join cost and degree-cap

@@ -296,6 +296,71 @@ object Profile {
           .otherwise(0).as("within_bound"))
   }
 
+  /** Certified mergeable frequency sketch — count-min (Cormode &
+    * Muthukrishnan 2005) as a plain declarative aggregation, the
+    * point-frequency companion to [[certifiedDistinct]] /
+    * [[certifiedQuantiles]] / the d11 MinHash pattern.
+    *
+    * The sketch is a `depth × width` counter table built by exploding each
+    * key into `depth` (row, column) cells — column = the row's affine hash
+    * of the portable base hash, mod width — and counting per cell:
+    * `groupBy(r, c).count`, codegen'd and map-side-combined. Because SUM
+    * is a commutative monoid over the FIXED cell grid, per-slice counter
+    * tables persisted by an incremental pipeline merge by plain addition
+    * into exactly the whole-corpus sketch; a point estimate is the MIN
+    * over the key's `depth` cells. The query certifies:
+    *
+    *  - `merge_ok`: slice-built counters summed == whole-corpus counters,
+    *    cell-for-cell (the d11 property for the sum monoid);
+    *  - `over_ok`: est ≥ exact for every probe key — count-min never
+    *    undercounts (deterministic, not probabilistic);
+    *  - `within_bound`: est − exact ≤ 3·N/width, the ~3× expected
+    *    collision mass (holds with prob ≈ 1−3^-depth per key; checked as
+    *    the same integer inequality on both engines).
+    *
+    * At 100 TB the counter table is the persisted artifact: depth·width
+    * rows per corpus slice, folded daily by addition; shuffle is bounded
+    * by depth·width partial rows per upstream partition regardless of
+    * corpus size. */
+  def certifiedFreq(df: DataFrame, key: org.apache.spark.sql.Column,
+      depth: Int = 4, width: Int = 64, probes: Int = 10,
+      slices: Int = 4): DataFrame = {
+    import graft.functions.PortableHash
+    val keyed = df.select(key.cast("long").as("k"))
+    val n = keyed.agg(count(lit(1)).as("n_total"))
+    def cellCols(h: org.apache.spark.sql.Column) =
+      array((0 until depth).map(i => struct(lit(i).as("r"),
+        pmod(PortableHash.minhash(h, i), lit(width)).as("c"))): _*)
+    val cells = keyed
+      .select(col("k"), PortableHash.baseHash(col("k").cast("string")).as("h"))
+      .select(pmod(col("k"), lit(slices)).as("slice"),
+        explode(cellCols(col("h"))).as("e"))
+      .select(col("slice"), col("e.r"), col("e.c"))
+    val whole = cells.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val merged = cells.groupBy(col("slice"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("r"), col("c")).agg(sum(col("cs")).as("cnt2"))
+    val mergeOk = whole.join(merged, Seq("r", "c"), "full")
+      .agg(min(when(col("cnt") === col("cnt2"), 1).otherwise(0)).as("merge_ok"))
+    val probe = df.sparkSession.range(probes).select(col("id").as("pk"))
+      .select(col("pk"), PortableHash.baseHash(col("pk").cast("string")).as("h"))
+      .select(col("pk"), explode(cellCols(col("h"))).as("e"))
+      .select(col("pk"), col("e.r"), col("e.c"))
+    val est = probe.join(whole, Seq("r", "c"), "left")
+      .groupBy(col("pk")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = keyed.filter(col("k") < probes)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt_exact"))
+    est.join(exact, col("pk") === col("k"), "left")
+      .select(col("pk"), coalesce(col("cnt_exact"), lit(0L)).as("n_exact"),
+        col("est"))
+      .crossJoin(mergeOk).crossJoin(n)
+      .select(col("pk"), col("n_exact"), col("est"), col("merge_ok"),
+        (col("est") >= col("n_exact")).cast("int").as("over_ok"),
+        ((col("est") - col("n_exact")) * width <= lit(3) * col("n_total"))
+          .cast("int").as("within_bound"))
+      .orderBy(col("pk"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -447,6 +512,47 @@ object Profile {
               |  $momentSkew AS skewness, $momentKurt AS kurtosis
               |FROM mo
               |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- p09: certified mergeable frequency sketch (count-min) ---------
+    // The oracle rebuilds the SAME depth×width counter grid in pure
+    // integer SQL from the portable md5 base hash and the same affine row
+    // hashes, probes the same keys, and takes the same min — est and
+    // n_exact hash-match exactly. merge_ok and over_ok are literal 1 on
+    // the oracle side and EARNED on the Spark side (slice-sum == whole;
+    // count-min never undercounts); within_bound both sides derive as the
+    // same integer inequality vs the exact count.
+    Q("p09_freq_sketch",
+      (s, dir) => certifiedFreq(Tables.load(s, dir, "lineitem"),
+        col("l_partkey") % 997),
+      Some {
+        import graft.functions.PortableHash
+        val depth = 4; val width = 64
+        def cellsSql(src: String, keyCol: String) =
+          (0 until depth).map(i =>
+            s"SELECT $keyCol, $i AS r, (${PortableHash.minhashSql("h", i)}) % $width AS c FROM $src")
+            .mkString("\n  UNION ALL ")
+        s"""WITH k AS (SELECT l_partkey % 997 AS k FROM lineitem),
+           |n AS (SELECT count(*) AS n_total FROM k),
+           |h AS (SELECT k, ${PortableHash.baseHashSql("CAST(k AS VARCHAR)")} AS h FROM k),
+           |cells AS (
+           |  ${cellsSql("h", "k")}),
+           |sk AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+           |ps AS (SELECT unnest(range(0, 10)) AS pk),
+           |ph AS (SELECT pk, ${PortableHash.baseHashSql("CAST(pk AS VARCHAR)")} AS h FROM ps),
+           |pcells AS (
+           |  ${cellsSql("ph", "pk")}),
+           |est AS (SELECT pk, min(coalesce(cnt, 0)) AS est
+           |        FROM pcells LEFT JOIN sk USING (r, c) GROUP BY pk),
+           |ex AS (SELECT k AS pk, count(*) AS cnt_exact FROM k WHERE k < 10 GROUP BY k)
+           |SELECT e.pk,
+           |  CAST(coalesce(ex.cnt_exact, 0) AS BIGINT) AS n_exact,
+           |  CAST(e.est AS BIGINT) AS est,
+           |  1 AS merge_ok, 1 AS over_ok,
+           |  CASE WHEN (e.est - coalesce(ex.cnt_exact, 0)) * $width <= 3 * n_total
+           |       THEN 1 ELSE 0 END AS within_bound
+           |FROM est e LEFT JOIN ex ON e.pk = ex.pk, n
+           |ORDER BY e.pk""".stripMargin
+      }),
 
     // ---- p08: certified mergeable distinct-count sketch (HLL) ----------
     // The oracle rebuilds the SAME 512 HLL registers in pure integer SQL

@@ -996,6 +996,42 @@ object Relational {
              |  UNION ALL SELECT * FROM changes)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- q43: SCD Type-2 dimension build -------------------------------
+    // Slowly-changing-dimension history from a change stream: each
+    // customer's orders (ordered by date, key-tie-broken) become attribute
+    // versions with [valid_from, valid_to) intervals — valid_to = next
+    // version's start, NULL while current. One window over o_custkey
+    // (high-cardinality partition: ~1.5k customers at sf0.01, each a few
+    // rows — per-task sort is bounded by a customer's own history, the
+    // shape that survives 100×). The interval derivation is lead(), not a
+    // self-join — one shuffle, no join explosion.
+    Q("q43_scd2",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice"), 2).as("price"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_from", col("o_orderdate"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull.cast("int"))
+          .select(col("o_custkey"), col("version"), col("valid_from"),
+            col("valid_to"), col("is_current"), col("price"))
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""SELECT o_custkey,
+             |  CAST(row_number() OVER w AS INT) AS version,
+             |  o_orderdate AS valid_from,
+             |  lead(o_orderdate, 1) OVER w AS valid_to,
+             |  CASE WHEN lead(o_orderdate, 1) OVER w IS NULL
+             |       THEN 1 ELSE 0 END AS is_current,
+             |  round(o_totalprice, 2) AS price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin)),
+
     // ---- q41: bucketed co-located join ---------------------------------
     // The exchange-elision layout inside the correctness gate (q39 put
     // plain writes there; FormatsSpec alone pinned bucketing until now):

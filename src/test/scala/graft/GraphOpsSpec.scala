@@ -110,6 +110,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("clustering coefficient: K4 nodes are fully closed, path interiors are 0") {
+    // K4: deg 3, 3 triangles per node -> cc = 2*3/(3*2) = 1 (1e6 micro)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cc4 = GraphOps.clusteringCoefficient(edgesDF(k4))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(cc4 === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+    // path 1-2-3: only node 2 has degree >= 2, with no triangle -> cc 0;
+    // endpoints (degree 1) are excluded entirely
+    val path = GraphOps.clusteringCoefficient(edgesDF(Seq((1L, 2L), (2L, 3L))))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(path === Map(2L -> 0L))
+    // triangle + pendant: node 1 in K3 plus edge 1-4 -> deg 3, 1 triangle,
+    // cc = 2/(3*2) = 1/3 (333333 micro, floor division)
+    val tp = GraphOps.clusteringCoefficient(
+      edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(tp === Map(1L -> 333333L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
   test("adjacency lists are sorted distinct neighbors") {
     val adj = GraphOps.adjacency(edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L))))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
