@@ -193,6 +193,31 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Per-document duplicated-shingle rate: what fraction of a document's
+    * distinct word-bigram shingles also occur in at least one OTHER
+    * document. The substring-level duplication diagnostic (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22
+    * motivates exactly this measurement): document-level dedup (d01/d02)
+    * misses boilerplate and quoted passages, and this score is how a
+    * pipeline finds them before deciding on substring-level removal.
+    * Emitted in exact integer basis points (`div`), engine-portable.
+    *
+    * Shape: the shingle stream is repartitioned on the shingle once, so
+    * the document-frequency aggregation and the join probe consume the
+    * SAME exchange (the d01 ReuseExchange trick — one scan + explode,
+    * not two); the final per-doc rollup shuffles on doc_id. Hot
+    * boilerplate shingles cost their occurrence count in join output —
+    * bounded by the corpus shingle stream itself, no quadratic blowup. */
+  def dupShingleRate(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).repartition(col("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate_bp", expr("10000 * n_dup div n_shingles"))
+  }
+
   /** Eval-set decontamination: flag corpus documents that share ANY
     * word-bigram shingle with the benchmark/eval set — the overlap check
     * every training-data pipeline runs before shipping a corpus (a
@@ -638,6 +663,25 @@ object Dedup {
               |FROM documents
               |WHERE ${PortableHash.baseHashSql(TextFns.normalizeSql("text"))} % 100
               |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d15: per-document duplicated-shingle rate ---------------------
+    // The substring-duplication diagnostic: fraction of each document's
+    // distinct shingles that recur elsewhere in the corpus, in exact
+    // integer basis points. Documents with no shingles (sub-2-token) drop
+    // out on both sides.
+    Q("d15_dup_shingle_rate",
+      (s, dir) => dupShingleRate(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shCte()},
+              |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+              |SELECT doc_id,
+              |  count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |  CAST(10000 * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+              |       // count(*) AS BIGINT) AS dup_rate_bp
+              |FROM sh JOIN dfq USING (s)
+              |GROUP BY doc_id
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- d13: prefix-filtered exact Jaccard (the scale path) -----------

@@ -112,6 +112,62 @@ object Multimodal {
         (col("doc_id") =!= col("keeper_id")).as("is_dup"))
   }
 
+  /** STUB perceptual hash (aHash shape): a real implementation decodes
+    * the image and averages pixel blocks of the 4×4 downscale; this
+    * deterministic fake splits the raw payload into 16 equal byte
+    * segments ("pixels") and sets bit k iff segment k's byte sum is
+    * strictly above the uniform share (`seg·16 > total` — exact integer
+    * inequality, re-derivable by the oracle). Spatially sensitive, unlike
+    * a global histogram — reordered content hashes differently. */
+  private[graft] def fakeAhash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val seg = new Array[Long](16)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xff
+      seg((16L * i / n).toInt) += b
+      tot += b
+      i += 1
+    }
+    var ph = 0L
+    var k = 0
+    while (k < 16) { if (seg(k) * 16 > tot) ph |= 1L << k; k += 1 }
+    ph
+  }
+
+  /** Perceptual-hash near-duplicate pairs over DECODED media — the
+    * multimodal sibling of MinHash LSH (d02): exact payload dedup (m05)
+    * misses re-encoded/resampled copies, which is what a perceptual hash
+    * over decoded content catches ([[fakeAhash]] is the stub decode).
+    *
+    * Scale shape: candidate pairs come from a BANDED equi-join, not an
+    * all-pairs scan — hamming ≤ 1 on 16 bits pigeonholes into "one of
+    * the two 8-bit halves matches exactly", so each doc posts two band
+    * keys and candidates join per (band, key) bucket. Hamming is
+    * verified in-row on candidates (`bit_count(xor)`). The oracle is the
+    * naive quadratic join with no knowledge of the banding — a green row
+    * machine-checks the pigeonhole's losslessness, the d13 pattern. */
+  def phashNearDup(media: Dataset[MediaRow], maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1, "two 8-bit bands only cover hamming <= 1")
+    import media.sparkSession.implicits._
+    val hashed = media.mapPartitions { rows =>
+      rows.map(r => (r.doc_id, fakeAhash(r.payload)))
+    }.toDF("doc_id", "phash")
+    val bands = hashed.select(col("doc_id"), col("phash"),
+      explode(array(
+        struct(lit(0).as("band"), col("phash").bitwiseAND(lit(255L)).as("bkey")),
+        struct(lit(1).as("band"), shiftright(col("phash"), 8).as("bkey")))).as("e"))
+      .select(col("doc_id"), col("phash"), col("e.band"), col("e.bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def mediaDs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     mediaTable(Tables.load(s, dir, "documents")).as[MediaRow]
@@ -205,6 +261,37 @@ object Multimodal {
              |        i -> ('0x' || pairs[1 + 4 * i])::INT)), 0) AS BIGINT) AS thumb_sum
              |FROM h
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- m06: perceptual-hash near-dup (banded, lossless) --------------
+    // The oracle recomputes the 16-bit spatial aHash from hex byte pairs
+    // (byte i -> segment 16i//n, the m04 byte-recovery technique) and
+    // joins ALL pairs quadratically — no banding — so the green row
+    // machine-checks that the two-band pigeonhole loses no hamming<=1
+    // pair.
+    Q("m06_phash_neardup",
+      (s, dir) => phashNearDup(mediaDs(s, dir))
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH m AS (SELECT doc_id, encode(text) AS payload FROM documents),
+             |h AS (SELECT doc_id, octet_length(payload) AS n,
+             |        regexp_extract_all(hex(payload), '..') AS pairs FROM m),
+             |b AS (SELECT doc_id, n, pairs, unnest(range(0, n)) AS i FROM h),
+             |v AS (SELECT doc_id, (16 * i) // n AS k,
+             |        ('0x' || pairs[CAST(i + 1 AS INT)])::INT AS byte FROM b),
+             |segs AS (SELECT doc_id, k, sum(byte) AS sk FROM v GROUP BY doc_id, k),
+             |pb AS (SELECT doc_id, k, sk,
+             |        sum(sk) OVER (PARTITION BY doc_id) AS tot FROM segs),
+             |ph AS (SELECT doc_id,
+             |        CAST(sum(CASE WHEN sk * 16 > tot
+             |                      THEN (1::BIGINT << CAST(k AS INT))
+             |                      ELSE 0 END) AS BIGINT) AS phash
+             |       FROM pb GROUP BY doc_id),
+             |p AS (SELECT m.doc_id, coalesce(ph.phash, 0) AS phash
+             |      FROM m LEFT JOIN ph USING (doc_id))
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+             |FROM p a JOIN p b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+             |ORDER BY d1, d2""".stripMargin)),
 
     // ---- m05: byte-exact payload dedup ---------------------------------
     // Unlike d01 (normalized-text fingerprints), payload dedup is over

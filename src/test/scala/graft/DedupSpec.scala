@@ -152,6 +152,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupShingleRate: exact copies score 10000 bp, unique docs 0, overlap in between") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta", "en"),
+      (1L, "alpha beta gamma delta", "en"),      // exact copy of 0 -> all shingles shared
+      (2L, "epsilon zeta eta theta", "en"),      // fully unique -> 0 bp
+      (3L, "alpha beta iota kappa", "en")        // shares "alpha beta" with 0/1 only
+    ).toDF("doc_id", "text", "lang")
+    val rates = Dedup.dupShingleRate(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"), r.getAs[Long]("dup_rate_bp"))).toMap
+    assert(rates(0L) === ((3L, 3L, 10000L)))
+    assert(rates(1L) === ((3L, 3L, 10000L)))
+    assert(rates(2L) === ((3L, 0L, 0L)))
+    // doc 3: shingles = {alpha beta, beta iota, iota kappa}; only the first recurs
+    assert(rates(3L) === ((3L, 1L, 3333L)))
+  }
+
   test("incremental LSH == full pair set minus old-old, for any batch split") {
     // duplicate-heavy corpus: every 4th doc repeats text of doc_id-1, so
     // pairs exist inside and across any split
