@@ -145,7 +145,16 @@ object ScaleSmoke {
       // contribution to the probe must be candidate-sized, not corpus-
       // sized
       timed("s06_quantized_rerank_500k") {
-        val n = Similarity.quantizedRerank(bigEmb,
+        Similarity.quantizedRerank(bigEmb,
+          bigEmb.filter(col("vec_id") < 10), k = 10).count()
+      }
+
+      // s07 PQ-ADC on the same 500k corpus: encode pays corpus×(m·ksub)
+      // broadcast-joined argmin rows ONCE (the index build); scoring
+      // touches only the code stream × a 1 280-row LUT — the float
+      // corpus is never read by the query side
+      timed("s07_pq_adc_500k") {
+        val n = Similarity.pqTopK(bigEmb,
           bigEmb.filter(col("vec_id") < 10), k = 10).count()
         bigEmb.unpersist(); n
       }
@@ -234,6 +243,51 @@ object ScaleSmoke {
         kcoreRounds = r; core.count()
       }
       println(s"""{"step":"g11_kcore_rounds","rounds":$kcoreRounds}""")
+
+      // g14 clustering coefficient at 5M edges: two map-side-combined
+      // aggregations (degrees, per-node triangle counts) over the same
+      // canonical edges plus a node-keyed join — the cost must track g01's
+      // triangle join, not add a new shape
+      // filter on cc_micro (not a bare count): a count() of a left join
+      // with a unique right key is derivable from the left side alone,
+      // so an unreferenced triangle arm could be optimized away and the
+      // row would time only the degree aggregation
+      timed("g14_clustering_coeff_5M") {
+        GraphOps.clusteringCoefficient(e).filter(col("cc_micro") > 0).count()
+      }
+
+      // d15 duplicated-shingle rate at 50k docs: the df aggregation and
+      // the join probe consume ONE repartition of the shingle stream
+      // (shared exchange) — cost must be ~one shingle shuffle + the
+      // per-doc rollup, not two scans of the corpus
+      timed("d15_dup_shingle_rate_50k") {
+        Dedup.dupShingleRate(d).count()
+      }
+
+      // m06 banded perceptual-hash near-dup at 50k payloads: candidates
+      // come from two 8-bit-band equi-joins, so the measured pair count
+      // vs the n(n-1)/2 bound is the survival argument (the d13 ratio,
+      // for media)
+      var m06Pairs = -1L
+      timed("m06_phash_neardup_50k") {
+        val media = d.select(col("doc_id"), lit("image").as("kind"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit(64).as("width"), lit(64).as("height"), lit(0).as("sample_rate"))
+          .as[graft.operators.Multimodal.MediaRow]
+        m06Pairs = graft.operators.Multimodal.phashNearDup(media).count()
+        m06Pairs
+      }
+      println(s"""{"step":"m06_selectivity","docs":$nDocs,"pairs":$m06Pairs,"all_pairs_bound":${nDocs * (nDocs - 1) / 2}}""")
+
+      // p09 count-min counters over 20M keys (~1300x the sf0.01 gate):
+      // the persisted artifact is <= 256 cells, so shuffle must stay
+      // KB-scale no matter the corpus — the corpus-stationary evidence
+      // p08 carries for HLL, here for the frequency sketch
+      timed("p09_cms_counters_20M") {
+        Profile.cmsCounters(
+          spark.range(20000000L).select((col("id") % 3000000L).as("k")),
+          col("k")).count()
+      }
 
       // Stateful threshold alerts at 20M events / ~1M users with a
       // power-law user distribution (hot user ≈ 10⁴ events): the

@@ -322,15 +322,34 @@ object Profile {
     * rows per corpus slice, folded daily by addition; shuffle is bounded
     * by depth·width partial rows per upstream partition regardless of
     * corpus size. */
+  /** The depth cells (r, c) a key occurrence lands in — the single
+    * definition of the CMS cell mapping ([[certifiedFreq]] and the
+    * standalone counter build below must agree). */
+  private def cmsCellCols(depth: Int, width: Int)(
+      h: org.apache.spark.sql.Column) =
+    array((0 until depth).map(i => struct(lit(i).as("r"),
+      pmod(graft.functions.PortableHash.minhash(h, i), lit(width)).as("c"))): _*)
+
+  /** The count-min counter table of a key column: `(r, c) -> cnt`, at most
+    * depth·width rows — the artifact an incremental 100 TB pipeline
+    * PERSISTS per corpus slice and folds by elementwise addition. One
+    * map-side-combined aggregation; shuffle is bounded by depth·width
+    * partial rows per upstream partition regardless of corpus size. */
+  def cmsCounters(df: DataFrame, key: org.apache.spark.sql.Column,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    df.select(key.cast("long").as("k"))
+      .select(graft.functions.PortableHash.baseHash(col("k").cast("string")).as("h"))
+      .select(explode(cmsCellCols(depth, width)(col("h"))).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+
   def certifiedFreq(df: DataFrame, key: org.apache.spark.sql.Column,
       depth: Int = 4, width: Int = 64, probes: Int = 10,
       slices: Int = 4): DataFrame = {
     import graft.functions.PortableHash
     val keyed = df.select(key.cast("long").as("k"))
     val n = keyed.agg(count(lit(1)).as("n_total"))
-    def cellCols(h: org.apache.spark.sql.Column) =
-      array((0 until depth).map(i => struct(lit(i).as("r"),
-        pmod(PortableHash.minhash(h, i), lit(width)).as("c"))): _*)
+    val cellCols = cmsCellCols(depth, width) _
     val cells = keyed
       .select(col("k"), PortableHash.baseHash(col("k").cast("string")).as("h"))
       .select(pmod(col("k"), lit(slices)).as("slice"),

@@ -238,6 +238,58 @@ object Similarity {
         transform(col("e"), x => floor(x * lit(127.0) / col("mx")).cast("int")).as("q"))
   }
 
+  /** Product-quantization ADC top-k — the IVF-PQ memory layout's scoring
+    * half (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI'11): the embedding is split into `m` subvectors, each
+    * encoded as the id of its nearest sub-codebook centroid, and a query
+    * scores a corpus vector by summing per-subspace LOOKUPS of
+    * query·centroid dots instead of touching the vector — at 100 TB the
+    * float corpus is replaced by m small codes per vector (here 8×4 bits
+    * vs 64 floats, a 64× cut) and scoring never reads it.
+    *
+    * Deterministic stand-ins mirroring [[ivfTopK]]: codebook c_{j,·} =
+    * subvectors of the first `ksub` corpus vectors (a trained k-means in
+    * a real deployment); encode = argmin 6dp-rounded L2² with min-code
+    * tiebreak. ADC terms are exact integer micro-units
+    * (`round(dot·1e6)` per lookup, summed as BIGINT) so the score is
+    * order-independent and engine-portable.
+    *
+    * Shapes: encode = corpus-subvector stream × broadcast codebook,
+    * map-side-combined argmin; scoring = code stream × broadcast LUT
+    * (|queries|·m·ksub rows), map-side-combined sum per (query, vector).
+    * No all-pairs float join anywhere. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, dim: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim must split into $m subvectors")
+    def subs(df: DataFrame) = df
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("e"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(e, j * $dsub + 1, $dsub)").as("sub"))
+    val cents = subs(emb.filter(col("vec_id") < ksub))
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("csub"))
+    val d2 = subs(emb).join(broadcast(cents), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        round(VectorFns.dot(col("sub"), col("sub"))
+          - lit(2) * VectorFns.dot(col("sub"), col("csub"))
+          + VectorFns.dot(col("csub"), col("csub")), 6).as("d2"))
+    val codes = d2.groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.code").as("code"))
+    val lut = subs(queries).join(broadcast(cents), "j")
+      .select(col("vec_id").as("qid"), col("j"), col("code"),
+        round(VectorFns.dot(col("sub"), col("csub")) * 1e6).cast("long").as("dm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dm")).as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- s01: exact cosine top-10 for query vectors 0..4 ---------------
@@ -401,6 +453,48 @@ object Similarity {
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
              |FROM rr
              |QUALIFY rank <= 10
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- s07: product-quantization ADC top-k ---------------------------
+    // The oracle replays the full PQ pipeline: same subvector slices,
+    // same 6dp L2² argmin with min-code ties (two-step min, the s05
+    // technique), same integer micro-unit LUT dots summed as BIGINT —
+    // codes and scores hash-match exactly.
+    Q("s07_pq_adc",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |subs AS (SELECT vec_id, k AS j, e[k*8+1 : k*8+8] AS sub
+             |         FROM e, range(0, 8) t(k)),
+             |cents AS (SELECT j, CAST(vec_id AS INT) AS code, sub AS csub
+             |          FROM subs WHERE vec_id < 16),
+             |d2 AS (SELECT s.vec_id, s.j, c.code,
+             |    round(list_dot_product(s.sub, s.sub)
+             |          - 2 * list_dot_product(s.sub, c.csub)
+             |          + list_dot_product(c.csub, c.csub), 6) AS d2
+             |  FROM subs s JOIN cents c ON s.j = c.j),
+             |dbest AS (SELECT vec_id, j, min(d2) AS b FROM d2 GROUP BY vec_id, j),
+             |codes AS (SELECT d.vec_id, d.j, min(d.code) AS code
+             |  FROM d2 d JOIN dbest b
+             |    ON d.vec_id = b.vec_id AND d.j = b.j AND d.d2 = b.b
+             |  GROUP BY d.vec_id, d.j),
+             |lut AS (SELECT s.vec_id AS qid, s.j, c.code,
+             |    CAST(round(list_dot_product(s.sub, c.csub) * 1e6) AS BIGINT) AS dm
+             |  FROM subs s JOIN cents c ON s.j = c.j WHERE s.vec_id < 5),
+             |adc AS (SELECT l.qid, co.vec_id,
+             |    CAST(sum(l.dm) AS BIGINT) AS adc_micro
+             |  FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.code
+             |  WHERE l.qid <> co.vec_id
+             |  GROUP BY l.qid, co.vec_id),
+             |ranked AS (SELECT qid, vec_id, adc_micro,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc_micro DESC, vec_id)
+             |      AS rank
+             |  FROM adc)
+             |SELECT qid, vec_id, adc_micro, rank
+             |FROM ranked WHERE rank <= 10
              |ORDER BY qid, rank""".stripMargin)),
 
     Q("s04_quantize_int8",

@@ -45,7 +45,7 @@ class QueriesSpec extends AnyFunSuite {
     "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
     "q37_unpivot", "q38_array_hof",
     "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
-    "s05_ivf_topk", "s06_quantized_rerank",
+    "s05_ivf_topk", "s06_quantized_rerank", "s07_pq_adc",
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
     "st08_funnel", "st10_disorder_audit",

@@ -50,6 +50,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.95, s"recall $r below target")
   }
 
+  test("PQ-ADC beats random ranking and reports its recall curve") {
+    // PQ with a 16-entry untrained codebook per subspace is the COARSEST
+    // of the ANN paths — the point of s07 is the memory layout (codes
+    // replace floats at 64x compression), not peak recall, and a real
+    // deployment trains the codebooks. The floor asserts the scores
+    // carry real signal on a weakly-clustered corpus: random top-10
+    // would recall 10/n ~ 0.02.
+    val r = recall(topkSet(Similarity.pqTopK(emb, queries, k)))
+    info(s"pq-adc recall@10 (m=8, ksub=16, untrained): $r")
+    assert(r >= 0.2, s"recall $r indistinguishable from random")
+  }
+
   test("multi-table recall@10 >= 0.8 at the registered s03 setting (4 planes x 16 tables)") {
     val r = recall(topkSet(Similarity.lshTopKMulti(emb, queries, k, planes = 4, tables = 16)))
     info(s"multi-table recall@10 (planes=4, tables=16): $r")
