@@ -266,8 +266,12 @@ object Dedup {
     * filter is a broadcast anti-join — the shingle stream itself takes no
     * extra shuffle, and the df aggregation is map-side-combined. When no
     * shingle is hot the output is unchanged (DedupSpec property). */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+  /** Pairwise shingle-intersection table `(d1, d2, inter, sz1, sz2)` —
+    * the shared core of [[ngramJaccardPairs]] and [[containmentPairs]]:
+    * per-shingle self-join (optionally hot-shingle-capped), intersection
+    * counts, per-doc set sizes. */
+  private def shingleIntersections(docs: DataFrame,
+      maxShingleDf: Long): DataFrame = {
     val shAll = docs.select(col("doc_id"), col("lang"),
         explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
     val sh =
@@ -278,19 +282,41 @@ object Dedup {
         shAll.join(broadcast(hot), Seq("s"), "left_anti")
       }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.toDF("d1", "sz1"), "d1")
       .join(sizes.toDF("d2", "sz2"), "d2")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
+      maxShingleDf: Long = Long.MaxValue): DataFrame =
+    shingleIntersections(docs, maxShingleDf)
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
+
+  /** Containment (overlap-coefficient) pairs: `|a∩b| / min(|a|,|b|)` over
+    * distinct word-bigram shingles — the asymmetric-duplication detector
+    * Jaccard structurally misses: a document quoted whole inside a much
+    * larger one has J ≈ |small|/|large| (arbitrarily low) but overlap
+    * coefficient 1.0. Corpus pipelines run this as the subset/quotation
+    * check next to symmetric near-dup (d04/d13). `full_containment`
+    * flags exact subset pairs (`inter == min(sz)`). Same hot-shingle df
+    * cap and join shape as d04 — the verifier-stage baseline; the prefix
+    * economics of d13 apply unchanged when scaled out. */
+  def containmentPairs(docs: DataFrame, minOverlap: Double = 0.6,
+      maxShingleDf: Long = Long.MaxValue): DataFrame =
+    shingleIntersections(docs, maxShingleDf)
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          least(col("sz1"), col("sz2")), 4).as("overlap"),
+        (col("inter") === least(col("sz1"), col("sz2"))).cast("int")
+          .as("full_containment"))
+      .filter(col("overlap") >= minOverlap)
 
   /** Prefix-filtered exact Jaccard join — the AllPairs/PPJoin candidate
     * generation (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06) that
@@ -664,6 +690,33 @@ object Dedup {
               |WHERE ${PortableHash.baseHashSql(TextFns.normalizeSql("text"))} % 100
               |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d16: containment / overlap-coefficient pairs ------------------
+    // Same doc_id cap and df cap as d04 (the symmetric sibling); the
+    // lower 0.5 threshold is what makes the asymmetric metric visible on
+    // the fixture corpus.
+    Q("d16_containment",
+      (s, dir) => containmentPairs(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000), 0.5,
+        maxShingleDf = 50)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH ${shCte(" WHERE doc_id < 1000")},
+              |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 50),
+              |shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM shc a JOIN shc b
+              |            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+              |          GROUP BY a.doc_id, b.doc_id)
+              |SELECT d1, d2,
+              |  round(inter::DOUBLE / least(s1.sz, s2.sz), 4) AS overlap,
+              |  CASE WHEN inter = least(s1.sz, s2.sz) THEN 1 ELSE 0 END
+              |    AS full_containment
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = d1
+              |JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE round(inter::DOUBLE / least(s1.sz, s2.sz), 4) >= 0.5
+              |ORDER BY d1, d2""".stripMargin)),
 
     // ---- d15: per-document duplicated-shingle rate ---------------------
     // The substring-duplication diagnostic: fraction of each document's

@@ -152,6 +152,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment catches the quoted-subset pair Jaccard misses") {
+    // doc 1 = doc 0's text embedded in much longer surrounding content:
+    // every shingle of 0 appears in 1 except the two splice-boundary
+    // bigrams don't break containment (0's own bigrams all survive intact
+    // inside 1 because the quote is contiguous)
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small, "en"),
+      (1L, s"$filler $small $filler", "en"),
+      (2L, "unrelated content entirely different", "en")
+    ).toDF("doc_id", "text", "lang")
+    val ov = Dedup.containmentPairs(corpus, minOverlap = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(ov.contains((0L, 1L)))
+    assert(ov((0L, 1L))._1 === 1.0)
+    assert(ov((0L, 1L))._2 === 1)
+    // while Jaccard on the same pair is far below any useful threshold
+    val j = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) < 0.2)
+  }
+
   test("dupShingleRate: exact copies score 10000 bp, unique docs 0, overlap in between") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta", "en"),
