@@ -218,6 +218,20 @@ object Dedup {
       .withColumn("dup_rate_bp", expr("10000 * n_dup div n_shingles"))
   }
 
+  /** Near-dup-cluster-aware train/eval split: documents are assigned a
+    * side by a deterministic hash of their [[dupClusters]] CLUSTER id,
+    * not of their own content — so a near-duplicate pair can never
+    * straddle the split (the leakage a content-hash split like [[
+    * contentSample]] permits: a paraphrase in train, its twin in eval).
+    * The composition every decontaminated-split pipeline ships: band
+    * join → connected components → one hash per cluster. Pure function
+    * of corpus content — reproducible across runs, engines, and corpus
+    * orderings. */
+  def clusterSplit(docs: DataFrame, trainPct: Int = 90): DataFrame =
+    dupClusters(docs).select(col("doc_id"), col("cluster_id"),
+      when(PortableHash.baseHash(col("cluster_id").cast("string")) % 100
+          < trainPct, "train").otherwise("eval").as("split"))
+
   /** Eval-set decontamination: flag corpus documents that share ANY
     * word-bigram shingle with the benchmark/eval set — the overlap check
     * every training-data pipeline runs before shipping a corpus (a
@@ -558,6 +572,45 @@ object Dedup {
                 |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
                 |SELECT doc_id, coalesce(c, doc_id) AS cluster_id
                 |FROM documents LEFT JOIN comp ON doc_id = node
+                |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // ---- d17: cluster-aware train/eval split ---------------------------
+    // The d08 recursive-closure oracle extended one step: the split side
+    // hashes the CLUSTER id, so near-dup pairs can't straddle the split.
+    Q("d17_cluster_split", { (s, dir) =>
+        clusterSplit(Tables.load(s, dir, "documents"))
+          .orderBy(col("doc_id"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        val matchSum = (0 until K)
+          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""WITH RECURSIVE ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects),
+                |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                |         FROM bands a JOIN bands b
+                |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                |dup AS (SELECT d1, d2 FROM cand
+                |        JOIN sig sa ON sa.doc_id = d1
+                |        JOIN sig sb ON sb.doc_id = d2
+                |        WHERE round(($matchSum) / ${K}.0, 4) >= 0.5),
+                |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+                |        UNION ALL SELECT d2, d1 FROM dup),
+                |reach(a, b) AS (
+                |  SELECT src, src FROM sym
+                |  UNION
+                |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+                |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a),
+                |cl AS (SELECT doc_id, coalesce(c, doc_id) AS cluster_id
+                |       FROM documents LEFT JOIN comp ON doc_id = node)
+                |SELECT doc_id, cluster_id,
+                |  CASE WHEN ${PortableHash.baseHashSql("CAST(cluster_id AS VARCHAR)")} % 100 < 90
+                |       THEN 'train' ELSE 'eval' END AS split
+                |FROM cl
                 |ORDER BY doc_id""".stripMargin)
       }),
 

@@ -322,6 +322,37 @@ object Profile {
     * rows per corpus slice, folded daily by addition; shuffle is bounded
     * by depth·width partial rows per upstream partition regardless of
     * corpus size. */
+  // Shared Pearson-correlation formula text (p10) — the same strings feed
+  // Spark's selectExpr and the DuckDB oracle over identical exact integer
+  // sums (the p06 technique): the one float stage is identical IEEE
+  // arithmetic, not two engines' built-in corr() implementations.
+  private[operators] val corrNum = "nd * sxy - sx * sy"
+  private[operators] val corrDen =
+    "sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))"
+
+  /** Pearson correlation of two numeric columns per group, from one
+    * aggregation pass of EXACT integer power/cross sums (decimal(38,0) —
+    * x ≤ 2^6, y = cents ≤ 2^24 keep Σx²/Σy²/Σxy inside 38 digits at any
+    * gated SF). Order-independent, map-side-combined; the float division
+    * happens once per group on the aggregated row — engine-portable where
+    * built-in corr()s differ in summation strategy (Welford vs naive) and
+    * order. The profiling companion to [[moments]]: does quantity predict
+    * price, per segment, measured without a second scan. */
+  def correlation(df: DataFrame, group: String, x: String,
+      price: String): DataFrame =
+    df.selectExpr(group, s"CAST(round($x) AS DECIMAL(16,0)) AS x",
+        s"CAST(round($price * 100) AS DECIMAL(16,0)) AS y")
+      .groupBy(col(group)).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("isx"), sum(col("y")).as("isy"),
+        sum(expr("x*x")).as("isxx"), sum(expr("y*y")).as("isyy"),
+        sum(expr("x*y")).as("isxy"))
+      .selectExpr(group, "n", "CAST(n AS DOUBLE) AS nd",
+        "CAST(isx AS DOUBLE) AS sx", "CAST(isy AS DOUBLE) AS sy",
+        "CAST(isxx AS DOUBLE) AS sxx", "CAST(isyy AS DOUBLE) AS syy",
+        "CAST(isxy AS DOUBLE) AS sxy")
+      .selectExpr(group, "n", s"round(($corrNum) / ($corrDen), 6) AS corr")
+
   /** The depth cells (r, c) a key occurrence lands in — the single
     * definition of the CMS cell mapping ([[certifiedFreq]] and the
     * standalone counter build below must agree). */
@@ -572,6 +603,32 @@ object Profile {
            |FROM est e LEFT JOIN ex ON e.pk = ex.pk, n
            |ORDER BY e.pk""".stripMargin
       }),
+
+    // ---- p10: Pearson correlation from exact integer sums --------------
+    // HUGEINT sums on the DuckDB side mirror Spark's decimal(38,0); both
+    // engines then run the same formula strings (corrNum/corrDen) over
+    // the same exact integers — never each engine's own corr().
+    Q("p10_correlation",
+      (s, dir) => correlation(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH c AS (SELECT l_returnflag,
+              |    CAST(round(l_quantity) AS HUGEINT) AS x,
+              |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+              |  FROM lineitem),
+              |a AS (SELECT l_returnflag, count(*) AS n,
+              |    sum(x) AS isx, sum(y) AS isy,
+              |    sum(x*x) AS isxx, sum(y*y) AS isyy, sum(x*y) AS isxy
+              |  FROM c GROUP BY l_returnflag),
+              |d AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+              |    CAST(n AS DOUBLE) AS nd,
+              |    CAST(isx AS DOUBLE) AS sx, CAST(isy AS DOUBLE) AS sy,
+              |    CAST(isxx AS DOUBLE) AS sxx, CAST(isyy AS DOUBLE) AS syy,
+              |    CAST(isxy AS DOUBLE) AS sxy
+              |  FROM a)
+              |SELECT l_returnflag, n, round(($corrNum) / ($corrDen), 6) AS corr
+              |FROM d
+              |ORDER BY l_returnflag""".stripMargin)),
 
     // ---- p08: certified mergeable distinct-count sketch (HLL) ----------
     // The oracle rebuilds the SAME 512 HLL registers in pure integer SQL

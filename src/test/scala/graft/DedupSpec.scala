@@ -193,6 +193,21 @@ class DedupSpec extends AnyFunSuite {
     assert(rates(3L) === ((3L, 1L, 3333L)))
   }
 
+  test("clusterSplit: no near-dup pair straddles the split, any train pct") {
+    Seq(10, 50, 90).foreach { pct =>
+      val side = Dedup.clusterSplit(docs, trainPct = pct).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(side.size == 5)
+      val pairs = Dedup.minhashLshPairs(docs)
+        .filter(col("est_jaccard") >= 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "fixture has no near-dup pairs — weak test")
+      pairs.foreach { case (d1, d2) =>
+        assert(side(d1) === side(d2), s"pair ($d1,$d2) straddles at pct=$pct")
+      }
+    }
+  }
+
   test("incremental LSH == full pair set minus old-old, for any batch split") {
     // duplicate-heavy corpus: every 4th doc repeats text of doc_id-1, so
     // pairs exist inside and across any split
