@@ -210,7 +210,11 @@ object Dedup {
     * bounded by the corpus shingle stream itself, no quadratic blowup. */
   def dupShingleRate(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).repartition(col("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // count(doc_id), not count(1): an argument-less count lets Catalyst
+    // prune doc_id from this branch, making its exchange subtree differ
+    // from the probe's — ReuseExchange only dedups IDENTICAL subtrees.
+    // Same value (doc_id is never null, shingles are distinct per doc).
+    val dfreq = sh.groupBy(col("s")).agg(count(col("doc_id")).as("df"))
     sh.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

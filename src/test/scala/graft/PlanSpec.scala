@@ -177,4 +177,25 @@ class PlanSpec extends AnyFunSuite {
         s"$f window survived — distribution fns must be arithmetic:\n$plan")
     }
   }
+
+  test("d15 df count and probe consume one reused shingle exchange") {
+    // dupShingleRate repartitions the shingle stream once so the
+    // document-frequency aggregation and the join probe share the same
+    // exchange — without reuse the corpus is scanned and exploded twice
+    val plan = executedPlan(
+      SparkEntry.queries("d15_dup_shingle_rate")(spark, dir))
+    assert(plan.contains("ReusedExchange"),
+      s"shingle exchange not reused — corpus would scan twice:\n$plan")
+  }
+
+  test("s07 ADC scoring joins the code stream to a BROADCAST LUT") {
+    // the per-(query, subspace, centroid) lookup table is |q|*m*ksub rows;
+    // scoring must broadcast it — a shuffled join on (j, code) would
+    // repartition the whole corpus code stream per query batch
+    val plan = executedPlan(SparkEntry.queries("s07_pq_adc")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT should broadcast into the code stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no scoring-side shuffle join expected:\n$plan")
+  }
 }
