@@ -236,6 +236,37 @@ object EventStreams {
         (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("gap_ms"))
   }
 
+  /** LEFT OUTER interval join — attribution with the NON-converters
+    * emitted: every click row appears, matched purchases (within the gap)
+    * attach their ids and latency, unmatched clicks carry NULLs and
+    * `converted = 0`. The outer arm is what funnel/attribution analyses
+    * need and the inner join ([[intervalJoin]]) structurally drops.
+    *
+    * Streaming semantics worth pinning (StreamingSpec proves
+    * stream==batch under replay): an unmatched click can only be declared
+    * unmatched once its match window CLOSES — Structured Streaming emits
+    * the NULL row when the watermark passes `l_ts + gap`, which is
+    * exactly why the range condition stays on the event-time columns (so
+    * the join state and the outer-emission deadline are both
+    * watermark-bounded). */
+  def intervalJoinOuter(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase", maxGapMin: Int = 60): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapMin MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        when(col("r_id").isNotNull,
+          unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("gap_ms"),
+        col("r_id").isNotNull.cast("int").as("converted"))
+  }
+
   /** Stream-static enrichment join + aggregation: events joined to a
     * STATIC dimension (nation, keyed by user_id % 25) and rolled up per
     * nation. The canonical lookup-enrichment shape: the static side
@@ -461,6 +492,22 @@ object EventStreams {
              |SELECT user_id, l_id, r_id,
              |  epoch_ms(r_ts) - epoch_ms(l_ts) AS gap_ms
              |FROM l JOIN r ON user_id = r_user
+             |  AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 60 MINUTES
+             |ORDER BY user_id, l_id, r_id""".stripMargin)),
+
+    // ---- st11: LEFT OUTER interval join (attribution) ------------------
+    Q("st11_attribution",
+      (s, dir) => intervalJoinOuter(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id")),
+      Some("""WITH l AS (SELECT user_id, event_id AS l_id, ts AS l_ts
+             |           FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id AS r_user, event_id AS r_id, ts AS r_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, l_id, r_id,
+             |  CASE WHEN r_id IS NOT NULL
+             |       THEN epoch_ms(r_ts) - epoch_ms(l_ts) END AS gap_ms,
+             |  CASE WHEN r_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+             |FROM l LEFT JOIN r ON user_id = r_user
              |  AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 60 MINUTES
              |ORDER BY user_id, l_id, r_id""".stripMargin)),
 

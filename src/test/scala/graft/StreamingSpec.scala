@@ -130,6 +130,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream LEFT OUTER interval join == batch, once the watermark flushes") {
+    import spark.implicits._
+    val d = streamDir
+    // Outer rows for unmatched clicks emit only when the watermark passes
+    // l_ts + gap; on a finite replay the tail's windows never close. A
+    // sentinel event far past the corpus (type joins nothing) advances
+    // the watermark so every pending NULL row flushes — the streaming
+    // analogue of end-of-input.
+    val maxNanos = spark.read.schema(EventStreams.rawSchema).parquet(d)
+      .agg(max(col("ts"))).as[Long].head()
+    Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/zz_sentinel")
+    val stream = EventStreams.readEventsStream(spark, s"$d/*")
+      .withWatermark("ts", "2 hours")
+    val q = EventStreams.intervalJoinOuter(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ijo_out")
+      .orderBy(col("user_id"), col("l_id"), col("r_id")).collect().map(_.toSeq)
+    val batch = EventStreams.intervalJoinOuter(Tables.load(spark, dir, "events"))
+      .orderBy(col("user_id"), col("l_id"), col("r_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.count(_(4) == 0) > 0, "no unmatched clicks flushed — watermark never closed the tail windows")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream-stream interval join == batch interval join") {
     // genuine stream-stream join: both sides derive from one watermarked
     // file stream; the event-time range condition bounds the state
