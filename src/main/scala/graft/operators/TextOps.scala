@@ -112,6 +112,63 @@ object TextOps {
               |FROM c
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- t12: top-k collocations by integer-exact PMI lift -------------
+    // Collocation extraction (the phrase-mining pass of a corpus
+    // pipeline): rank adjacent word pairs by the PMI likelihood ratio
+    // p(xy)/(p(x)p(y)) = c_xy·N² / (M·c_x·c_y) — emitted as the exact
+    // integer micro-unit quotient (DECIMAL(38,0)/HUGEINT arithmetic, no
+    // libm log: the ratio is monotone in PMI so the RANKING is identical,
+    // the g12 discretization idea). Min-support 5 keeps rare-pair noise
+    // out and the top-20 deterministic (ties broken by pair text).
+    // Bigrams keep multiplicity (no array_distinct) — counts, not sets.
+    Q("t12_collocations",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val uni = docs.select(explode(TextFns.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val big = docs.select(explode(TextFns.wordBigrams(col("text"))).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+          .select(expr("split(bg, ' ')[0]").as("x"),
+            expr("split(bg, ' ')[1]").as("y"), col("cxy"))
+        // both corpus totals from one scalar scan — no explode, no shuffle
+        // (the t11 lesson)
+        val tot = docs.agg(
+          sum(size(array_remove(TextFns.tokens(col("text")), ""))).as("n"),
+          sum(greatest(size(TextFns.tokens(col("text"))) - 1, lit(0))).as("m"))
+        big.join(uni.toDF("x", "cx"), "x")
+          .join(uni.toDF("y", "cy"), "y")
+          .crossJoin(broadcast(tot))
+          .select(col("x"), col("y"), col("cxy"),
+            expr("""CAST(1000000 AS DECIMAL(38,0)) * cxy * n * n
+                    div (CAST(m AS DECIMAL(38,0)) * cx * cy)""").as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS l FROM documents),
+              |uni AS (SELECT term, count(*) AS c
+              |        FROM (SELECT unnest(l) AS term FROM d)
+              |        WHERE term <> '' GROUP BY term),
+              |bgs AS (SELECT unnest(list_transform(range(1, len(l)),
+              |                 i -> l[i] || ' ' || l[i+1])) AS bg FROM d),
+              |big AS (SELECT bg, count(*) AS cxy FROM bgs
+              |        GROUP BY bg HAVING count(*) >= 5),
+              |sp AS (SELECT string_split(bg, ' ')[1] AS x,
+              |              string_split(bg, ' ')[2] AS y, cxy FROM big),
+              |tot AS (SELECT
+              |    CAST(sum(len(list_filter(l, t -> t <> ''))) AS BIGINT) AS n,
+              |    CAST(sum(greatest(len(l) - 1, 0)) AS BIGINT) AS m FROM d)
+              |SELECT x, y, cxy,
+              |  CAST(CAST(1000000 AS HUGEINT) * cxy * n * n
+              |       // (CAST(m AS HUGEINT) * cx * cy) AS BIGINT) AS lift_micro
+              |FROM sp
+              |JOIN (SELECT term AS x, c AS cx FROM uni) ux USING (x)
+              |JOIN (SELECT term AS y, c AS cy FROM uni) uy USING (y)
+              |CROSS JOIN tot
+              |ORDER BY lift_micro DESC, x, y
+              |LIMIT 20""".stripMargin)),
+
     // ---- t01: token statistics -----------------------------------------
     Q("t01_token_stats",
       (s, dir) => Tables.load(s, dir, "documents")

@@ -52,7 +52,8 @@ class QueriesSpec extends AnyFunSuite {
     "st08_funnel", "st10_disorder_audit", "st11_attribution",
     "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
     "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage",
-    "t09_repetition", "t10_pack_sequences", "t11_unigram_surprisal")
+    "t09_repetition", "t10_pack_sequences", "t11_unigram_surprisal",
+    "t12_collocations")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {
