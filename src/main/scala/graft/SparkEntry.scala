@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Profile.queries ++
+      operators.Pipeline.queries ++
       streaming.EventStreams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,6 +41,18 @@ object TextFns {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Overlapping word n-grams of the normalized text, space-joined.
+    * Docs with fewer than `n` tokens yield an empty array (guarded:
+    * Spark's `sequence(1, stop)` would DESCEND for stop < 1, not empty).
+    * For n = 2 this matches [[wordBigrams]] content-for-content. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"ngram width must be >= 1, got $n")
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
   /** Ratio of non-alphanumeric, non-space chars to total chars. */
   def punctRatio(c: Column): Column = {
     val n = normalizeText(c)

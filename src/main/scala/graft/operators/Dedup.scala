@@ -244,9 +244,17 @@ object Dedup {
     * broadcasts and the corpus-side shingle stream is scanned once with
     * no shuffle besides the per-doc hit count — at 100 TB the corpus
     * never moves. */
-  def decontaminate(docs: DataFrame, evalSet: DataFrame): DataFrame = {
-    val evalSh = shingles(evalSet).select(col("s")).distinct()
-    val hits = shingles(docs).join(broadcast(evalSh), "s")
+  /** Distinct word n-gram shingles per document (generalizes [[shingles]];
+    * decontamination wants WIDE shingles — a 5..13-gram only collides on
+    * genuinely copied spans, where bigrams collide on shared vocabulary). */
+  def shinglesN(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.wordNgrams(col("text"), n))).as("s"))
+
+  def decontaminate(docs: DataFrame, evalSet: DataFrame,
+      ngram: Int = 2): DataFrame = {
+    val evalSh = shinglesN(evalSet, ngram).select(col("s")).distinct()
+    val hits = shinglesN(docs, ngram).join(broadcast(evalSh), "s")
       .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
     docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),

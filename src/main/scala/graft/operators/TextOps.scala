@@ -54,6 +54,16 @@ object TextOps {
   private val normSql = TextFns.normalizeSql("text")
   private val toksSql = TextFns.tokensSql("text")
 
+  /** The [[TextFns.qualityScore]] formula over CTE columns `n`
+    * (normalized text) and `t` (token list) — shared by d10's oracle and
+    * the e01 pipeline oracle so both gate the SAME quality semantics. */
+  private[operators] val qualitySql: String =
+    s"""round((CASE WHEN len(t) >= 10 THEN 0.4 ELSE 0.0 END)
+       |  + (CASE WHEN round(length(regexp_replace(n, '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |                   / greatest(length(n), 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END)
+       |  + (CASE WHEN round(${scoreSql(Stopwords.en)}::DOUBLE / greatest(len(t), 1), 4) >= 0.05
+       |          THEN 0.3 ELSE 0.0 END), 2)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- t09: repetition score -----------------------------------------
@@ -424,12 +434,6 @@ object TextOps {
         .select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
       {
-        val qualitySql =
-          s"""round((CASE WHEN len(t) >= 10 THEN 0.4 ELSE 0.0 END)
-             |  + (CASE WHEN round(length(regexp_replace(n, '[a-z0-9 ]', '', 'g'))::DOUBLE
-             |                   / greatest(length(n), 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END)
-             |  + (CASE WHEN round(${scoreSql(Stopwords.en)}::DOUBLE / greatest(len(t), 1), 4) >= 0.05
-             |          THEN 0.3 ELSE 0.0 END), 2)""".stripMargin
         Some(s"""WITH d AS (SELECT doc_id, $normSql AS n, $toksSql AS t FROM documents),
                 |q AS (SELECT doc_id, n, $qualitySql AS quality FROM d)
                 |SELECT doc_id, quality
