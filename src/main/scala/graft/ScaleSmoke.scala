@@ -289,6 +289,26 @@ object ScaleSmoke {
           col("k")).count()
       }
 
+      // d17 cluster-aware split at 50k docs: the cost must sit near the
+      // same corpus's d02+CC run (the split adds one hash per cluster)
+      timed("d17_cluster_split_50k") {
+        Dedup.clusterSplit(d).count()
+      }
+
+      // t12 collocations at 50k docs: two token-stream aggregations plus
+      // two unigram joins on the min-support-filtered bigram table — the
+      // joins' left side is support-bounded, not corpus-bounded
+      timed("t12_collocations_50k") {
+        graft.operators.TextOps.collocations(d).count()
+      }
+
+      // e01 end-to-end corpus build at 50k docs: the composed pipeline's
+      // cost must be ~the sum of its stages (no composition-induced
+      // recomputation beyond exactDedup's documented shared exchange)
+      timed("e01_corpus_build_50k") {
+        graft.operators.Pipeline.corpusBuild(d).count()
+      }
+
       // Stateful threshold alerts at 20M events / ~1M users with a
       // power-law user distribution (hot user ≈ 10⁴ events): the
       // secondary-sort batch path must stream each group's iterator —

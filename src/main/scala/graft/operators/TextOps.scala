@@ -45,6 +45,34 @@ object TextOps {
         (col("pre") % budgetTokens).as("seq_offset"))
   }
 
+  /** Top-k collocations by the integer-exact PMI likelihood ratio
+    * c_xy·N²/(M·c_x·c_y) in micro-units — see the t12 query comment for
+    * the derivation and portability argument. */
+  def collocations(docs: org.apache.spark.sql.DataFrame, minSupport: Long = 5,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val uni = docs.select(explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val big = docs.select(explode(TextFns.wordBigrams(col("text"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minSupport)
+      .select(expr("split(bg, ' ')[0]").as("x"),
+        expr("split(bg, ' ')[1]").as("y"), col("cxy"))
+    // both corpus totals from one scalar scan — no explode, no shuffle
+    // (the t11 lesson)
+    val tot = docs.agg(
+      sum(size(array_remove(TextFns.tokens(col("text")), ""))).as("n"),
+      sum(greatest(size(TextFns.tokens(col("text"))) - 1, lit(0))).as("m"))
+    big.join(uni.toDF("x", "cx"), "x")
+      .join(uni.toDF("y", "cy"), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("cxy"),
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * cxy * n * n
+                div (CAST(m AS DECIMAL(38,0)) * cx * cy)""").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   private def inListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -132,30 +160,7 @@ object TextOps {
     // out and the top-20 deterministic (ties broken by pair text).
     // Bigrams keep multiplicity (no array_distinct) — counts, not sets.
     Q("t12_collocations",
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val uni = docs.select(explode(TextFns.tokens(col("text"))).as("term"))
-          .filter(col("term") =!= "")
-          .groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val big = docs.select(explode(TextFns.wordBigrams(col("text"))).as("bg"))
-          .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
-          .filter(col("cxy") >= 5)
-          .select(expr("split(bg, ' ')[0]").as("x"),
-            expr("split(bg, ' ')[1]").as("y"), col("cxy"))
-        // both corpus totals from one scalar scan — no explode, no shuffle
-        // (the t11 lesson)
-        val tot = docs.agg(
-          sum(size(array_remove(TextFns.tokens(col("text")), ""))).as("n"),
-          sum(greatest(size(TextFns.tokens(col("text"))) - 1, lit(0))).as("m"))
-        big.join(uni.toDF("x", "cx"), "x")
-          .join(uni.toDF("y", "cy"), "y")
-          .crossJoin(broadcast(tot))
-          .select(col("x"), col("y"), col("cxy"),
-            expr("""CAST(1000000 AS DECIMAL(38,0)) * cxy * n * n
-                    div (CAST(m AS DECIMAL(38,0)) * cx * cy)""").as("lift_micro"))
-          .orderBy(col("lift_micro").desc, col("x"), col("y"))
-          .limit(20)
-      },
+      (s, dir) => collocations(Tables.load(s, dir, "documents")),
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS l FROM documents),
               |uni AS (SELECT term, count(*) AS c
               |        FROM (SELECT unnest(l) AS term FROM d)
