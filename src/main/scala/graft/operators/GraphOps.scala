@@ -177,6 +177,41 @@ object GraphOps {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Whole-graph summary statistics in one row — the numbers that size a
+    * graph job before it runs: global transitivity (3·triangles/wedges,
+    * exact integer micro-units) and degree assortativity (Pearson
+    * correlation of endpoint degrees over the symmetrized edge set —
+    * disassortative power-law graphs are the wedge-join adversary, so
+    * this is the metric that predicts whether g09's degree cap is
+    * needed). The correlation reuses [[Profile]]'s exact-integer-sum
+    * formula text: decimal(38,0) power sums, one shared IEEE float stage
+    * — never an engine's built-in corr(). */
+  def graphStats(edges: DataFrame): DataFrame = {
+    val canon = canonicalEdges(edges)
+    val deg = degrees(edges)
+    val tri = triangles(edges).agg(count(lit(1)).as("t"))
+    val wn = deg.agg(sum(expr("degree * (degree - 1) div 2")).as("w"),
+      count(lit(1)).as("n_nodes"))
+    val ne = canon.agg(count(lit(1)).as("n_edges"))
+    val sym = symmetrize(canon.toDF("src", "dst"))
+    val sums = sym
+      .join(deg.select(col("node").as("src"), col("degree").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("degree").as("dy")), "dst")
+      .selectExpr("CAST(dx AS DECIMAL(38,0)) AS x", "CAST(dy AS DECIMAL(38,0)) AS y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("isx"), sum(col("y")).as("isy"),
+        sum(expr("x*x")).as("isxx"), sum(expr("y*y")).as("isyy"),
+        sum(expr("x*y")).as("isxy"))
+      .selectExpr("CAST(n AS DOUBLE) AS nd",
+        "CAST(isx AS DOUBLE) AS sx", "CAST(isy AS DOUBLE) AS sy",
+        "CAST(isxx AS DOUBLE) AS sxx", "CAST(isyy AS DOUBLE) AS syy",
+        "CAST(isxy AS DOUBLE) AS sxy")
+    tri.crossJoin(wn).crossJoin(ne).crossJoin(sums)
+      .selectExpr("n_nodes", "n_edges", "t AS n_triangles",
+        "CAST(CAST(3000000 AS DECIMAL(38,0)) * t div w AS BIGINT) AS transitivity_micro",
+        s"round((${Profile.corrNum}) / (${Profile.corrDen}), 6) AS assortativity")
+  }
+
   /** Local clustering coefficient per node: closed wedges over all wedges,
     * `2·T(v) / (deg(v)·(deg(v)−1))` for nodes with degree ≥ 2 — the
     * per-node density score behind the reference's redundant-graph ranking
@@ -682,6 +717,41 @@ object GraphOps {
               |FROM deg d LEFT JOIN tc ON d.node = tc.node
               |WHERE d.degree >= 2
               |ORDER BY d.node""".stripMargin)),
+
+    // ---- g15: whole-graph summary statistics ---------------------------
+    // One row: transitivity in exact integer micro-units, assortativity
+    // via the shared p10 formula text over HUGEINT sums — both engines
+    // run identical arithmetic, never their own corr().
+    Q("g15_graph_stats",
+      (s, dir) => graphStats(derivedEdges(s, dir)),
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+              |tri AS (SELECT count(*) AS t
+              |        FROM canon t1
+              |        JOIN canon t2 ON t1.u = t2.u AND t1.v < t2.v
+              |        JOIN canon t3 ON t3.u = t1.v AND t3.v = t2.v),
+              |wn AS (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS w,
+              |              CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+              |ne AS (SELECT count(*) AS n_edges FROM canon),
+              |dp AS (SELECT CAST(d1.degree AS HUGEINT) AS x,
+              |              CAST(d2.degree AS HUGEINT) AS y
+              |       FROM sym JOIN deg d1 ON sym.src = d1.node
+              |                JOIN deg d2 ON sym.dst = d2.node),
+              |a AS (SELECT count(*) AS n, sum(x) AS isx, sum(y) AS isy,
+              |        sum(x*x) AS isxx, sum(y*y) AS isyy, sum(x*y) AS isxy
+              |      FROM dp),
+              |dd AS (SELECT CAST(n AS DOUBLE) AS nd,
+              |        CAST(isx AS DOUBLE) AS sx, CAST(isy AS DOUBLE) AS sy,
+              |        CAST(isxx AS DOUBLE) AS sxx, CAST(isyy AS DOUBLE) AS syy,
+              |        CAST(isxy AS DOUBLE) AS sxy
+              |       FROM a)
+              |SELECT n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+              |  CAST(t AS BIGINT) AS n_triangles,
+              |  CAST(CAST(3000000 AS HUGEINT) * t // w AS BIGINT) AS transitivity_micro,
+              |  round((${Profile.corrNum}) / (${Profile.corrDen}), 6) AS assortativity
+              |FROM tri, wn, ne, dd""".stripMargin)),
 
     // ---- g08: log-binned degree distribution ---------------------------
     // The power-law profile that predicts wedge-join cost and degree-cap

@@ -353,6 +353,37 @@ object Profile {
         "CAST(isxy AS DOUBLE) AS sxy")
       .selectExpr(group, "n", s"round(($corrNum) / ($corrDen), 6) AS corr")
 
+  /** Two-sample distribution drift — per-bucket chi-square contributions
+    * between two deterministic corpus slices, the monitoring pass a
+    * continuously-ingested training corpus runs to detect that today's
+    * data no longer looks like yesterday's before a model does.
+    *
+    * Per fixed-width bucket i (the [[histogram]] binning): the standard
+    * two-sample chi-square term `(aᵢ·N_b − bᵢ·N_a)² / (N_a·N_b·(aᵢ+bᵢ))`,
+    * emitted in exact integer micro-units via decimal(38,0) integral
+    * division — each factor is a BIGINT, the products live in decimal, so
+    * both engines compute the identical value (no libm, no float sums; a
+    * consumer thresholds Σ terms against the χ² critical value). One
+    * scan, one map-side-combined aggregation, |buckets| output rows. */
+  def driftChi2(df: DataFrame, value: org.apache.spark.sql.Column,
+      side: org.apache.spark.sql.Column, width: Double,
+      nBuckets: Int): DataFrame = {
+    val b = df.select(
+      least(floor(value / width), lit(nBuckets - 1)).cast("int").as("bucket"),
+      side.cast("int").as("side"))
+    val counts = b.groupBy(col("bucket")).agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("a_cnt"),
+      sum(when(col("side") =!= 0, 1L).otherwise(0L)).as("b_cnt"))
+    val tot = counts.agg(sum(col("a_cnt")).as("na"), sum(col("b_cnt")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .selectExpr("bucket", "a_cnt", "b_cnt",
+        """CAST(CAST(1000000 AS DECIMAL(38,0))
+           |  * (a_cnt * nb - b_cnt * na) * (a_cnt * nb - b_cnt * na)
+           |  div (CAST(na AS DECIMAL(38,0)) * nb * (a_cnt + b_cnt))
+           |  AS BIGINT) AS chi2_term_micro""".stripMargin)
+      .orderBy(col("bucket"))
+  }
+
   /** The depth cells (r, c) a key occurrence lands in — the single
     * definition of the CMS cell mapping ([[certifiedFreq]] and the
     * standalone counter build below must agree). */
@@ -603,6 +634,32 @@ object Profile {
            |FROM est e LEFT JOIN ex ON e.pk = ex.pk, n
            |ORDER BY e.pk""".stripMargin
       }),
+
+    // ---- p11: two-sample distribution drift (chi-square terms) ---------
+    // Slices = ship-year parity (a REAL temporal split, so price mix
+    // genuinely differs), buckets = the p02 histogram binning. Micro-unit
+    // integral division keeps every term engine-exact.
+    Q("p11_drift",
+      (s, dir) => driftChi2(Tables.load(s, dir, "lineitem"),
+        col("l_extendedprice"), year(col("l_shipdate")) % 2,
+        width = 10000.0, nBuckets = 12),
+      Some("""WITH b AS (SELECT
+             |    CAST(least(floor(l_extendedprice / 10000.0), 11) AS INT) AS bucket,
+             |    year(l_shipdate) % 2 AS side
+             |  FROM lineitem),
+             |c AS (SELECT bucket,
+             |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             |    CAST(sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+             |  FROM b GROUP BY bucket),
+             |t AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS na,
+             |             CAST(sum(b_cnt) AS BIGINT) AS nb FROM c)
+             |SELECT bucket, a_cnt, b_cnt,
+             |  CAST(CAST(1000000 AS HUGEINT)
+             |       * (a_cnt * nb - b_cnt * na) * (a_cnt * nb - b_cnt * na)
+             |       // (CAST(na AS HUGEINT) * nb * (a_cnt + b_cnt))
+             |       AS BIGINT) AS chi2_term_micro
+             |FROM c, t
+             |ORDER BY bucket""".stripMargin)),
 
     // ---- p10: Pearson correlation from exact integer sums --------------
     // HUGEINT sums on the DuckDB side mirror Spark's decimal(38,0); both

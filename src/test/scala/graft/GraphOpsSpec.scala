@@ -129,6 +129,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(tp === Map(1L -> 333333L, 2L -> 1000000L, 3L -> 1000000L))
   }
 
+  test("graphStats: path is perfectly disassortative, pendant triangle at 3/5") {
+    // path 1-2-3: no triangles; endpoint degrees (1,2) on every directed
+    // edge -> assortativity exactly -1
+    val path = GraphOps.graphStats(edgesDF(Seq((1L, 2L), (2L, 3L)))).head()
+    assert(path.getAs[Long]("n_triangles") === 0L)
+    assert(path.getAs[Long]("transitivity_micro") === 0L)
+    assert(path.getAs[Double]("assortativity") === -1.0)
+    // triangle 1-2-3 plus pendant 1-4: T=1, wedges=3+1+1=5 -> 3/5
+    val tp = GraphOps.graphStats(
+      edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))).head()
+    assert(tp.getAs[Long]("n_triangles") === 1L)
+    assert(tp.getAs[Long]("transitivity_micro") === 600000L)
+    assert(tp.getAs[Long]("n_nodes") === 4L && tp.getAs[Long]("n_edges") === 4L)
+  }
+
   test("adjacency lists are sorted distinct neighbors") {
     val adj = GraphOps.adjacency(edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L))))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap

@@ -37,11 +37,11 @@ class QueriesSpec extends AnyFunSuite {
     "d17_cluster_split", "e01_corpus_build",
     "g05_adjacency", "g06_pagerank", "g07_components", "g11_kcore",
     "g12_link_prediction", "g13_personalized_pagerank",
-    "g14_clustering_coefficient",
+    "g14_clustering_coefficient", "g15_graph_stats",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
     "m06_phash_neardup",
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
-    "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation",
+    "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
     "q26_percentile", "q28_range_join", "q29_json_extract",
     "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
     "q37_unpivot", "q38_array_hof",
