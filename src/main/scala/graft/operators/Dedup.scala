@@ -461,6 +461,27 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** Semantic dedup clusters (the SemDeDup shape — Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding-cosine near-dup pairs become edges and
+    * connected components assign every vector a cluster id (min vec_id;
+    * singletons cluster with themselves) — the keeper-selection input for
+    * removing SEMANTIC duplicates exact/MinHash dedup can't see (same
+    * meaning, different words). Pair generation here is the exact
+    * all-pairs baseline (d05's contract); at corpus scale swap in the
+    * banded/IVF candidate stages (s02/s03/s05) in front of the same CC —
+    * identical composition, candidate generation is the only moving
+    * part. */
+  def semanticClusters(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, minCos)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comps, col("vec_id") === comps("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+  }
+
   // ---- oracle SQL generation (same constants as the Spark side) --------
 
   private val toksSql = TextFns.tokensSql("text")
@@ -824,6 +845,28 @@ object Dedup {
               |JOIN sizes s2 ON s2.doc_id = d2
               |WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.5
               |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- d18: semantic dedup clusters (SemDeDup shape) -----------------
+    // The d08 recursive-closure oracle over COSINE edges instead of LSH
+    // candidates: same transitive-cluster semantics, semantic signal.
+    Q("d18_semantic_clusters",
+      (s, dir) => semanticClusters(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |dup AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+             |        FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |        WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4),
+             |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+             |        UNION ALL SELECT d2, d1 FROM dup),
+             |reach(a, b) AS (
+             |  SELECT src, src FROM sym
+             |  UNION
+             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+             |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
+             |SELECT vec_id, coalesce(c, vec_id) AS cluster_id
+             |FROM e LEFT JOIN comp ON vec_id = node
+             |ORDER BY vec_id""".stripMargin)),
 
     // ---- d05: embedding-cosine near-dup pairs --------------------------
     Q("d05_embedding_neardup",
