@@ -168,6 +168,26 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Shard-parallel modality interleave — the deterministic round-robin
+    * layout a multimodal training stream wants (image, audio, video
+    * alternating) computed without a global sort: within each
+    * content-hash shard, rank per kind and slot = (rank−1)·3 + kind
+    * index, the t10 sequence-packing shape applied to modality mixing.
+    * Per-task state is one (shard, kind) run; shards size parallelism at
+    * 100 TB exactly as t10's packing shards do. */
+  def interleaveModalities(media: DataFrame, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kindIdx = when(col("kind") === "image", 0)
+      .when(col("kind") === "audio", 1).otherwise(2)
+    val t = media.select(col("doc_id"), col("kind"),
+      pmod(graft.functions.PortableHash.baseHash(col("doc_id").cast("string")),
+        lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard"), col("kind")).orderBy(col("doc_id"))
+    t.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("kind"), col("shard"),
+        ((col("rn") - 1) * 3 + kindIdx).cast("long").as("slot"))
+  }
+
   private def mediaDs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     mediaTable(Tables.load(s, dir, "documents")).as[MediaRow]
@@ -292,6 +312,25 @@ object Multimodal {
              |FROM p a JOIN p b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.phash, b.phash)) <= 1
              |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- m07: shard-parallel modality interleave -----------------------
+    // The oracle re-derives the same shard hash and per-(shard, kind)
+    // ranks — the whole layout is integer-exact and hash-gated, like t10.
+    Q("m07_interleave",
+      (s, dir) => interleaveModalities(mediaTable(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH m AS (SELECT doc_id,
+              |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+              |    ${graft.functions.PortableHash.baseHashSql("doc_id::VARCHAR")} % 8 AS shard
+              |  FROM documents),
+              |r AS (SELECT doc_id, kind, shard,
+              |    row_number() OVER (PARTITION BY shard, kind ORDER BY doc_id) AS rn
+              |  FROM m)
+              |SELECT doc_id, kind, CAST(shard AS BIGINT) AS shard,
+              |  CAST((rn - 1) * 3 + (CASE kind WHEN 'image' THEN 0
+              |                       WHEN 'audio' THEN 1 ELSE 2 END) AS BIGINT) AS slot
+              |FROM r
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- m05: byte-exact payload dedup ---------------------------------
     // Unlike d01 (normalized-text fingerprints), payload dedup is over

@@ -966,6 +966,33 @@ object Relational {
     // side by construction) plus a union. Updates = every 7th customer
     // with a re-stated balance; inserts = suppliers re-keyed into the
     // customer id space. Oracle is the NOT IN + UNION ALL formulation.
+    // ---- q44: keep-latest compaction (CDC log -> current state) --------
+    // Latest event per user as ONE max-of-struct aggregation — the
+    // bounded-memory form of the row_number()=1 window (d01's lesson for
+    // the compaction pass: a hot key costs partial-max merges, never a
+    // buffered partition). The oracle deliberately IS the window
+    // formulation, so the green row machine-checks agg == window. Struct
+    // ordering is lexicographic (ms, event_id, cents): event_id is unique
+    // per ms so the tie-break is total.
+    Q("q44_keep_latest",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          struct(unix_millis(col("ts")).as("ms"), col("event_id"),
+            round(col("value") * 100).cast("long").as("value_cents")).as("ev"))
+        .groupBy(col("user_id")).agg(max(col("ev")).as("last"))
+        .select(col("user_id"), col("last.ms").as("ms"),
+          col("last.event_id").as("event_id"),
+          col("last.value_cents").as("value_cents"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, ms, event_id, value_cents
+             |FROM (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             |        CAST(round(value * 100) AS BIGINT) AS value_cents,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
     Q("q42_upsert",
       (s, dir) => {
         val base = t(s, dir, "customer").select(col("c_custkey"),

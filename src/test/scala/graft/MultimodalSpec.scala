@@ -40,6 +40,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d >= 1 && d <= 6, s"hamming $d")
   }
 
+  test("interleave: slot mod 3 is the kind lane; per-kind slots step by 3 in a shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = (0L until 90L)
+      .map(id => (id, Seq("image", "audio", "video")((id % 3).toInt)))
+      .toDF("doc_id", "kind")
+    val rows = Multimodal.interleaveModalities(media, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lane = Map("image" -> 0L, "audio" -> 1L, "video" -> 2L)
+    rows.foreach { case (id, kind, _, slot) =>
+      assert(slot % 3 === lane(kind), s"doc $id in wrong lane")
+    }
+    rows.groupBy(r => (r._3, r._2)).foreach { case ((shard, kind), grp) =>
+      val slots = grp.sortBy(_._1).map(_._4)
+      assert(slots === slots.indices.map(i => lane(kind) + 3L * i),
+        s"shard $shard kind $kind slots not a stride-3 run: ${slots.toSeq}")
+    }
+  }
+
   test("banded near-dup join == brute-force hamming<=1 scan") {
     import spark.implicits._
     val media = (0L until 60L).map { id =>
