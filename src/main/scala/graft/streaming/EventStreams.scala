@@ -433,6 +433,40 @@ object EventStreams {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- st12: FORWARD as-of join with tolerance -----------------------
+    // The merge_asof direction/tolerance surface: each click matched to
+    // the EARLIEST purchase at-or-after it, nulled beyond a 60-minute
+    // tolerance. The right side is pre-collapsed to one row per
+    // (user, ts) so ties can't make the match nondeterministic. Oracle =
+    // DuckDB's native ASOF LEFT JOIN with the <= direction plus the same
+    // tolerance CASE.
+    Q("st12_asof_forward",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("l_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("event_id")).as("r_id"))
+        graft.operators.AsOf.asofJoin(clicks, purchases, "user_id", "ts",
+            direction = "forward", toleranceMs = Some(3600000L))
+          .select(col("user_id"), col("l_id"),
+            col("matched.r_id").as("r_id"),
+            (unix_millis(col("matched.ts")) - unix_millis(col("ts"))).as("gap_ms"))
+          .orderBy(col("user_id"), col("l_id"))
+      },
+      Some("""WITH c AS (SELECT event_id AS l_id, user_id, ts FROM events
+             |           WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts, min(event_id) AS r_id FROM events
+             |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             |SELECT c.user_id, c.l_id,
+             |  CASE WHEN epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+             |       THEN p.r_id END AS r_id,
+             |  CASE WHEN epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+             |       THEN epoch_ms(p.ts) - epoch_ms(c.ts) END AS gap_ms
+             |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+             |ORDER BY c.user_id, c.l_id""".stripMargin)),
+
     // ---- st08: strict-sequence funnel (view -> click -> purchase) ------
     // Per user: earliest view, earliest click strictly after it, earliest
     // purchase strictly after that; stage flags + completion latency.

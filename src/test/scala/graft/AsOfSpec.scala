@@ -30,6 +30,27 @@ class AsOfSpec extends AnyFunSuite {
     assert(res === 7.0)
   }
 
+  test("asofJoin forward picks earliest at-or-after; tolerance nulls distant matches") {
+    val left = Seq((1L, 100L, "a"), (1L, 260L, "b"), (2L, 10L, "c"))
+      .toDF("k", "ms", "name")
+      .select($"k", timestamp_millis($"ms").as("ts"), $"name")
+    val right = Seq((1L, 120L, 1.0), (1L, 500L, 5.0))
+      .toDF("k", "ms", "v")
+      .select($"k", timestamp_millis($"ms").as("ts"), $"v")
+    val res = AsOf.asofJoin(left, right, "k", "ts",
+        direction = "forward", toleranceMs = Some(100L))
+      .select($"name", $"matched.v")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(res("a") === Some(1.0))  // 120 >= 100, gap 20 <= 100
+    assert(res("b") === None)       // nearest following is 500: gap 240 > 100
+    assert(res("c") === None)       // key 2 has no rights
+    // without tolerance, b matches 500 (earliest at-or-after)
+    val loose = AsOf.asofJoin(left, right, "k", "ts", direction = "forward")
+      .select($"name", $"matched.v")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(loose("b") === Some(5.0))
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem") {
     // q25 now emits (l_returnflag, exact_orders, within_tol): the derived
     // invariant column IS the 5% assertion, checked per-group

@@ -50,6 +50,7 @@ class QueriesSpec extends AnyFunSuite {
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
     "st08_funnel", "st10_disorder_audit", "st11_attribution",
+    "st12_asof_forward",
     "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
     "t05_tfidf", "t06_inverted_index", "t07_redact", "t08_vocab_coverage",
     "t09_repetition", "t10_pack_sequences", "t11_unigram_surprisal",
