@@ -485,13 +485,13 @@ object Dedup {
   // ---- oracle SQL generation (same constants as the Spark side) --------
 
   private val toksSql = TextFns.tokensSql("text")
-  private def shCte(filter: String = "") =
+  private[operators] def shCte(filter: String = "") =
     s"""tok AS (SELECT doc_id, lang, $toksSql AS l FROM documents$filter),
        |sh AS (SELECT DISTINCT doc_id, lang,
        |       unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS s
        |       FROM tok)""".stripMargin
 
-  private val sigCte = {
+  private[operators] val sigCte = {
     val mins = (0 until K)
       .map(k => s"min(${PortableHash.minhashSql("h", k)}) AS m$k").mkString(",\n       ")
     s"""bh AS (SELECT doc_id, ${PortableHash.baseHashSql("s")} AS h FROM sh),
@@ -500,7 +500,7 @@ object Dedup {
        |       FROM bh GROUP BY doc_id)""".stripMargin
   }
 
-  private def bandKeySql(b: Int, rows: Int): String =
+  private[operators] def bandKeySql(b: Int, rows: Int): String =
     "md5(concat_ws(','," + (0 until rows).map(r => s"m${b * rows + r}::VARCHAR").mkString(",") + "))"
 
   val queries: Seq[Q] = Seq(

@@ -44,6 +44,67 @@ object Pipeline {
     TextOps.packSequences(surviving, budgetTokens, shards)
   }
 
+  /** Day-2 incremental maintenance, certified in one result set — the
+    * operations a 100 TB corpus actually runs when a new batch lands,
+    * WITHOUT re-reading old data, each emitting a machine-checked row:
+    *
+    *  - `new_near_dup_pairs`: the d14 incremental LSH probe (batch vs
+    *    corpus index; the old-old quadrant is never formed) — the count
+    *    the oracle recomputes from the full pair set;
+    *  - `batch_fp_already_in_corpus`: exact-dedup increment — batch docs
+    *    whose fingerprint already exists (oracle recomputes);
+    *  - `hll_fold_register_mismatch` / `cms_fold_cell_mismatch` /
+    *    `hdr_fold_bucket_mismatch`: the three persisted corpus sketches
+    *    (p08 registers, p09 counters, p07 buckets) folded old⊕new and
+    *    compared to the whole-corpus build — 0 on the oracle side by
+    *    fiat, EARNED on the Spark side (the d11 merge property for the
+    *    max, sum, and sum monoids respectively).
+    */
+  def dayTwoCertification(docs: DataFrame): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val old = docs.filter(!isBatch)
+    val nw = docs.filter(isBatch)
+    def row(name: String, v: DataFrame) =
+      v.select(lit(name).as("metric"), col("value"))
+
+    val pairs = Dedup.incrementalLshPairs(old, nw)
+      .agg(count(lit(1)).as("value"))
+
+    val fpOld = old.select(TextFns.fingerprint(col("text")).as("fp")).distinct()
+    val dupFp = nw.select(TextFns.fingerprint(col("text")).as("fp"))
+      .join(fpOld, "fp").agg(count(lit(1)).as("value"))
+
+    def mismatches(fold: DataFrame, whole: DataFrame, keys: Seq[String],
+        v: String): DataFrame =
+      fold.join(whole.withColumnRenamed(v, "_w"), keys, "full")
+        .agg(sum(when(col(v) <=> col("_w"), 0L).otherwise(1L)).as("value"))
+
+    def hllR(df: DataFrame) = Profile.hllRegisters(df, col("doc_id"))
+    val hllFold = hllR(old).unionByName(hllR(nw))
+      .groupBy(col("bucket")).agg(max(col("m")).as("m"))
+    val hllMis = mismatches(hllFold, hllR(docs), Seq("bucket"), "m")
+
+    def cmsC(df: DataFrame) = Profile.cmsCounters(df, col("doc_id") % 997)
+    val cmsFold = cmsC(old).unionByName(cmsC(nw))
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+    val cmsMis = mismatches(cmsFold, cmsC(docs), Seq("r", "c"), "cnt")
+
+    def hdr(df: DataFrame) = df
+      .agg(graft.functions.HdrSketch.sketch(col("n_chars").cast("long")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1").as("bucket"), col("e._2").as("cnt"))
+    val hdrFold = hdr(old).unionByName(hdr(nw))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val hdrMis = mismatches(hdrFold, hdr(docs), Seq("bucket"), "cnt")
+
+    row("batch_fp_already_in_corpus", dupFp)
+      .unionByName(row("cms_fold_cell_mismatch", cmsMis))
+      .unionByName(row("hdr_fold_bucket_mismatch", hdrMis))
+      .unionByName(row("hll_fold_register_mismatch", hllMis))
+      .unionByName(row("new_near_dup_pairs", pairs))
+      .orderBy(col("metric"))
+  }
+
   private val normSql = TextFns.normalizeSql("text")
   private val toksSql = TextFns.tokensSql("text")
 
@@ -86,5 +147,38 @@ object Pipeline {
               |  CAST(pre % 512 AS BIGINT) AS seq_offset
               |FROM c
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- e02: day-2 incremental maintenance, certified -----------------
+    // The oracle recomputes the two countable metrics from scratch (full
+    // LSH pair set quadrant-filtered, batch fingerprints vs old corpus)
+    // and asserts the three fold-mismatch counts as literal 0 — zeros the
+    // Spark side must EARN by actually folding old⊕new sketches and
+    // comparing to the whole-corpus build.
+    Q("e02_day_two",
+      (s, dir) => dayTwoCertification(Tables.load(s, dir, "documents")),
+      Some {
+        val bands = 8; val rows = PortableHash.K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${Dedup.bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        s"""WITH ${Dedup.shCte()},
+           |${Dedup.sigCte},
+           |bands AS ($bandSelects),
+           |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |          FROM bands a JOIN bands b
+           |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT 'batch_fp_already_in_corpus' AS metric,
+           |  CAST(count(*) AS BIGINT) AS value
+           |FROM documents
+           |WHERE doc_id % 10 = 0 AND md5($normSql) IN
+           |  (SELECT md5($normSql) FROM documents WHERE doc_id % 10 <> 0)
+           |UNION ALL SELECT 'cms_fold_cell_mismatch', 0
+           |UNION ALL SELECT 'hdr_fold_bucket_mismatch', 0
+           |UNION ALL SELECT 'hll_fold_register_mismatch', 0
+           |UNION ALL SELECT 'new_near_dup_pairs',
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs
+           |   WHERE d1 % 10 = 0 OR d2 % 10 = 0)
+           |ORDER BY metric""".stripMargin
+      }),
   )
 }
