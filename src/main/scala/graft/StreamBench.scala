@@ -137,6 +137,69 @@ object StreamBench {
       report("st10_disorder_audit_ordered_replay", q, matched, batch.count())
     }
 
+    // st11: stream-stream LEFT OUTER interval join (attribution). Outer
+    // NULL rows emit only as the watermark passes each click's window
+    // close, so this measures join-state maintenance under steady
+    // triggers. Three replay requirements the inner-count benches above
+    // don't have: (a) chunks must arrive in EVENT-TIME order (the st10
+    // device) — randomly-placed rows behind an advanced watermark are
+    // LATE and silently dropped from join state, which undercounts the
+    // outer side ~10× (measured on the unordered staging); (b) a
+    // sentinel event past the corpus arrives last to flush the tail's
+    // pending NULL rows (the StreamingSpec device); (c) the sentinel
+    // must be one row PER JOIN SIDE: Catalyst pushes the event_type
+    // filters below the EventTimeWatermark node (they don't touch ts),
+    // so each side's watermark only advances on rows surviving its own
+    // filter — a neither-type sentinel is invisible and the global
+    // watermark (= min across sides) stalls one watermark-delay +
+    // join-window short of the corpus max, permanently stranding the
+    // tail's unmatched clicks in state (measured: 70 rows at sf0.1).
+    // With all three, stream == batch exactly.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val replayDir = Files.createTempDirectory("graft_replay_attr")
+      val maxTs = spark.read.parquet(staging)
+        .agg(max(col("ts"))).head.getTimestamp(0)
+      // the sentinels ride INSIDE the final chunk (not as a 21st file,
+      // which FileStreamSource may list in the same batch): with them the
+      // last data batch advances both sides' watermarks past every window
+      // close and the engine's trailing no-data batch evicts + emits the
+      // pending NULL rows. user_id = -1 keeps them out of every real
+      // join key; the streamed count excludes them.
+      val sentinel = spark.createDataFrame(Seq(
+          (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L,
+            "click", 0.0, "{}"),
+          (-2L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L,
+            "purchase", 0.0, "{}")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val ordered = spark.read.parquet(staging)
+        .withColumn("_b", ntile(nFiles).over(
+          Window.orderBy(col("ts"), col("event_id"))))
+        .persist()
+      for (i <- 1 to nFiles) {
+        val tmp = Files.createTempDirectory("graft_attr_chunk").toString
+        val chunk = ordered.filter(col("_b") === i).drop("_b")
+        (if (i == nFiles) chunk.unionByName(sentinel) else chunk)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, replayDir.resolve(f"chunk-$i%04d.parquet"))
+      }
+      ordered.unpersist()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+      val q = EventStreams.intervalJoinOuter(stream.withWatermark("ts", "2 hours"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("bench_attr").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("bench_attr")
+        .filter(col("user_id") >= 0).count()
+      val batch = EventStreams.intervalJoinOuter(
+        spark.read.parquet(staging)).count()
+      report("st11_attribution_outer_join", q, streamed, batch)
+    }
+
     spark.stop()
   }
 }
