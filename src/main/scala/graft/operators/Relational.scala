@@ -1092,5 +1092,101 @@ object Relational {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q45: retention cohort matrix ----------------------------------
+    // The product-analytics staple: users bucketed by first-seen week
+    // (epoch-aligned 7-day buckets — integer epoch math, so both engines
+    // agree with no week-start/timezone convention), counted per
+    // (cohort, offset) cell. ONE user-keyed shuffle computes BOTH the
+    // cohort and the distinct active weeks (collect_set is bounded by
+    // the corpus's week count, ~hundreds at any scale); the second
+    // shuffle is over cohort×offset cells — negligible. The naive form
+    // (activity matrix JOIN first-seen) shuffles the events table twice;
+    // this one never joins.
+    Q("q45_retention_cohorts",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 604800000").as("week"))
+        .groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"),
+          collect_set(col("week")).as("weeks"))
+        .select(col("cohort_week"), explode(col("weeks")).as("week"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset")),
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |    epoch_ms(ts) // 604800000 AS week FROM events),
+             |uw AS (SELECT user_id, min(week) AS cohort_week
+             |       FROM act GROUP BY user_id)
+             |SELECT cohort_week, week - cohort_week AS week_offset,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM act JOIN uw USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q46: item co-occurrence (co-purchase pairs) -------------------
+    // "Frequently bought together": canonical item pairs sharing a buyer,
+    // counted. The scale shape is g09's capped wedge on relational data:
+    // ONE user-keyed shuffle builds each buyer's sorted distinct basket
+    // (capped at 32 items, so a power-buyer costs O(cap²) not O(deg²) —
+    // the cap is part of the registered semantics and the oracle
+    // replicates it via row_number), then pairs generate IN-ROW from the
+    // basket array and only the (i,j) count aggregation shuffles —
+    // pair-space, not user×pair-space. No self-join of the events table.
+    Q("q46_copurchase",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .groupBy(col("user_id"))
+        .agg(slice(sort_array(collect_set(col("item"))), 1, 32).as("items"))
+        .select(explode(col("items")).as("i"), col("items"))
+        .select(col("i"),
+          explode(filter(col("items"), x => x > col("i"))).as("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_users"))
+        .filter(col("n_users") >= 2)
+        .orderBy(col("i"), col("j")),
+      Some("""WITH p AS (SELECT DISTINCT user_id,
+             |    CAST(json_extract_string(props, '$.k') AS INT) AS item
+             |  FROM events WHERE event_type = 'purchase'),
+             |b AS (SELECT user_id, item,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+             |  FROM p)
+             |SELECT a.item AS i, c.item AS j, CAST(count(*) AS BIGINT) AS n_users
+             |FROM b a JOIN b c ON a.user_id = c.user_id AND a.item < c.item
+             |WHERE a.rn <= 32 AND c.rn <= 32
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q47: event-type transition matrix -----------------------------
+    // First-order Markov transitions over each user's event sequence:
+    // lead() on a per-user window (high-cardinality partition — a task
+    // sorts one user's history, never a global sort), tie-broken by
+    // event_id so the sequence is total and both engines see the same
+    // successor. The (from, to) count aggregation is over |types|² cells.
+    Q("q47_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT event_type AS from_type,
+             |        lead(event_type, 1) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS to_type
+             |      FROM events) s
+             |WHERE to_type IS NOT NULL
+             |GROUP BY from_type, to_type
+             |ORDER BY from_type, to_type""".stripMargin)),
   )
 }
