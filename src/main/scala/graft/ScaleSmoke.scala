@@ -329,6 +329,41 @@ object ScaleSmoke {
         nAlerts
       }
       println(s"""{"step":"st05_state","n_users":$nUsers,"n_alerts":$nAlerts}""")
+
+      // q45 retention shape at 20M events / ~1M users / 26 weeks: ONE
+      // user-keyed shuffle (min + collect_set of week buckets — state per
+      // user is bounded by the corpus's week count, not its event count)
+      // then a rollup over cohort×offset cells. Shuffle must track one
+      // pass over distinct (user, week), never events × matrix.
+      timed("q45_retention_20M") {
+        spark.range(nEvents).select(
+            zipfNode(nEvents / 20, 31).as("user_id"),
+            pmod(xxhash64(col("id"), lit(32)), lit(26L * 604800000L)).as("ms"))
+          .select(col("user_id"), expr("ms div 604800000").as("week"))
+          .groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort"),
+            collect_set(col("week")).as("weeks"))
+          .select(col("cohort"), explode(col("weeks")).as("week"))
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("off"))
+          .count().count()
+      }
+
+      // q46 capped-basket pairs at 10M purchases / zipf users / 2000
+      // items: the hot user draws ~10⁴ events (distinct items ≈ the full
+      // catalog) but the basket cap bounds its in-row pair cost at
+      // 32·31/2 — runtime and shuffle must track the (user, item)
+      // stream, not the hot user's uncapped deg².
+      timed("q46_copurchase_10M") {
+        spark.range(10000000L).select(
+            zipfNode(500000L, 41).as("user_id"),
+            pmod(xxhash64(col("id"), lit(42)), lit(2000L)).cast("int").as("item"))
+          .groupBy(col("user_id"))
+          .agg(slice(sort_array(collect_set(col("item"))), 1, 32).as("items"))
+          .select(explode(col("items")).as("i"), col("items"))
+          .select(col("i"),
+            explode(filter(col("items"), x => x > col("i"))).as("j"))
+          .groupBy(col("i"), col("j")).count().count()
+      }
     }
 
     // Skewed FACT join: 20M-row fact whose hottest key owns ~20% of rows
