@@ -198,4 +198,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no scoring-side shuffle join expected:\n$plan")
   }
+
+  test("q46 co-purchase pairs carry NO join — baskets aggregate, pairs generate in-row") {
+    // the whole scale argument vs the classic self-join formulation:
+    // pairs come from exploding each buyer's capped basket array, so the
+    // executed plan must be aggregate → generate → aggregate with no
+    // join node anywhere
+    val plan = executedPlan(SparkEntry.queries("q46_copurchase")(spark, dir))
+    assert(!plan.contains("Join"),
+      s"co-purchase should not join — pairs generate in-row:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected in-row pair generation (explode):\n$plan")
+  }
+
+  test("q45 retention computes cohort and activity in ONE user-keyed exchange") {
+    // min(week) and collect_set(week) ride the same groupBy — the naive
+    // first-seen JOIN activity-matrix form would shuffle events twice
+    // and join; assert no join and no second events-keyed exchange
+    val plan = executedPlan(SparkEntry.queries("q45_retention_cohorts")(spark, dir))
+    assert(!plan.contains("Join"),
+      s"retention should aggregate once, not join first-seen to activity:\n$plan")
+    // both the cohort (min) and the activity set ride ONE partial
+    // aggregate's function list — the single-pass proof (AQE reprints
+    // exchange nodes, so counting Exchange occurrences is unreliable)
+    assert("partial_min\\(week[^\\]]*partial_collect_set\\(week".r
+        .findFirstIn(plan).isDefined,
+      s"cohort min and activity set should ride one aggregate pass:\n$plan")
+  }
 }
