@@ -1188,5 +1188,71 @@ object Relational {
              |WHERE to_type IS NOT NULL
              |GROUP BY from_type, to_type
              |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- q48: temporal densification (gap-filled per-key hour grid) ----
+    // Resampling for time-series consumers: every hour between each
+    // user's first and last event, zero-filled where nothing happened.
+    // The dense grid GENERATES IN-ROW from each key's span (sequence +
+    // explode) — never a join against a materialized calendar table —
+    // and the spans derive from the hourly counts (not a second scan of
+    // events), so the count exchange is built once and reused. The
+    // zero-fill join is equi-keyed on (user, hour). A key's cost is its
+    // own span length; the corpus never re-shuffles.
+    Q("q48_densify",
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+          .groupBy(col("user_id"), col("hr"))
+          .agg(count(lit(1)).as("n"))
+        val spans = counts.groupBy(col("user_id"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        spans
+          .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+          .join(counts, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("user_id"), col("hr"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hr FROM events),
+             |c AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n
+             |      FROM e GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+             |      FROM c GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM s)
+             |SELECT g.user_id, g.hr, coalesce(c.n, 0) AS n
+             |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q49: percent-of-total contribution ----------------------------
+    // Share of total revenue per market segment, in exact integer ppm
+    // (the t12 DECIMAL(38,0)/HUGEINT idiom — no float division). The
+    // ORACLE is the textbook sum() OVER () global-window form; the
+    // registered plan computes the total as a scalar aggregate over the
+    // (tiny) grouped result and broadcasts it back — at 100 TB the
+    // global window is a single-task sort over every group, while the
+    // broadcast costs one row. The green row machine-checks the
+    // window==broadcast equivalence.
+    Q("q49_share",
+      (s, dir) => {
+        val seg = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val total = seg.agg(sum(col("cents")).as("t"))
+        seg.crossJoin(broadcast(total))
+          .select(col("c_mktsegment"), col("cents"),
+            expr("""CAST(CAST(cents AS DECIMAL(38,0)) * 1000000
+                    div CAST(t AS DECIMAL(38,0)) AS BIGINT)""").as("share_ppm"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH seg AS (SELECT c_mktsegment,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_mktsegment)
+             |SELECT c_mktsegment, cents,
+             |  CAST(cents::HUGEINT * 1000000
+             |       // sum(cents::HUGEINT) OVER () AS BIGINT) AS share_ppm
+             |FROM seg
+             |ORDER BY c_mktsegment""".stripMargin)),
   )
 }
