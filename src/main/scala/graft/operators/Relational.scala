@@ -1254,5 +1254,36 @@ object Relational {
              |       // sum(cents::HUGEINT) OVER () AS BIGINT) AS share_ppm
              |FROM seg
              |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- q50: daily churn (active on day d, absent on d+1) -------------
+    // q45's single-shuffle machinery with the absence test done IN-ROW:
+    // each user's active-day set is built once (bounded by the corpus's
+    // day count), and "no activity tomorrow" is an array_contains probe
+    // on that set — the textbook formulation is a self-ANTI-join of the
+    // activity matrix on (user, day+1), a second full shuffle of the
+    // events table. Day buckets (not weeks) so the fixture corpus — in
+    // which every user is active every week — produces a discriminating
+    // multi-row result. The final day counts everyone as churned (no d+1
+    // data exists) — deterministic in both engines, and what a real
+    // dashboard clips.
+    Q("q50_churn",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("day")).as("days"))
+        .select(explode(col("days")).as("day"), col("days"))
+        .filter(!expr("array_contains(days, day + 1)"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("churned"))
+        .orderBy(col("day")),
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |    epoch_ms(ts) // 86400000 AS day FROM events)
+             |SELECT a.day, CAST(count(*) AS BIGINT) AS churned
+             |FROM act a LEFT JOIN act b
+             |  ON a.user_id = b.user_id AND b.day = a.day + 1
+             |WHERE b.user_id IS NULL
+             |GROUP BY a.day
+             |ORDER BY a.day""".stripMargin)),
   )
 }

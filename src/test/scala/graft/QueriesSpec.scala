@@ -46,7 +46,7 @@ class QueriesSpec extends AnyFunSuite {
     "q26_percentile", "q28_range_join", "q29_json_extract",
     "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
     "q37_unpivot", "q38_array_hof", "q45_retention_cohorts",
-    "q46_copurchase", "q48_densify", "q49_share",
+    "q46_copurchase", "q48_densify", "q49_share", "q50_churn",
     "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
     "s05_ivf_topk", "s06_quantized_rerank", "s07_pq_adc",
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
