@@ -73,6 +73,71 @@ object TextOps {
       .limit(k)
   }
 
+  /** Deterministic per-domain document cap — keep exactly `n` documents
+    * per domain (a uniform, re-run-stable subsample keyed on a portable
+    * content-independent hash) WITHOUT ever sorting a whole domain in one
+    * task. Domain-cap enforcement is the mixture-control primitive of a
+    * training corpus ("at most N docs of src7"), and its naive form —
+    * `row_number() OVER (PARTITION BY domain ORDER BY priority)` — is the
+    * q36 scale-killer: domains are few (tens), so WindowExec sorts an
+    * entire domain (billions of rows at 100 TB) in a single task.
+    *
+    * Two-pass threshold select instead (the distributed top-k shape):
+    *   1. bucket each row's priority hash into `buckets` monotone ranges
+    *      and build a per-(domain, bucket) histogram — a bounded aggregate
+    *      of at most domains × buckets rows, independent of corpus size.
+    *      A running sum over that tiny table identifies, per domain, the
+    *      boundary bucket b* containing the n-th priority (the one bucket
+    *      with cum ≥ n and cum − cnt < n — no self-join needed) and
+    *      `before` = the exact row count in buckets below it.
+    *   2. broadcast (b*, before) back onto the data and DROP every row
+    *      with bucket > b* before anything sorts: what survives is ≈ the
+    *      kept set plus the boundary bucket's tail. One row_number window
+    *      partitioned by (domain, bucket) — a HIGH-cardinality key whose
+    *      partitions hold ~domain/buckets rows — supplies the within-
+    *      bucket rank, and `bucket < b* OR before + rank <= n` is the cap.
+    *
+    * Bucketing is monotone in the hash, so the kept set is EXACTLY the
+    * oracle's per-domain top-n by (hash, doc_id) — the histogram changes
+    * the plan shape, never the result. The executed plan reads the pruned
+    * 2-column projection twice (histogram + data pass) and shuffles only
+    * survivors (~n per domain + one bucket's width), vs the naive window's
+    * full-corpus shuffle into one task per domain. At 100 TB, size
+    * `buckets` so domain/buckets fits one task's sort (2^16 ⇒ a 10B-row
+    * domain leaves ~150k boundary rows); a second histogram level inside
+    * the boundary bucket extends the same idea if one can't. Domains
+    * smaller than n never reach the threshold (no b* row) and are kept
+    * whole via the left join's null arm. */
+  def domainCap(docs: org.apache.spark.sql.DataFrame, n: Long = 15,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"domainCap n must be >= 1, got $n")
+    val h = graft.functions.PortableHash.baseHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+    // bucket = floor(h * buckets / 2^32): h < 2^32 so the product stays
+    // far from Long overflow and the mapping is monotone in h
+    val base = docs.select(col("doc_id"), col("source").as("domain"), h.as("h"))
+      .withColumn("bucket", expr(s"CAST((h * $buckets) div ${1L << 32} AS INT)"))
+    val hist = base.groupBy(col("domain"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // this window runs over the HISTOGRAM (≤ buckets rows per domain),
+    // never the data
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("domain")).orderBy(col("bucket"))))
+    val thr = cum.filter(col("cum") >= n && col("cum") - col("cnt") < n)
+      .select(col("domain"), col("bucket").as("bstar"),
+        (col("cum") - col("cnt")).as("before"))
+    val survivors = base.join(broadcast(thr), Seq("domain"), "left")
+      .filter(col("bstar").isNull || col("bucket") <= col("bstar"))
+    val w = Window.partitionBy(col("domain"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    survivors.withColumn("rk", row_number().over(w))
+      .filter(col("bstar").isNull || col("bucket") < col("bstar") ||
+        col("before") + col("rk") <= n)
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("domain"), col("doc_id"))
+  }
+
   private def inListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -93,6 +158,22 @@ object TextOps {
        |          THEN 0.3 ELSE 0.0 END), 2)""".stripMargin
 
   val queries: Seq[Q] = Seq(
+
+    // ---- t13: per-domain cap (mixture control) -------------------------
+    // The oracle is the NAIVE single-window form the Spark side exists to
+    // avoid — same keep-set by construction (monotone bucketing), opposite
+    // plan shape, so a hash match certifies the threshold-select rewrite
+    // is lossless, not that two copies of one algorithm agree.
+    Q("t13_domain_cap",
+      (s, dir) => domainCap(Tables.load(s, dir, "documents")),
+      Some(s"""WITH p AS (SELECT doc_id, source AS domain,
+              |        ${graft.functions.PortableHash.baseHashSql("source || ':' || doc_id")} AS h
+              |      FROM documents),
+              |r AS (SELECT doc_id, domain,
+              |        row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+              |      FROM p)
+              |SELECT doc_id, domain FROM r WHERE rk <= 15
+              |ORDER BY domain, doc_id""".stripMargin)),
 
     // ---- t09: repetition score -----------------------------------------
     // Repeated-bigram fraction (1 - distinct/total) — the cheap repetition

@@ -225,4 +225,32 @@ class PlanSpec extends AnyFunSuite {
         .findFirstIn(plan).isDefined,
       s"cohort min and activity set should ride one aggregate pass:\n$plan")
   }
+
+  test("t13 domain cap: data window keyed by (domain, bucket), survivors filtered below the shuffle") {
+    // domains are few: a whole-domain window would sort an entire domain
+    // in one task (the q36 shape). The data-side row_number must be
+    // partitioned by (domain, bucket) — high cardinality — and the
+    // bucket <= b* survivor filter must sit BELOW its exchange so only
+    // ~n + one bucket's rows per domain ever shuffle.
+    val plan = executedPlan(SparkEntry.queries("t13_domain_cap")(spark, dir))
+    assert("row_number\\(\\) windowspecdefinition\\(domain#\\d+, bucket#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"data rank window must be keyed by (domain, bucket), not domain alone:\n$plan")
+    // the survivor filter (bucket <= bstar) appears between the data scan
+    // and the (domain, bucket) exchange: in plan print order, a Filter on
+    // bstar occurs AFTER (deeper than) the hashpartitioning(domain, bucket)
+    // exchange line
+    val exIdx = "hashpartitioning\\(domain#\\d+, bucket#\\d+".r
+      .findFirstMatchIn(plan).map(_.start)
+    val fIdx = "Filter \\(isnull\\(bstar#\\d+\\) OR \\(bucket#\\d+ <= bstar#\\d+\\)\\)".r
+      .findFirstMatchIn(plan).map(_.start)
+    assert(exIdx.isDefined && fIdx.isDefined && fIdx.get > exIdx.get,
+      s"survivor filter must sit below the (domain, bucket) exchange:\n$plan")
+    // the histogram pass + the data pass: exactly two pruned scans (count
+    // in the final plan only — AQE's toString repeats the initial plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("FileScan parquet \\[doc_id#\\d+L,source#\\d+\\]".r
+        .findAllIn(finalPlan).size === 2,
+      s"expected exactly two 2-column scans (histogram + data):\n$plan")
+  }
 }

@@ -36,4 +36,30 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("domainCap == naive per-domain window for random corpora, all knobs") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 4) {
+      val nDomains = rnd.nextInt(5) + 2
+      val docs = (0L until (50 + rnd.nextInt(200)).toLong).map { i =>
+        (i, s"src${rnd.nextInt(nDomains)}")
+      }.toDF("doc_id", "source")
+      // the naive form the operator replaces: one window per whole domain
+      val h = graft.functions.PortableHash.baseHash(
+        concat(col("source"), lit(":"), col("doc_id").cast("string")))
+      for (n <- Seq(1L, 7L, 1000L); buckets <- Seq(1, 4, 4096)) {
+        val naive = docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
+          .filter(col("rk") <= n)
+          .select(col("doc_id"), col("source").as("domain"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity[(Long, String)])
+        val capped = TextOps.domainCap(docs, n, buckets)
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity[(Long, String)])
+        assert(capped.toSeq === naive.toSeq,
+          s"trial=$trial n=$n buckets=$buckets: threshold select drifted from the naive window")
+      }
+    }
+  }
 }
