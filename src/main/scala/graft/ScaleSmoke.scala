@@ -66,6 +66,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("--skew-only")
+    val t13Only = args.contains("--t13-only")
     val posArgs = args.filterNot(_.startsWith("--"))
     val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
     val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
@@ -83,7 +84,7 @@ object ScaleSmoke {
       println(s"""{"step":"$name","rows":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
     }
 
-    if (!skewOnly) {
+    if (!skewOnly && !t13Only) {
       val e = edges(spark, nEdges, nNodes).persist()
       val d = docs(spark, nDocs).persist()
       println(s"""{"step":"gen","edges":${e.count()},"docs":${d.count()},"top_degree":${
@@ -365,6 +366,37 @@ object ScaleSmoke {
           .groupBy(col("i"), col("j")).count().count()
       }
     }
+
+    if (!skewOnly) {
+      // t13 domain cap at 20M docs / 50 domains / n = 10k: the naive form
+      // shuffles the WHOLE corpus into 50 window partitions (one task
+      // sorts ~400k rows — the q36 shape); threshold select must shuffle
+      // only survivors (~n + one bucket's width per domain ≈ 2.5% here).
+      // Both run on identical data so the shuffle-byte ratio IS the
+      // 100×-survival argument: naive grows with the corpus, threshold
+      // select with the OUTPUT.
+      val nCap = 20000000L
+      val capDocs = spark.range(nCap).select(
+        col("id").as("doc_id"),
+        concat(lit("src"), pmod(xxhash64(col("id"), lit(51)), lit(50L))).as("source"))
+      // buckets sized to the corpus: the histogram shuffle costs
+      // tasks × domains × buckets partial rows while the boundary costs
+      // domain/buckets rows per domain — 256 balances both at this width
+      // (the default 4096 is sized for billion-row domains)
+      timed("t13_domain_cap_20M") {
+        graft.operators.TextOps.domainCap(capDocs, n = 10000L, buckets = 256).count()
+      }
+      timed("t13_naive_window_20M") {
+        val h = graft.functions.PortableHash.baseHash(
+          concat(col("source"), lit(":"), col("doc_id").cast("string")))
+        capDocs.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(h, col("doc_id"))))
+          .filter(col("rk") <= 10000).count()
+      }
+    }
+
+    if (t13Only) { spark.stop(); return }
 
     // Skewed FACT join: 20M-row fact whose hottest key owns ~20% of rows
     // (floor(K·u⁸): P(key=0) = K^(-1/8)), joined to a per-key dim.
