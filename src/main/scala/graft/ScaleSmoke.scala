@@ -67,6 +67,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("--skew-only")
     val t13Only = args.contains("--t13-only")
+    val p12Only = args.contains("--p12-only")
     val posArgs = args.filterNot(_.startsWith("--"))
     val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
     val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
@@ -84,7 +85,7 @@ object ScaleSmoke {
       println(s"""{"step":"$name","rows":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
     }
 
-    if (!skewOnly && !t13Only) {
+    if (!skewOnly && !t13Only && !p12Only) {
       val e = edges(spark, nEdges, nNodes).persist()
       val d = docs(spark, nDocs).persist()
       println(s"""{"step":"gen","edges":${e.count()},"docs":${d.count()},"top_degree":${
@@ -367,7 +368,7 @@ object ScaleSmoke {
       }
     }
 
-    if (!skewOnly) {
+    if (!skewOnly && !p12Only) {
       // t13 domain cap at 20M docs / 50 domains / n = 10k: the naive form
       // shuffles the WHOLE corpus into 50 window partitions (one task
       // sorts ~400k rows — the q36 shape); threshold select must shuffle
@@ -396,7 +397,24 @@ object ScaleSmoke {
       }
     }
 
-    if (t13Only) { spark.stop(); return }
+    if (!skewOnly && !t13Only) {
+      // p12 corpus overlap at 15M vs 14M keys with a 9M-key true overlap
+      // (~40 000x the sf0.01 gate): three 512-row register folds — the
+      // corpora are never joined, so shuffle must stay KB-scale no matter
+      // the corpus (the p08/p09 corpus-stationary evidence, here for the
+      // two-corpus question). The detail row logs estimates vs the
+      // construction-known truth.
+      val ovA = spark.range(15000000L).select(col("id").cast("string").as("k"))
+      val ovB = spark.range(6000000L, 20000000L)
+        .select(col("id").cast("string").as("k"))
+      var ovRow: org.apache.spark.sql.Row = null
+      timed("p12_sketch_overlap_29M") {
+        ovRow = Profile.overlapEstimates(ovA, ovB, col("k")).head(); 1L
+      }
+      println(s"""{"step":"p12_overlap_detail","est_a":${ovRow.getLong(0)},"est_b":${ovRow.getLong(1)},"est_union":${ovRow.getLong(2)},"est_inter":${ovRow.getLong(3)},"true_a":15000000,"true_b":14000000,"true_inter":9000000}""")
+    }
+
+    if (t13Only || p12Only) { spark.stop(); return }
 
     // Skewed FACT join: 20M-row fact whose hottest key owns ~20% of rows
     // (floor(K·u⁸): P(key=0) = K^(-1/8)), joined to a per-key dim.

@@ -207,18 +207,34 @@ object Profile {
       .orderBy(col("p"))
   }
 
-  // Shared HLL estimator text (p08) — the same string feeds Spark's expr
-  // and the DuckDB oracle. Every literal is CAST to DOUBLE explicitly:
+  // Shared HLL estimator text (p08/p12) — the same string feeds Spark's
+  // expr and the DuckDB oracle. Every literal is CAST to DOUBLE explicitly:
   // bare decimal literals parse as DECIMAL in both engines, with
   // engine-specific scales — casting first makes the whole tree identical
   // IEEE double arithmetic over the exact integer s_total. floor-then-cast
   // because Spark's BIGINT cast truncates while DuckDB's rounds.
-  private[operators] def hllEstFormula(m: Int): String =
-    s"""CAST(floor(CAST(0.7213 AS DOUBLE) /
-       |  (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($m AS DOUBLE))
-       |  * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
-       |  * CAST(1099511627776 AS DOUBLE)
-       |  / CAST(s_total AS DOUBLE)) AS BIGINT)""".stripMargin
+  //
+  // Includes the Flajolet et al. 2007 §4 small-range correction: when the
+  // raw estimate is below 2.5m and empty registers remain, switch to
+  // linear counting m*ln(m/V) over the zero-register count V — without it
+  // the raw estimator overshoots by ~60% at n ≈ 0.7m (observed: 556 for
+  // an exact 350 at m=512), sinking any small-corpus use. The branch
+  // condition is a pure integer comparison (floored raw estimate vs
+  // literal), so both engines always take the same arm; the LC arm's one
+  // transcendental, ln over a ratio of integers, evaluates on identical
+  // inputs in both engines.
+  private[operators] def hllEstFormula(m: Int): String = {
+    val raw =
+      s"""CAST(floor(CAST(0.7213 AS DOUBLE) /
+         |  (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($m AS DOUBLE))
+         |  * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
+         |  * CAST(1099511627776 AS DOUBLE)
+         |  / CAST(s_total AS DOUBLE)) AS BIGINT)""".stripMargin
+    s"""CASE WHEN $raw < ${5 * m / 2} AND nonzero_registers < $m
+       |  THEN CAST(floor(CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE)
+       |    / CAST($m - nonzero_registers AS DOUBLE))) AS BIGINT)
+       |  ELSE $raw END""".stripMargin
+  }
 
   /** Certified mergeable distinct-count sketch — HyperLogLog (Flajolet et
     * al. 2007) as a plain declarative aggregation, the distinct-count
@@ -270,6 +286,58 @@ object Profile {
   def hllRegisters(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
     hllBucketRho(df.select(key.cast("string").as("k")), slices = 1)
       .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+
+  /** Corpus-overlap estimate from FOLDED HLL register tables — "how much
+    * of corpus B is already in corpus A" (decontamination sizing, crawl
+    * dedup planning) WITHOUT joining the corpora: each side is scanned
+    * once into its 512-row register table, the union sketch is the
+    * elementwise max of the two tables (never a rescan — the same fold
+    * d11/p08 certify), and inclusion–exclusion gives the intersection:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). At 100 TB the register tables
+    * are the persisted per-corpus artifacts, so overlap between ANY two
+    * corpora is a 512-row fold plus one formula — zero data movement.
+    *
+    * The registered query carries a gate-scale certification arm: the
+    * exact intersection (set INTERSECT — the join this operator exists to
+    * avoid) and `within_bound`, an integer inequality checking the
+    * estimate sits within est_union/4 (generous vs the ~3σ ≈ 14%
+    * combined register noise at m = 512, but every quantity is
+    * deterministic given the portable hash, so the gate pins exact
+    * values, not a tolerance). Estimates use the shared
+    * [[hllEstFormula]] text — identical IEEE arithmetic in both engines
+    * over exact integer register sums. */
+  /** The estimate arm alone (no exact INTERSECT) — what a production
+    * pipeline runs: three 512-row register folds, the corpora are never
+    * joined. [[sketchOverlap]] adds the gate's exact cross-check. */
+  def overlapEstimates(a: DataFrame, b: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val m = 1 << 9
+    val ra = hllRegisters(a, key)
+    val rb = hllRegisters(b, key)
+    val ru = ra.unionByName(rb).groupBy(col("bucket")).agg(max(col("m")).as("m"))
+    def est(regs: DataFrame, name: String) = regs
+      .agg(count(lit(1)).as("nonzero_registers"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 40 - m) AS BIGINT)")).as("s_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nonzero_registers")) * lit(1L << 40))
+      .select(expr(hllEstFormula(m)).as(name))
+    est(ra, "est_a").crossJoin(est(rb, "est_b")).crossJoin(est(ru, "est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
+
+  def sketchOverlap(a: DataFrame, b: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val exact = a.select(key.cast("string").as("k"))
+      .intersect(b.select(key.cast("string").as("k")))
+      .agg(count(lit(1)).as("exact_inter"))
+    overlapEstimates(a, b, key)
+      .crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        col("exact_inter"),
+        when(abs(col("est_inter") - col("exact_inter")) * 4 <= col("est_union"), 1)
+          .otherwise(0).as("within_bound"))
+  }
 
   def certifiedDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
       slices: Int = 4): DataFrame = {
@@ -723,5 +791,56 @@ object Profile {
               |  CASE WHEN abs(est_distinct - n_exact) * 100 <= 15 * n_exact
               |       THEN 1 ELSE 0 END AS within_bound
               |FROM est""".stripMargin)),
+
+    // ---- p12: corpus overlap from folded register tables ---------------
+    // Overlap between two fingerprint corpora (the decontamination-sizing
+    // question) via inclusion–exclusion over HLL registers: the union
+    // sketch is a 512-row fold, never a rescan. The oracle re-derives all
+    // three register tables and the estimate formula in integer SQL and
+    // recomputes the exact intersection from scratch — every output is a
+    // pinned integer, not a tolerance. The doc_id % 10 corpus split
+    // (70% / 70%, 40% overlap) is non-degenerate at every SF, and at gate
+    // scale all three estimates sit in the linear-counting arm the shared
+    // formula's small-range correction exists for.
+    Q("p12_sketch_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        sketchOverlap(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 7),
+          docs.filter(pmod(col("doc_id"), lit(10)) >= 3),
+          graft.functions.TextFns.fingerprint(col("text")))
+      },
+      Some {
+        val norm = graft.functions.TextFns.normalizeSql("text")
+        def side(x: String, f: String) =
+          s"""k$x AS (SELECT md5($norm) AS k FROM documents WHERE $f),
+             |h$x AS (SELECT ${graft.functions.PortableHash.baseHashSql("k")} AS h FROM k$x),
+             |b$x AS (SELECT CAST(h >> 23 AS INT) AS bucket, h & 8388607 AS r FROM h$x),
+             |r$x AS (SELECT bucket,
+             |    CASE WHEN r = 0 THEN 24
+             |         ELSE 24 - length(format('{:b}', r)) END AS rho FROM b$x),
+             |g$x AS (SELECT bucket, max(rho) AS m FROM r$x GROUP BY bucket)""".stripMargin
+        def est(x: String, src: String) =
+          s"""s$x AS (SELECT CAST(count(*) AS BIGINT) AS nonzero_registers,
+             |    CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_present FROM $src),
+             |t$x AS (SELECT nonzero_registers,
+             |    s_present + (512 - nonzero_registers) * (1::BIGINT << 40) AS s_total
+             |  FROM s$x),
+             |e$x AS (SELECT ${Profile.hllEstFormula(512)} AS est$x FROM t$x)""".stripMargin
+        s"""WITH ${side("a", "doc_id % 10 < 7")},
+           |${side("b", "doc_id % 10 >= 3")},
+           |gu AS (SELECT bucket, max(m) AS m
+           |  FROM (SELECT * FROM ga UNION ALL SELECT * FROM gb) GROUP BY bucket),
+           |${est("a", "ga")},
+           |${est("b", "gb")},
+           |${est("u", "gu")},
+           |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+           |  FROM (SELECT k FROM ka INTERSECT SELECT k FROM kb))
+           |SELECT esta AS est_a, estb AS est_b, estu AS est_union,
+           |  greatest(esta + estb - estu, 0) AS est_inter, exact_inter,
+           |  CASE WHEN abs(greatest(esta + estb - estu, 0) - exact_inter) * 4 <= estu
+           |       THEN 1 ELSE 0 END AS within_bound
+           |FROM ea, eb, eu, ex""".stripMargin
+      }),
   )
 }

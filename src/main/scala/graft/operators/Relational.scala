@@ -1285,5 +1285,69 @@ object Relational {
              |WHERE b.user_id IS NULL
              |GROUP BY a.day
              |ORDER BY a.day""".stripMargin)),
+
+    // ---- q51: equi-depth feature binning without a global sort ---------
+    // The feature-engineering primitive behind quantile binning /
+    // monotonic bucketing: 8 equal-population bins over a value column
+    // with per-bin population and edges. The textbook form is a single
+    // global ntile window — one task sorts the entire corpus (the q36
+    // scale-killer). This runs on distributionRanks' two-pass shape
+    // instead: range-partition, count per partition, broadcast prefix
+    // offsets, rank locally — every task sorts only its range slice. The
+    // oracle IS the single-window ntile, so the green row machine-checks
+    // the rewrite lossless (bin aggregates are tie-invariant: boundary
+    // ties swap identical values between adjacent bins). Integer cents in,
+    // integer edges out — no float comparisons anywhere.
+    Q("q51_equidepth_bins",
+      (s, dir) => {
+        val cents = t(s, dir, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+        distributionRanks(cents, Seq.empty, Seq(col("v")), ntiles = 8)
+          .groupBy(col("octile"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"))
+          .select(col("octile").cast("long").as("bin"),
+            col("n_rows"), col("lo_cents"), col("hi_cents"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem),
+             |tl AS (SELECT v, ntile(8) OVER (ORDER BY v) AS bin FROM c)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(v) AS lo_cents, max(v) AS hi_cents
+             |FROM tl GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ---- q52: recency-decayed engagement score (exact dyadic EWMA) -----
+    // Half-life-decayed per-user engagement: each event contributes
+    // value * 2^-steps where steps counts newer events for that user —
+    // the standard alpha = 1/2 exponential decay. Computed ENTIRELY in
+    // integers: cents shifted left by (40 - steps), contributions below
+    // 2^-40 of a cent truncated to zero — so there is no float-summation
+    // order hazard and both engines produce the identical BIGINT (bounded:
+    // <= 41 terms * 2000 cents * 2^40 < 2^58). The window partitions by
+    // user_id (high cardinality) — one shuffle, no global sort; the decay
+    // itself is per-row column math after the rank.
+    Q("q52_decayed_score",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          expr("row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1")
+            .as("steps"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("steps") <= 40,
+              col("cents") * expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(40 - steps AS INT)) AS BIGINT)"))
+            .otherwise(lit(0L))).as("score_scaled"))
+        .orderBy(col("user_id")),
+      Some("""WITH sdf AS (SELECT user_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) - 1 AS steps
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN steps <= 40
+             |      THEN cents * (CAST(1 AS BIGINT) << CAST(40 - steps AS INT))
+             |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS score_scaled
+             |FROM sdf GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

@@ -42,4 +42,30 @@ class HllSpec extends AnyFunSuite {
       assert(r.getAs[Int]("merge_ok") == 1, s"slices=$k")
     }
   }
+
+  // Small-range regime (n comparable to m = 512): the raw estimator
+  // overshoots by ~60% here; the shared formula's linear-counting arm must
+  // keep the certified 15% bound. Regression-pins the Flajolet §4
+  // correction — the cardinalities below all fail without it.
+  test("small-range correction holds the bound where the raw estimator fails") {
+    Seq(50, 350, 900).foreach { n =>
+      val r = run(1L to n.toLong)
+      assert(r.getAs[Int]("within_bound") == 1,
+        s"n=$n est=${r.getAs[Long]("est_distinct")}")
+    }
+  }
+
+  test("overlap inclusion-exclusion: disjoint ~ zero, identical ~ whole") {
+    def est(a: Seq[Long], b: Seq[Long]) = Profile.overlapEstimates(
+      a.toDF("v"), b.toDF("v"), col("v")).head()
+    val disjoint = est(1L to 2000L, 10001L to 12000L)
+    assert(disjoint.getAs[Long]("est_inter") * 4 <=
+      disjoint.getAs[Long]("est_union"),
+      s"disjoint est_inter=${disjoint.getAs[Long]("est_inter")}")
+    val same = est(1L to 2000L, 1L to 2000L)
+    // identical corpora: union sketch == each side's sketch, so
+    // inclusion-exclusion is EXACTLY the single-corpus estimate
+    assert(same.getAs[Long]("est_inter") == same.getAs[Long]("est_a"))
+    assert(same.getAs[Long]("est_union") == same.getAs[Long]("est_a"))
+  }
 }

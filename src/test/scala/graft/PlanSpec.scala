@@ -253,4 +253,24 @@ class PlanSpec extends AnyFunSuite {
         .findAllIn(finalPlan).size === 2,
       s"expected exactly two 2-column scans (histogram + data):\n$plan")
   }
+
+  test("q51 equi-depth bins: ranged two-pass ntile, no single-task-sort window") {
+    // a global ntile window sorts the whole corpus in one task; the
+    // registered plan must be distributionRanks' shape — range partition,
+    // __pid-keyed local rank, arithmetic tile — with no ntile function
+    // surviving into the executed plan (q36's guarantees, re-pinned for
+    // the binning surface).
+    val plan = executedPlan(SparkEntry.queries("q51_equidepth_bins")(spark, dir))
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range partitioning pass:\n$plan")
+    val rowNumberWindows = plan.linesIterator
+      .filter(_.contains("row_number")).toList
+    assert(rowNumberWindows.nonEmpty, s"no row_number window in plan:\n$plan")
+    rowNumberWindows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"row_number window without __pid (single-task-sort shape):\n$w")
+    }
+    assert(!plan.contains("ntile"),
+      s"ntile window survived — the tile must be arithmetic:\n$plan")
+  }
 }
