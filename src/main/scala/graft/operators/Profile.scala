@@ -142,6 +142,43 @@ object Profile {
       .selectExpr(group, "n", "round(mean / 100, 4) AS mean_price",
         s"$momentSkew AS skewness", s"$momentKurt AS kurtosis")
 
+  /** Robust per-group outlier detection — median / MAD (median absolute
+    * deviation), the estimator family that survives the heavy tails and
+    * corrupt values mean/stddev choke on. Everything is exact integer
+    * cents: the median is the LOWER median (1-based rank (n+1) div 2 —
+    * DuckDB's quantile_disc(0.5) convention), MAD is the lower median of
+    * |v − med|, and a row is an outlier when |v − med| > k·MAD — integer
+    * comparisons end to end, no interpolation or float moments anywhere.
+    *
+    * Three corpus passes (median, deviation median, probe) — the
+    * irreducible price of exact robust statistics; each pass rides
+    * [[Relational.distributionRanks]]' range-partitioned two-pass ranks,
+    * so no pass sorts a group in one task (the q36/q51 guarantee). The
+    * per-group median/MAD tables are group-sized and broadcast back. */
+  def madOutliers(df: DataFrame, group: String, value: String,
+      k: Int = 3): DataFrame = {
+    val cents = df.selectExpr(group, s"CAST(round($value * 100) AS BIGINT) AS v")
+    val counts = cents.groupBy(col(group)).agg(count(lit(1)).as("n"))
+      .withColumn("mrank", expr("(n + 1) div 2"))
+    def lowerMedian(in: DataFrame, c: String, out: String) =
+      Relational.distributionRanks(in, Seq(group), Seq(col(c)), ntiles = 2)
+        .join(broadcast(counts), group)
+        .filter(col("cume_n") === col("mrank"))
+        .select(col(group), col(c).as(out))
+    val med = lowerMedian(cents, "v", "med_cents")
+    val dev = cents.join(broadcast(med), group)
+      .select(col(group), abs(col("v") - col("med_cents")).as("d"))
+    val mad = lowerMedian(dev, "d", "mad_cents")
+    cents.join(broadcast(med), group).join(broadcast(mad), group)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(abs(col("v") - col("med_cents")) > lit(k) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col(group))
+  }
+
   /** Certified mergeable-sketch quantiles: per-slice
     * [[graft.functions.HdrSketch]] partials (the persisted increments of
     * a 100 TB pipeline), merged by plain bucket-count addition, yielding
@@ -842,5 +879,33 @@ object Profile {
            |       THEN 1 ELSE 0 END AS within_bound
            |FROM ea, eb, eu, ex""".stripMargin
       }),
+
+    // ---- p13: robust outliers (median/MAD, exact integer cents) --------
+    // The robust companion to p06's moment stats: heavy tails and corrupt
+    // rows move mean/stddev arbitrarily but not median/MAD. Runs on the
+    // event stream's value column per event type — the one fixture
+    // distribution with real tails (≈11% of rows beyond 3×MAD; the
+    // uniform TPC-H price columns have none, which would leave the
+    // certification column identically zero). The oracle formulates both
+    // medians with quantile_disc (DuckDB's native lower median) while the
+    // Spark side derives them from ranged two-pass ranks — different
+    // algorithms, matching integers.
+    Q("p13_mad_outliers",
+      (s, dir) => madOutliers(Tables.load(s, dir, "events"),
+        "event_type", "value"),
+      Some("""WITH c AS (SELECT event_type AS g,
+             |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |m AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+             |  FROM c GROUP BY g),
+             |d AS (SELECT c.g, c.v, m.med, abs(c.v - m.med) AS dev
+             |  FROM c JOIN m USING (g)),
+             |md AS (SELECT g, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+             |  FROM d GROUP BY g)
+             |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+             |  min(d.med) AS med_cents, min(md.mad) AS mad_cents,
+             |  CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (g)
+             |GROUP BY d.g ORDER BY d.g""".stripMargin)),
   )
 }
