@@ -68,6 +68,7 @@ object ScaleSmoke {
     val skewOnly = args.contains("--skew-only")
     val t13Only = args.contains("--t13-only")
     val p12Only = args.contains("--p12-only")
+    val zorderOnly = args.contains("--zorder-only")
     val posArgs = args.filterNot(_.startsWith("--"))
     val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
     val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
@@ -85,7 +86,7 @@ object ScaleSmoke {
       println(s"""{"step":"$name","rows":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
     }
 
-    if (!skewOnly && !t13Only && !p12Only) {
+    if (!skewOnly && !t13Only && !p12Only && !zorderOnly) {
       val e = edges(spark, nEdges, nNodes).persist()
       val d = docs(spark, nDocs).persist()
       println(s"""{"step":"gen","edges":${e.count()},"docs":${d.count()},"top_degree":${
@@ -368,7 +369,7 @@ object ScaleSmoke {
       }
     }
 
-    if (!skewOnly && !p12Only) {
+    if (!skewOnly && !p12Only && !zorderOnly) {
       // t13 domain cap at 20M docs / 50 domains / n = 10k: the naive form
       // shuffles the WHOLE corpus into 50 window partitions (one task
       // sorts ~400k rows — the q36 shape); threshold select must shuffle
@@ -397,7 +398,7 @@ object ScaleSmoke {
       }
     }
 
-    if (!skewOnly && !t13Only) {
+    if (!skewOnly && !t13Only && !zorderOnly) {
       // p12 corpus overlap at 15M vs 14M keys with a 9M-key true overlap
       // (~40 000x the sf0.01 gate): three 512-row register folds — the
       // corpora are never joined, so shuffle must stay KB-scale no matter
@@ -414,7 +415,43 @@ object ScaleSmoke {
       println(s"""{"step":"p12_overlap_detail","est_a":${ovRow.getLong(0)},"est_b":${ovRow.getLong(1)},"est_union":${ovRow.getLong(2)},"est_inter":${ovRow.getLong(3)},"true_a":15000000,"true_b":14000000,"true_inter":9000000}""")
     }
 
-    if (t13Only || p12Only) { spark.stop(); return }
+    if (!skewOnly && !t13Only && !p12Only) {
+      // q53 z-order layout at 20M rows / 2 uniform 2^20-wide dims: the
+      // write-side sort is the whole cost; the payoff is a 2-D predicate
+      // (1/64 of the plane) that prunes to the files owning the box's
+      // z-range while the hash layout scans every row group. Both scans
+      // produce identical counts — layout must never change results.
+      val nZ = 20000000L
+      val zsrc = spark.range(nZ).select(
+        pmod(xxhash64(col("id"), lit(61)), lit(1L << 20)).as("x"),
+        pmod(xxhash64(col("id"), lit(62)), lit(1L << 20)).as("y"))
+      val zHashDir = "/tmp/graft_smoke_zhash"
+      val zClusDir = "/tmp/graft_smoke_zord"
+      timed("zorder_write_hash_20M") {
+        zsrc.repartition(64).write.mode("overwrite").parquet(zHashDir); nZ
+      }
+      timed("zorder_write_clustered_20M") {
+        graft.functions.ZOrder.cluster(zsrc, "x", "y", files = 64)
+          .write.mode("overwrite").parquet(zClusDir); nZ
+      }
+      val zPred = "x < 131072 AND y < 131072"
+      var nHash = -1L; var nClus = -1L
+      timed("zorder_scan_hash_20M") {
+        nHash = spark.read.parquet(zHashDir).filter(zPred).count(); nHash
+      }
+      timed("zorder_scan_clustered_20M") {
+        nClus = spark.read.parquet(zClusDir).filter(zPred).count(); nClus
+      }
+      def boxFiles(path: String): Long = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("x")).as("nx"), max(col("x")).as("mx"),
+          min(col("y")).as("ny"), max(col("y")).as("my"))
+        .filter(col("nx") < 131072 && col("ny") < 131072)
+        .count()
+      println(s"""{"step":"zorder_detail","rows_hash":$nHash,"rows_clustered":$nClus,"files_intersecting_hash":${boxFiles(zHashDir)},"files_intersecting_clustered":${boxFiles(zClusDir)},"files_total":64}""")
+    }
+
+    if (t13Only || p12Only || zorderOnly) { spark.stop(); return }
 
     // Skewed FACT join: 20M-row fact whose hottest key owns ~20% of rows
     // (floor(K·u⁸): P(key=0) = K^(-1/8)), joined to a per-key dim.

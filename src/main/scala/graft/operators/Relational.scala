@@ -1349,5 +1349,52 @@ object Relational {
              |      THEN cents * (CAST(1 AS BIGINT) << CAST(40 - steps AS INT))
              |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS score_scaled
              |FROM sdf GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- q53: z-order addresses for 2-D data skipping ------------------
+    // The lakehouse OPTIMIZE ZORDER primitive: bit-interleaved (Morton)
+    // addresses over (l_partkey, l_suppkey), grouped by aligned z-quad.
+    // Two certification columns are EARNED per bucket: rt_ok (the inverse
+    // spread recovers both coordinates — the round trip that makes the
+    // address faithful) and box_ok (every 4096-address quad is a tight
+    // <= 64 x 64 box in the ORIGINAL dimensions — the locality property
+    // file skipping depends on). ZOrderSpec measures the payoff: a 2-D
+    // range predicate intersects a fraction of z-clustered files vs ALL
+    // hash-layout files. Both engines evaluate the identical shared
+    // magic-mask text over BIGINT &, |, <<.
+    Q("q53_zorder",
+      (s, dir) => {
+        import graft.functions.ZOrder
+        t(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("x"),
+            col("l_suppkey").cast("long").as("y"))
+          .withColumn("z", ZOrder.z("x", "y"))
+          .withColumn("rx", expr(ZOrder.unspreadSql("z")))
+          .withColumn("ry", expr(ZOrder.unspreadSql("(z >> 1)")))
+          .groupBy(shiftright(col("z"), 12).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_pk"), max(col("x")).as("max_pk"),
+            min(col("y")).as("min_sk"), max(col("y")).as("max_sk"),
+            min(when(col("rx") === col("x") && col("ry") === col("y"), 1)
+              .otherwise(0)).as("rt_ok"))
+          .withColumn("box_ok",
+            when(col("max_pk") - col("min_pk") <= 63 &&
+                 col("max_sk") - col("min_sk") <= 63, 1).otherwise(0))
+          .orderBy(col("zbucket"))
+      },
+      Some {
+        import graft.functions.ZOrder
+        s"""WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+           |    CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+           |zz AS (SELECT x, y, ${ZOrder.zSql("x", "y")} AS z FROM b),
+           |rr AS (SELECT x, y, z, ${ZOrder.unspreadSql("z")} AS rx,
+           |    ${ZOrder.unspreadSql("(z >> 1)")} AS ry FROM zz)
+           |SELECT z >> 12 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+           |  min(x) AS min_pk, max(x) AS max_pk,
+           |  min(y) AS min_sk, max(y) AS max_sk,
+           |  min(CASE WHEN rx = x AND ry = y THEN 1 ELSE 0 END) AS rt_ok,
+           |  CASE WHEN max(x) - min(x) <= 63 AND max(y) - min(y) <= 63
+           |       THEN 1 ELSE 0 END AS box_ok
+           |FROM rr GROUP BY z >> 12 ORDER BY zbucket""".stripMargin
+      }),
   )
 }
