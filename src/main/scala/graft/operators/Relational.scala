@@ -1396,5 +1396,44 @@ object Relational {
            |       THEN 1 ELSE 0 END AS box_ok
            |FROM rr GROUP BY z >> 12 ORDER BY zbucket""".stripMargin
       }),
+
+    // ---- q54: dynamic partition pruning through a dim join -------------
+    // The other half of the partition-layout story (q53 skips within
+    // unpartitioned files; this skips whole PARTITIONS): a fact table
+    // written partitioned by l_returnflag, joined to a dim whose filter
+    // only the runtime knows — Spark broadcasts the dim, collects its
+    // keys, and injects them into the fact scan's partition filters
+    // (dynamicpruningexpression, pinned by PlanSpec), so the pruned
+    // partitions' files are never opened. At 100 TB this is the
+    // difference between scanning one day-partition and scanning the
+    // lake. The oracle is the equivalent filtered aggregation over the
+    // ORIGINAL table — the write, the partitioning, and the pruning must
+    // all be result-invisible.
+    Q("q54_dpp",
+      (s, dir) => {
+        val src = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_q54_dpp").toString
+        graft.sources.Formats.writeParquet(src, out,
+          partitionBy = Seq("l_returnflag"))
+        val fact = s.read.parquet(out)
+        val dim = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag")).distinct()
+          .filter(col("flag").isin("A", "R"))
+        fact.join(dim, fact("l_returnflag") === dim("flag"))
+          .groupBy(col("flag"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+          .orderBy(col("flag"))
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS total_cents
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A', 'R')
+             |GROUP BY l_returnflag
+             |ORDER BY flag""".stripMargin)),
   )
 }

@@ -273,4 +273,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ntile"),
       s"ntile window survived — the tile must be arithmetic:\n$plan")
   }
+
+  test("q54 fact scan carries a dynamic partition pruning filter from the dim join") {
+    // the fact is written partitioned by l_returnflag; joining through the
+    // filtered dim must inject the dim's keys into the fact scan's
+    // PartitionFilters at runtime — whole partitions never open
+    val plan = executedPlan(SparkEntry.queries("q54_dpp")(spark, dir))
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    assert(plan.contains("PartitionFilters"),
+      s"fact scan has no partition filters at all:\n$plan")
+  }
 }
