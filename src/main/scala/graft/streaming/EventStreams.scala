@@ -556,5 +556,29 @@ object EventStreams {
              |FROM events JOIN nation ON user_id % 25 = n_nationkey
              |GROUP BY n_name
              |ORDER BY n_name""".stripMargin)),
+
+    // ---- st13: streaming sketch maintenance (HLL register fold) --------
+    // The incremental-pipeline bridge for the mergeable-sketch family: the
+    // 512-row HLL register table (p08/p12's persisted artifact) maintained
+    // LIVE over the event stream — max(rho) per bucket is a streaming-
+    // supported complete-mode aggregation, so the same operator runs
+    // unchanged under readStream (StreamingSpec proves streamed registers
+    // == batch registers; the registered query gates the batch form
+    // against a pure integer-SQL register rebuild). At 100 TB the stream
+    // version replaces the daily fold: distinct-user reach is one 512-row
+    // table away at any moment, never a rescan.
+    Q("st13_sketch_registers",
+      (s, dir) => graft.operators.Profile.hllRegisters(
+          Tables.load(s, dir, "events"), col("user_id"))
+        .orderBy(col("bucket")),
+      Some(s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+              |h AS (SELECT ${graft.functions.PortableHash.baseHashSql("k")} AS h FROM k),
+              |b AS (SELECT CAST(h >> 23 AS INT) AS bucket, h & 8388607 AS r FROM h),
+              |rr AS (SELECT bucket,
+              |    CASE WHEN r = 0 THEN 24
+              |         ELSE 24 - length(format('{:b}', r)) END AS rho
+              |  FROM b)
+              |SELECT bucket, CAST(max(rho) AS INTEGER) AS m
+              |FROM rr GROUP BY bucket ORDER BY bucket""".stripMargin)),
   )
 }

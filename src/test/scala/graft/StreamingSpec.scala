@@ -115,6 +115,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming HLL register maintenance == batch registers (st13)") {
+    // the persisted-sketch artifact maintained live: complete-mode
+    // max(rho) per bucket over the stream must equal the batch register
+    // table register-for-register — the same fold d11/p08/e02 certify for
+    // batch slices, here across micro-batches
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = graft.operators.Profile.hllRegisters(stream, col("user_id"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_reg_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hll_reg_out")
+      .orderBy(col("bucket")).collect().map(_.toSeq)
+    val batch = graft.operators.Profile.hllRegisters(
+        Tables.load(spark, dir, "events"), col("user_id"))
+      .orderBy(col("bucket")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
