@@ -274,6 +274,40 @@ class PlanSpec extends AnyFunSuite {
       s"ntile window survived — the tile must be arithmetic:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning fires on the fact side of a selective dim join") {
+    // the row-level sibling of q54's partition pruning: for a SHUFFLE join
+    // through a selective dim, Catalyst builds a bloom filter from the dim
+    // keys and injects might_contain on the fact scan so non-matching rows
+    // die before the exchange. Production thresholds (10 MB dim / 10 GB
+    // probe) self-regulate at cluster scale; this lowers them to prove the
+    // repo's join shapes are ELIGIBLE — an ineligible shape (filter above
+    // the join, expression-wrapped keys) would silently scan everything.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // application threshold is a MIN (probe side must be bigger),
+      // creation threshold a MAX (dim side must be smaller)
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val events = Tables.load(spark, dir, "events")
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      val dim = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val joined = events.join(dim, col("user_id") === col("c_custkey"))
+        .agg(sum(col("cents")).as("total"))
+      val plan = executedPlan(joined)
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q54 fact scan carries a dynamic partition pruning filter from the dim join") {
     // the fact is written partitioned by l_returnflag; joining through the
     // filtered dim must inject the dim's keys into the fact scan's
