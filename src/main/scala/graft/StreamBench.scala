@@ -200,6 +200,26 @@ object StreamBench {
       report("st11_attribution_outer_join", q, streamed, batch)
     }
 
+    // st13: live HLL register maintenance — the 512-row sketch artifact
+    // folded across micro-batches. Registers are a max monoid (order- and
+    // slicing-invariant), so content equality with the batch build holds
+    // under ANY replay order — no ordered-chunk device needed; the
+    // cross-check is full register-table equality, and the latency is the
+    // per-trigger cost of keeping corpus reach live.
+    {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = graft.operators.Profile.hllRegisters(stream, col("user_id"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("bench_hll").start()
+      try q.processAllAvailable() finally q.stop()
+      val batch = graft.operators.Profile.hllRegisters(
+        spark.read.parquet(staging), col("user_id"))
+      val matched = spark.table("bench_hll").intersect(batch).count()
+      report("st13_sketch_registers", q, matched, batch.count())
+    }
+
     spark.stop()
   }
 }
