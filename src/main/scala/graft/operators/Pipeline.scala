@@ -44,6 +44,34 @@ object Pipeline {
     TextOps.packSequences(surviving, budgetTokens, shards)
   }
 
+  /** The corpus-build FRONT END (quality → decontaminate → exact dedup)
+    * re-shaped to run unchanged under `readStream` — the day-0 ingest
+    * that admits documents as they arrive instead of in a nightly batch:
+    *
+    *  - quality filter: stateless row predicate (unchanged);
+    *  - decontamination: the batch form aggregates per-doc hit counts and
+    *    joins back — two stateful stages a stream doesn't need. Here the
+    *    eval shingle set (tiny by d12's contract) rides IN-ROW as a
+    *    literal array and `arrays_overlap` gives the same contaminated
+    *    bit statelessly: n_hits > 0  ⟺  overlap ≠ ∅;
+    *  - exact dedup: first-arrival-wins `dropDuplicates` on the content
+    *    fingerprint — state is one fingerprint per distinct content, and
+    *    under doc_id-ordered arrival "first" IS the batch min-keeper
+    *    (StreamingSpec replays one document per micro-batch to pin
+    *    row-level keeper identity, not just count parity).
+    *
+    * Packing stays batch-side (it is an ordering over the admitted set);
+    * everything before it streams. */
+  def streamIngestFrontEnd(docs: DataFrame, evalShingles: Seq[String],
+      minQuality: Double = 0.7, decontamNgram: Int = 5): DataFrame =
+    docs.filter(TextFns.qualityScore(col("text")) >= minQuality)
+      .filter(!arrays_overlap(
+        TextFns.wordNgrams(col("text"), decontamNgram),
+        typedLit(evalShingles)))
+      .withColumn("fp", TextFns.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .select(col("doc_id"), col("fp"))
+
   /** Day-2 incremental maintenance, certified in one result set — the
     * operations a 100 TB corpus actually runs when a new batch lands,
     * WITHOUT re-reading old data, each emitting a machine-checked row:

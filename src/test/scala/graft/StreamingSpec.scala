@@ -134,6 +134,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming ingest front-end == batch corpus build (quality -> decontaminate -> dedup)") {
+    // one document per micro-batch in doc_id order: "first arrival wins"
+    // is then exactly the batch min-keeper, so the comparison is the full
+    // admitted (doc_id, fp) row set — keeper identity, not count parity
+    import graft.operators.{Dedup, Pipeline}
+    import graft.functions.TextFns
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val evalShingles = Dedup.shinglesN(evalSet, 5)
+      .select(col("s")).distinct().collect().map(_.getString(0)).toSeq
+
+    val replayDir = Files.createTempDirectory("graft-ingest-replay")
+    val ids = corpus.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    ids.zipWithIndex.foreach { case (id, i) =>
+      val tmp = Files.createTempDirectory("graft-ingest-chunk").toString
+      corpus.filter(col("doc_id") === id)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, replayDir.resolve(f"chunk-$i%05d.parquet"))
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+    val q = Pipeline.streamIngestFrontEnd(stream, evalShingles)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the batch front end, component-by-component as corpusBuild runs it
+    val qualified = corpus.filter(TextFns.qualityScore(col("text")) >= 0.7)
+    val contaminated = Dedup.decontaminate(qualified, evalSet, 5)
+      .filter(col("contaminated") === 1).select(col("doc_id"))
+    val clean = qualified.join(contaminated, Seq("doc_id"), "left_anti")
+    val batch = Dedup.exactDedup(clean).filter(!col("is_dup"))
+      .select(col("doc_id"))
+      .join(clean.select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp")), Seq("doc_id"))
+
+    val streamed = spark.table("ingest_out")
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val expected = batch.orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === expected.toSeq)
+  }
+
   test("streaming sessionization == batch sessionization") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.sessions(stream.withWatermark("ts", "2 hours"))
