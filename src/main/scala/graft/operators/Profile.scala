@@ -303,14 +303,17 @@ object Profile {
   /** (bucket, rho, slice) rows for the HLL register build — the per-event
     * stream a register table aggregates. p = 9 bucket bits, 23-bit rho
     * domain, rho via string bit length (engine-portable, no log2). */
-  def hllBucketRho(keyed: DataFrame, slices: Int): DataFrame = {
+  def hllBucketRho(keyed: DataFrame, slices: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val p = 9; val w = 32 - p; val rhoMax = w + 1
+    val c = carry.map(col)
     keyed
-      .select(col("k"), graft.functions.PortableHash.baseHash(col("k")).as("h"))
-      .select(
-        shiftright(col("h"), w).cast("int").as("bucket"),
-        col("h").bitwiseAND(lit((1L << w) - 1)).as("r"),
-        pmod(col("h"), lit(slices)).as("slice"))
+      .select(c :+ col("k") :+
+        graft.functions.PortableHash.baseHash(col("k")).as("h"): _*)
+      .select(c :+
+        shiftright(col("h"), w).cast("int").as("bucket") :+
+        col("h").bitwiseAND(lit((1L << w) - 1)).as("r") :+
+        pmod(col("h"), lit(slices)).as("slice"): _*)
       .withColumn("rho",
         when(col("r") === 0, rhoMax).otherwise(lit(rhoMax) - length(expr("bin(r)"))))
   }
@@ -374,6 +377,34 @@ object Profile {
         col("exact_inter"),
         when(abs(col("est_inter") - col("exact_inter")) * 4 <= col("est_union"), 1)
           .otherwise(0).as("within_bound"))
+  }
+
+  /** Per-group distinct-count sketch — p08's register table keyed by a
+    * group column ("distinct users per event type / domain / day"), the
+    * grouped reach question every dashboard asks. State is groups × 512
+    * registers regardless of corpus size; small groups sit in the shared
+    * formula's linear-counting arm (the p12 correction), so a 150-key
+    * group estimates within ~2%, not the raw estimator's +60%. The gate
+    * certifies within_bound per group against the exact distinct count. */
+  def groupedDistinctSketch(df: DataFrame, group: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val m = 1 << 9
+    val keyed = df.select(col(group), key.cast("string").as("k"))
+    val regs = hllBucketRho(keyed, slices = 1, carry = Seq(group))
+      .groupBy(col(group), col("bucket")).agg(max(col("rho")).as("m"))
+    val stats = regs.groupBy(col(group))
+      .agg(count(lit(1)).as("nonzero_registers"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 40 - m) AS BIGINT)")).as("s_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nonzero_registers")) * lit(1L << 40))
+      .withColumn("est_distinct", expr(hllEstFormula(m)))
+    val exact = keyed.groupBy(col(group)).agg(countDistinct(col("k")).as("n_exact"))
+    stats.join(exact, group)
+      .select(col(group), col("n_exact"), col("est_distinct"),
+        col("nonzero_registers"),
+        when(abs(col("est_distinct") - col("n_exact")) * 100 <= lit(15) * col("n_exact"), 1)
+          .otherwise(0).as("within_bound"))
+      .orderBy(col(group))
   }
 
   def certifiedDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
@@ -907,5 +938,38 @@ object Profile {
              |    AS BIGINT) AS n_outliers
              |FROM d JOIN md USING (g)
              |GROUP BY d.g ORDER BY d.g""".stripMargin)),
+
+    // ---- p14: per-group distinct-count sketch (grouped HLL) ------------
+    // Distinct users per event type from groups × 512 registers — the
+    // grouped p08, sitting in the estimator's linear-counting arm at this
+    // group size (~148 keys per type). The oracle rebuilds the grouped
+    // registers and the shared formula in integer SQL; within_bound is
+    // certified per group against the exact distinct count.
+    Q("p14_grouped_distinct",
+      (s, dir) => groupedDistinctSketch(
+        Tables.load(s, dir, "events"), "event_type", col("user_id")),
+      Some(s"""WITH kk AS (SELECT event_type AS g,
+             |    CAST(user_id AS VARCHAR) AS k FROM events),
+             |h AS (SELECT g, ${graft.functions.PortableHash.baseHashSql("k")} AS h FROM kk),
+             |b AS (SELECT g, CAST(h >> 23 AS INT) AS bucket, h & 8388607 AS r FROM h),
+             |rr AS (SELECT g, bucket,
+             |    CASE WHEN r = 0 THEN 24
+             |         ELSE 24 - length(format('{:b}', r)) END AS rho FROM b),
+             |regs AS (SELECT g, bucket, max(rho) AS m FROM rr GROUP BY g, bucket),
+             |st AS (SELECT g, CAST(count(*) AS BIGINT) AS nonzero_registers,
+             |    CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_present
+             |  FROM regs GROUP BY g),
+             |tot AS (SELECT g, nonzero_registers,
+             |    s_present + (512 - nonzero_registers) * (1::BIGINT << 40) AS s_total
+             |  FROM st),
+             |ex AS (SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+             |  FROM kk GROUP BY g),
+             |est AS (SELECT tot.g, n_exact, ${Profile.hllEstFormula(512)} AS est_distinct,
+             |    nonzero_registers
+             |  FROM tot JOIN ex ON tot.g = ex.g)
+             |SELECT g AS event_type, n_exact, est_distinct, nonzero_registers,
+             |  CASE WHEN abs(est_distinct - n_exact) * 100 <= 15 * n_exact
+             |       THEN 1 ELSE 0 END AS within_bound
+             |FROM est ORDER BY event_type""".stripMargin)),
   )
 }

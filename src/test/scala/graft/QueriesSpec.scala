@@ -44,7 +44,8 @@ class QueriesSpec extends AnyFunSuite {
     "m06_phash_neardup", "m07_interleave", "q44_keep_latest",
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
-    "p12_sketch_overlap", "p13_mad_outliers", "st13_sketch_registers",
+    "p12_sketch_overlap", "p13_mad_outliers", "p14_grouped_distinct",
+    "st13_sketch_registers",
     "q26_percentile", "q28_range_join", "q29_json_extract",
     "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
     "q37_unpivot", "q38_array_hof", "q45_retention_cohorts",
