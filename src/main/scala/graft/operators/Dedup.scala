@@ -222,6 +222,58 @@ object Dedup {
       .withColumn("dup_rate_bp", expr("10000 * n_dup div n_shingles"))
   }
 
+  /** Merged duplicated-passage spans per document — the POSITIONAL
+    * companion to [[dupShingleRate]], and the measurement substring-level
+    * dedup (Lee et al., ACL'22) acts on: which token ranges of each
+    * document are covered by a width-`n` shingle that also occurs in at
+    * least one other document, with overlapping hits merged into maximal
+    * spans (gaps-and-islands). Output per doc: token count, covered-token
+    * count, merged-span count, and coverage in exact integer ppm — the
+    * "how much would substring dedup remove" number, float-free.
+    *
+    * Shape, and why it is spill-safe at 100 TB: the duplicated-shingle
+    * list is the standard inverted-df build over IN-ROW-distinct shingles
+    * (map-side combinable count, never a per-group buffer), and span
+    * detection is an equi-join of the positional stream against that list
+    * — both branches prune the scan to (doc_id, text), so the duplicated
+    * work between them is one narrow explode, the price of avoiding a
+    * collect_list/window buffer that a hot boilerplate shingle would blow
+    * up. Span merging is a per-DOCUMENT running-max window (doc_id is the
+    * highest-cardinality key in the corpus — no q36-style fat partition),
+    * and the final rollup + token-count join share the doc_id shuffle. */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val dupSh = shinglesN(docs, n)
+      .groupBy(col("s")).agg(count(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("s"))
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(TextFns.wordNgrams(col("text"), n)).as(Seq("p", "s")))
+      .select(col("doc_id"), (col("p") + 1).as("s_start"),
+        (col("p") + lit(n)).as("s_end"), col("s"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s_start"))
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val covered = pos.join(dupSh, "s")
+      .withColumn("prev_end", max(col("s_end")).over(byDoc.rowsBetween(unb, -1)))
+      .withColumn("brk",
+        when(col("s_start") > coalesce(col("prev_end"), lit(0)), 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(byDoc.rowsBetween(unb, 0)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg((max(col("s_end")) - min(col("s_start")) + 1).as("ctoks"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ctoks")).cast("bigint").as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_ppm",
+        expr("1000000 * dup_tokens div greatest(n_tokens, 1L)"))
+  }
+
   /** Near-dup-cluster-aware train/eval split: documents are assigned a
     * side by a deterministic hash of their [[dupClusters]] CLUSTER id,
     * not of their own content — so a near-duplicate pair can never
@@ -821,6 +873,43 @@ object Dedup {
               |       // count(*) AS BIGINT) AS dup_rate_bp
               |FROM sh JOIN dfq USING (s)
               |GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d19: merged duplicated-passage spans --------------------------
+    // The positional substring-dedup measurement (5-gram spans, merged by
+    // gaps-and-islands). The oracle rebuilds positional shingles with a
+    // lateral range over the token list and merges islands with the same
+    // running-max window — exact integers end to end, so hash parity
+    // certifies both the span detection and the interval merge.
+    Q("d19_dup_spans",
+      (s, dir) => dupSpans(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS l FROM documents),
+              |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
+              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
+              |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
+              |dfq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
+              |        GROUP BY s HAVING count(*) >= 2),
+              |sp AS (SELECT doc_id, s_start, s_end FROM pos JOIN dfq USING (s)),
+              |isl AS (SELECT doc_id, s_start, s_end,
+              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
+              |          PARTITION BY doc_id ORDER BY s_start
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |        THEN 1 ELSE 0 END AS brk FROM sp),
+              |isl2 AS (SELECT doc_id, s_start, s_end,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
+              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
+              |cov AS (SELECT doc_id, max(s_end) - min(s_start) + 1 AS ctoks
+              |        FROM isl2 GROUP BY doc_id, gid),
+              |agg AS (SELECT doc_id, CAST(sum(ctoks) AS BIGINT) AS dup_tokens,
+              |        CAST(count(*) AS BIGINT) AS n_spans FROM cov GROUP BY doc_id)
+              |SELECT t.doc_id AS doc_id,
+              |  CAST(len(l) AS BIGINT) AS n_tokens,
+              |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+              |  CAST(1000000 * coalesce(dup_tokens, 0)
+              |       // greatest(len(l), 1) AS BIGINT) AS dup_ppm
+              |FROM tok t LEFT JOIN agg USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- d13: prefix-filtered exact Jaccard (the scale path) -----------

@@ -193,6 +193,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rates(3L) === ((3L, 1L, 3333L)))
   }
 
+  test("dupSpans: separated copied passages yield two merged spans, exact coverage") {
+    val corpus = Seq(
+      // doc 0: passage P1 (tokens 1-6, copied in doc 1) + unique filler
+      // (7-12) + passage P2 (13-18, copied in doc 2). The two duplicated
+      // 5-gram hits inside each passage overlap and must merge to ONE
+      // island per passage — two separated islands for the doc.
+      (0L, "alpha beta gamma delta epsilon zeta one two three four five six " +
+        "eta theta iota kappa lambda mu", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "eta theta iota kappa lambda mu", "en"),
+      (3L, "nu xi omicron pi rho sigma", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.dupSpans(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("dup_ppm"))).toMap
+    assert(out(0L) === ((18L, 12L, 2L, 666666L)))
+    assert(out(1L) === ((6L, 6L, 1L, 1000000L))) // whole doc = shared passage
+    assert(out(2L) === ((6L, 6L, 1L, 1000000L)))
+    assert(out(3L) === ((6L, 0L, 0L, 0L)))       // unique doc: no spans
+  }
+
   test("clusterSplit: no near-dup pair straddles the split, any train pct") {
     Seq(10, 50, 90).foreach { pct =>
       val side = Dedup.clusterSplit(docs, trainPct = pct).collect()
