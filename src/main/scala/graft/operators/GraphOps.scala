@@ -512,6 +512,77 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
+  /** Exact k-hop neighborhood function |B(v,k)| — distinct nodes within
+    * ≤ `hops` of each node, self included (the N(v,h) of Palmer et al.
+    * 2002). Level-synchronous frontier BFS over the reached-PAIR set:
+    * each round expands only the newly-reached frontier (anti-join
+    * against the accumulated set), so per-round join input is the
+    * frontier, not the whole closure, and nothing counts walks (g10's
+    * bounded-walk multiset grows deg^k; this is the distinct-set
+    * question). Exact pair materialization is inherently Ω(Σ_v |B(v,k)|)
+    * — up to n² rows on a low-diameter graph — so the operator a 100 TB
+    * graph runs is [[hyperballReach]]; this exact form is its gate-scale
+    * certifier and the small-graph tool. */
+  def khopReach(edges: DataFrame, hops: Int): DataFrame = {
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+    var reach = sym.select(col("src").as("root"), col("src").as("node")).distinct()
+    var frontier = reach
+    for (_ <- 1 to hops) {
+      val expanded = frontier.join(sym, frontier("node") === sym("src"))
+        .select(frontier("root"), sym("dst").as("node")).distinct()
+      frontier = expanded.join(reach, Seq("root", "node"), "left_anti")
+      reach = reach.unionByName(frontier)
+    }
+    reach.groupBy(col("root")).agg(count(lit(1)).as("reach_n"))
+  }
+
+  /** HyperBall (Boldi & Vigna 2013): the k-hop neighborhood function from
+    * per-node HLL registers instead of reached-pair sets. Every node
+    * starts with the register row of its own key; each round folds each
+    * neighbor's register table into the node's by elementwise max — the
+    * same commutative-idempotent monoid p08/d11/st13 certify for slicing
+    * and incremental folds, applied along edges — so after k rounds node
+    * v's registers sketch exactly B(v,k). State is ≤ n·m register rows
+    * (m = 512) REGARDLESS of reach: the bound that estimates multi-hop
+    * reach on a 100 TB graph where the exact pair set (up to n² rows)
+    * cannot be materialized. The registered query carries the gate's
+    * certification arm — exact |B(v,k)| from [[khopReach]] joined per
+    * node, `within_bound` pinning the estimate inside max(5, 15%) of
+    * exact — and every quantity is deterministic given the portable
+    * hash, so the gate checks exact integers, not a tolerance. The
+    * oracle builds each node's registers from the recursive-CTE closure
+    * SET instead of by propagation (max over a union == max over folds),
+    * so matching registers also certify the propagation itself. */
+  def hyperballReach(edges: DataFrame, hops: Int): DataFrame = {
+    val m = 1 << 9
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+    val nodes = sym.select(col("src").as("root")).distinct()
+    var regs = Profile.hllBucketRho(
+        nodes.select(col("root"), col("root").cast("string").as("k")),
+        slices = 1, carry = Seq("root"))
+      .select(col("root"), col("bucket"), col("rho"))
+    for (_ <- 1 to hops) {
+      val folded = regs.join(sym, regs("root") === sym("dst"))
+        .select(sym("src").as("root"), col("bucket"), col("rho"))
+      regs = regs.unionByName(folded)
+        .groupBy(col("root"), col("bucket")).agg(max(col("rho")).as("rho"))
+    }
+    val stats = regs.groupBy(col("root"))
+      .agg(count(lit(1)).as("nonzero_registers"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 40 - rho) AS BIGINT)")).as("s_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nonzero_registers")) * lit(1L << 40))
+      .withColumn("est_reach", expr(Profile.hllEstFormula(m)))
+    val exact = khopReach(edges, hops).withColumnRenamed("reach_n", "n_exact")
+    stats.join(exact, "root")
+      .select(col("root"), col("n_exact"), col("est_reach"),
+        col("nonzero_registers"),
+        when(abs(col("est_reach") - col("n_exact")) * 100 <=
+             greatest(lit(500L), lit(15L) * col("n_exact")), 1)
+          .otherwise(0).as("within_bound"))
+      .orderBy(col("root"))
+  }
+
   // ---- driver queries over a graph derived from the fixture corpus -----
   // The sf dirs carry no edge table, so the oracle-checked graph queries
   // derive a deterministic graph from lineitem: one edge per order's first
@@ -880,5 +951,76 @@ object GraphOps {
               |SELECT a AS node, min(b) AS component FROM reach
               |GROUP BY a
               |ORDER BY node""".stripMargin)),
+
+    // ---- g16: exact k-hop neighborhood function ------------------------
+    // |B(v,2)| per node via frontier BFS over the distinct-pair closure.
+    // The oracle's bounded recursion uses UNION (dedup), not UNION ALL:
+    // the walk MULTISET within 2 hops is deg² per node, the reached SET
+    // is what the neighborhood function counts.
+    Q("g16_khop_reach",
+      (s, dir) => khopReach(derivedEdges(s, dir), hops = 2)
+        .orderBy(col("root")),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+             |  FROM lineitem WHERE l_linenumber = 1),
+             |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             |          FROM e WHERE src <> dst),
+             |sym AS (SELECT u AS src, v AS dst FROM canon
+             |        UNION ALL SELECT v, u FROM canon),
+             |r(root, node, d) AS (
+             |  SELECT src, src, 0 FROM sym
+             |  UNION
+             |  SELECT r.root, s.dst, r.d + 1
+             |  FROM r JOIN sym s ON r.node = s.src
+             |  WHERE r.d < 2)
+             |SELECT root, CAST(count(DISTINCT node) AS BIGINT) AS reach_n
+             |FROM r GROUP BY root ORDER BY root""".stripMargin)),
+
+    // ---- g17: HyperBall — sketched neighborhood function ---------------
+    // Per-node HLL registers folded along edges (see hyperballReach
+    // scaladoc); certified per node against the exact g16 closure. The
+    // oracle rebuilds each node's registers from the closure SET (max
+    // over a union == max over propagation folds) with the shared p14
+    // register SQL and estimator text — a different algorithm arriving
+    // at identical integers.
+    Q("g17_hyperball",
+      (s, dir) => hyperballReach(derivedEdges(s, dir), hops = 2),
+      Some(s"""WITH RECURSIVE e AS (
+             |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+             |  FROM lineitem WHERE l_linenumber = 1),
+             |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             |          FROM e WHERE src <> dst),
+             |sym AS (SELECT u AS src, v AS dst FROM canon
+             |        UNION ALL SELECT v, u FROM canon),
+             |r(root, node, d) AS (
+             |  SELECT src, src, 0 FROM sym
+             |  UNION
+             |  SELECT r.root, s.dst, r.d + 1
+             |  FROM r JOIN sym s ON r.node = s.src
+             |  WHERE r.d < 2),
+             |pairs AS (SELECT DISTINCT root, node FROM r),
+             |h AS (SELECT root,
+             |    ${graft.functions.PortableHash.baseHashSql("CAST(node AS VARCHAR)")} AS h
+             |  FROM pairs),
+             |b AS (SELECT root, CAST(h >> 23 AS INT) AS bucket, h & 8388607 AS rr FROM h),
+             |ro AS (SELECT root, bucket,
+             |    CASE WHEN rr = 0 THEN 24
+             |         ELSE 24 - length(format('{:b}', rr)) END AS rho FROM b),
+             |regs AS (SELECT root, bucket, max(rho) AS m FROM ro GROUP BY root, bucket),
+             |st AS (SELECT root, CAST(count(*) AS BIGINT) AS nonzero_registers,
+             |    CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_present
+             |  FROM regs GROUP BY root),
+             |tot AS (SELECT root, nonzero_registers,
+             |    s_present + (512 - nonzero_registers) * (1::BIGINT << 40) AS s_total
+             |  FROM st),
+             |ex AS (SELECT root, CAST(count(DISTINCT node) AS BIGINT) AS n_exact
+             |  FROM pairs GROUP BY root),
+             |est AS (SELECT tot.root, n_exact, ${Profile.hllEstFormula(512)} AS est_reach,
+             |    nonzero_registers
+             |  FROM tot JOIN ex ON tot.root = ex.root)
+             |SELECT root, n_exact, est_reach, nonzero_registers,
+             |  CASE WHEN abs(est_reach - n_exact) * 100 <= greatest(500, 15 * n_exact)
+             |       THEN 1 ELSE 0 END AS within_bound
+             |FROM est ORDER BY root""".stripMargin)),
   )
 }

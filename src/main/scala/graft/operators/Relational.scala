@@ -1435,5 +1435,62 @@ object Relational {
              |WHERE l_returnflag IN ('A', 'R')
              |GROUP BY l_returnflag
              |ORDER BY flag""".stripMargin)),
+
+    // ---- q55: ordered string aggregation (LISTAGG surface) -------------
+    // Per-customer order-priority journey in strict order-date order —
+    // the LISTAGG / string_agg(... ORDER BY ...) surface. collect_list
+    // is order-nondeterministic under parallelism, so the ordering is
+    // re-imposed IN-ROW: collect structs, array_sort (lexicographic by
+    // (date, key) — a total order, so any shuffle arrival order yields
+    // the same array), then project and join. Groups are bounded by
+    // orders-per-customer; the unbounded-group analogue of this layout
+    // is t10's shard-parallel packing.
+    Q("q55_string_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(o_orderdate, o_orderkey, o_orderpriority)))," +
+              " x -> x.o_orderpriority)"), ">").as("journey"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+             |  string_agg(o_orderpriority, '>' ORDER BY o_orderdate, o_orderkey)
+             |    AS journey
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ---- q56: discrete percentiles (percentile_disc semantics) ---------
+    // Per-customer median and p90 order value as ACTUAL data values
+    // (percentile_disc), not interpolations (q26/q30 cover continuous):
+    // the k-th smallest with k = ceil(q·n), picked from an in-row sorted
+    // array. Index arithmetic avoids float multiples of q: ceil(n/2) =
+    // floor((n+1)/2) and ceil(9n/10) = floor((9n+9)/10), and a double
+    // division by 2/10 whose true quotient is integral rounds to exactly
+    // that integer in IEEE, so floor never flips — both engines compute
+    // the identical index. Groups bounded by orders-per-customer; the
+    // unbounded-group form is the two-pass ranked shape (q51/p13).
+    Q("q56_percentile_disc",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sort_array(collect_list(col("cents"))).as("sorted"))
+        .select(col("o_custkey"), col("n_orders"),
+          expr("element_at(sorted, CAST(floor((n_orders + 1) / 2) AS INT))").as("med_cents"),
+          expr("element_at(sorted, CAST(floor((9 * n_orders + 9) / 10) AS INT))").as("p90_cents"))
+        .orderBy(col("o_custkey")),
+      Some("""WITH o AS (SELECT o_custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |r AS (SELECT o_custkey, cents,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY cents) AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n FROM o)
+             |SELECT o_custkey, CAST(max(n) AS BIGINT) AS n_orders,
+             |  max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+             |      THEN cents END) AS med_cents,
+             |  max(CASE WHEN rn = CAST(floor((9 * n + 9) / 10) AS BIGINT)
+             |      THEN cents END) AS p90_cents
+             |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
   )
 }

@@ -257,4 +257,55 @@ class GraphOpsSpec extends AnyFunSuite {
         base.take(15))
     assert(triSet(GraphOps.triangles(edgesDF(perturbed))) === expected)
   }
+
+  /** Independent oracle: BFS over an adjacency map, |B(v, hops)| per node. */
+  private def bruteReach(es: Seq[(Long, Long)], hops: Int): Map[Long, Long] = {
+    val undirected = es.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)).distinct
+    val adj = undirected.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    adj.keys.map { root =>
+      var seen = Set(root); var frontier = Set(root)
+      for (_ <- 1 to hops) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      root -> seen.size.toLong
+    }.toMap
+  }
+
+  test("khopReach: path graph counts, self included; hops=1 is degree+1") {
+    // path 1-2-3-4-5: B(1,2)={1,2,3}, B(3,2)=all five
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = GraphOps.khopReach(edgesDF(path), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 3L))
+    val deg1 = GraphOps.khopReach(edgesDF(path), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deg1 === Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 2L))
+  }
+
+  test("khopReach matches BFS oracle on random graphs; monotone in hops") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(80)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    for (h <- 1 to 3) {
+      val got = GraphOps.khopReach(edgesDF(es), h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === bruteReach(es, h), s"hops=$h")
+    }
+  }
+
+  test("hyperballReach: exact arm matches khopReach, every node within bound") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val hb = GraphOps.hyperballReach(edgesDF(es), 2).collect()
+    val exact = GraphOps.khopReach(edgesDF(es), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hb.nonEmpty)
+    hb.foreach { r =>
+      val (root, nExact, est, bound) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))
+      assert(nExact === exact(root), s"exact-arm drift at $root")
+      assert(bound === 1, s"node $root: est $est vs exact $nExact out of bound")
+    }
+  }
 }
