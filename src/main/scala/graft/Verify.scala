@@ -22,13 +22,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Closed-over-the-registry dump: a query that throws still writes a
+    // one-row sentinel parquet (schema: verify_error STRING), so the
+    // downstream compare produces a loud mismatch row for it — absence of
+    // a dump can never masquerade as health. Failures are additionally
+    // summarized in errors.json for the pre-snapshot gate.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => keep(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+          failures(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("verify_error").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +64,9 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -534,6 +534,71 @@ object Dedup {
         coalesce(col("component"), col("vec_id")).as("cluster_id"))
   }
 
+  /** Semantic dedup clusters, BANDED — the scale form of
+    * [[semanticClusters]]: candidate pairs come from `tables` independent
+    * sign-LSH tables (the [[Similarity.lshTopKMulti]] OR-construction —
+    * one `planes·tables`-bit signature per vector, sliced into per-table
+    * band keys, self-joined on (table, bucket)), only candidates pay the
+    * exact cosine, and the SAME connected-components stage assigns
+    * cluster ids. Candidate work is Σ_buckets |bucket|² instead of n²/2 —
+    * the 100 TB shape (at 100× vectors, all-pairs grows 10⁴×; in-bucket
+    * pairs grow with bucket occupancy only). Missed-edge tolerance comes
+    * from CC transitivity: a cluster stays intact unless EVERY path
+    * between its halves is missed, which is why the gate can hold the
+    * banded form to d18's exact oracle on the fixture corpus (and does).
+    * At the default 2-planes/32-tables setting a θ-threshold pair
+    * (cos = 0.4) is bucketed together somewhere with prob
+    * 1-(1-(1-acos(0.4)/π)²)³² ≈ 1-9e-8. */
+  def semanticClustersBanded(emb: DataFrame, minCos: Double = 0.4,
+      dim: Int = 64, planes: Int = 2, tables: Int = 32): DataFrame = {
+    require(planes * tables <= 64, "signature must fit one long")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val mask = (1L << planes) - 1
+    val sig = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+      .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          shiftright(col("s"), t * planes).bitwiseAND(lit(mask)).as("b"))
+      }: _*)))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    // cosine is computed inside the bucket join (narrow, codegen'd) and
+    // deduped by a map-side-combinable max — vectors never shuffle past
+    // the join, matching lshTopKMulti's shape
+    val pairs = sig.toDF("v1", "e1", "n1", "t", "b")
+      .join(sig.toDF("v2", "e2", "n2", "t", "b"), Seq("t", "b"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(VectorFns.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
+      .groupBy(col("v1"), col("v2")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comps, col("vec_id") === comps("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+  }
+
+  /** Exposed for the ScaleSmoke candidate-count audit: the (v1, v2)
+    * in-bucket candidate pairs the banded form pays exact cosine for. */
+  private[graft] def bandedCandidateCount(emb: DataFrame, dim: Int = 64,
+      planes: Int = 2, tables: Int = 32): Long = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val mask = (1L << planes) - 1
+    val sig = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          shiftright(col("s"), t * planes).bitwiseAND(lit(mask)).as("b"))
+      }: _*)))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    sig.toDF("v1", "t", "b").join(sig.toDF("v2", "t", "b"), Seq("t", "b"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct().count()
+  }
+
   // ---- oracle SQL generation (same constants as the Spark side) --------
 
   private val toksSql = TextFns.tokensSql("text")
@@ -940,6 +1005,31 @@ object Dedup {
     // candidates: same transitive-cluster semantics, semantic signal.
     Q("d18_semantic_clusters",
       (s, dir) => semanticClusters(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |dup AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+             |        FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |        WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4),
+             |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+             |        UNION ALL SELECT d2, d1 FROM dup),
+             |reach(a, b) AS (
+             |  SELECT src, src FROM sym
+             |  UNION
+             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+             |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
+             |SELECT vec_id, coalesce(c, vec_id) AS cluster_id
+             |FROM e LEFT JOIN comp ON vec_id = node
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- d20: semantic clusters, banded (the scale form of d18) --------
+    // Oracle arm = d18's EXACT all-pairs clustering: at fixture scale the
+    // banded candidates are exhaustive (2-planes/32-tables OR-amplified
+    // recall ≈ 1 at the 0.4 threshold, plus CC transitivity), so cluster
+    // ids must match the exact form bit-for-bit — the same
+    // acceptable-by-contract pairing d05 has with s02/s05.
+    Q("d20_semantic_clusters_banded",
+      (s, dir) => semanticClustersBanded(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id")),
       Some("""WITH RECURSIVE e AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -525,11 +525,15 @@ object GraphOps {
     * certifier and the small-graph tool. */
   def khopReach(edges: DataFrame, hops: Int): DataFrame = {
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+    // The expansion joins frontier (itself derived from sym) back against
+    // the edge table every round; a disjoint-schema copy keeps the
+    // attribute lineages separate (the commonNeighbors pattern).
+    val nbr = sym.select(col("src").as("e_src"), col("dst").as("e_dst"))
     var reach = sym.select(col("src").as("root"), col("src").as("node")).distinct()
     var frontier = reach
     for (_ <- 1 to hops) {
-      val expanded = frontier.join(sym, frontier("node") === sym("src"))
-        .select(frontier("root"), sym("dst").as("node")).distinct()
+      val expanded = frontier.join(nbr, col("node") === col("e_src"))
+        .select(col("root"), col("e_dst").as("node")).distinct()
       frontier = expanded.join(reach, Seq("root", "node"), "left_anti")
       reach = reach.unionByName(frontier)
     }
@@ -553,7 +557,13 @@ object GraphOps {
     * oracle builds each node's registers from the recursive-CTE closure
     * SET instead of by propagation (max over a union == max over folds),
     * so matching registers also certify the propagation itself. */
-  def hyperballReach(edges: DataFrame, hops: Int): DataFrame = {
+  /** The estimation arm of [[hyperballReach]] alone: per-node
+    * `(root, nonzero_registers, est_reach)` from the k-round register
+    * fold, no exact-BFS certification join. This is the operator a
+    * 100 TB graph actually runs (state ≤ n·512 register rows regardless
+    * of reach); ScaleSmoke times it on the 5M-edge power-law graph where
+    * the exact pair set is unmaterializable. */
+  def hyperballEstimates(edges: DataFrame, hops: Int): DataFrame = {
     val m = 1 << 9
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
     val nodes = sym.select(col("src").as("root")).distinct()
@@ -561,18 +571,25 @@ object GraphOps {
         nodes.select(col("root"), col("root").cast("string").as("k")),
         slices = 1, carry = Seq("root"))
       .select(col("root"), col("bucket"), col("rho"))
+    // regs derives from sym (via nodes); fold against a disjoint-schema
+    // copy of the edge table so the per-round join is never ambiguous.
+    val nbr = sym.select(col("src").as("e_src"), col("dst").as("e_dst"))
     for (_ <- 1 to hops) {
-      val folded = regs.join(sym, regs("root") === sym("dst"))
-        .select(sym("src").as("root"), col("bucket"), col("rho"))
+      val folded = regs.join(nbr, col("root") === col("e_dst"))
+        .select(col("e_src").as("root"), col("bucket"), col("rho"))
       regs = regs.unionByName(folded)
         .groupBy(col("root"), col("bucket")).agg(max(col("rho")).as("rho"))
     }
-    val stats = regs.groupBy(col("root"))
+    regs.groupBy(col("root"))
       .agg(count(lit(1)).as("nonzero_registers"),
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 40 - rho) AS BIGINT)")).as("s_present"))
       .withColumn("s_total",
         col("s_present") + (lit(m.toLong) - col("nonzero_registers")) * lit(1L << 40))
       .withColumn("est_reach", expr(Profile.hllEstFormula(m)))
+  }
+
+  def hyperballReach(edges: DataFrame, hops: Int): DataFrame = {
+    val stats = hyperballEstimates(edges, hops)
     val exact = khopReach(edges, hops).withColumnRenamed("reach_n", "n_exact")
     stats.join(exact, "root")
       .select(col("root"), col("n_exact"), col("est_reach"),

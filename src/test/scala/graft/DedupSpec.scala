@@ -295,6 +295,17 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(1L -> 3L) - 0.7071) < 1e-4)
   }
 
+  test("semanticClustersBanded == exact semanticClusters on the fixture corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.semanticClusters(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val banded = Dedup.semanticClustersBanded(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(banded === exact)
+    // and it actually clusters something (not everything a singleton)
+    assert(exact.exists { case (v, c) => v != c })
+  }
+
   test("lshTopK == exact top-k restricted to the query's bucket") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 20)

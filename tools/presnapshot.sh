@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: refuse the end-of-round snapshot unless EVERY artifact
+# the driver will produce is healthy. Run from the repo root:
+#
+#   tools/presnapshot.sh            # full gate: sbt test + Verify + oracle + Bench
+#   tools/presnapshot.sh --fast     # skip the sf0.1 bench (dev loop)
+#
+# Exits nonzero (and says why) on: red sbt test, any query that throws in
+# Verify (errors.json non-empty), any oracle mismatch from check_oracle.py,
+# or a Bench run with nonzero rc / non-empty "errors". Three consecutive
+# rounds shipped a defective artifact that this one command would have caught.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+FAST=${1:-}
+SF_VERIFY=${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.01}
+SF_BENCH=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+OUT=/tmp/graft_presnapshot_verify
+fail() { echo "PRESNAPSHOT GATE: FAIL — $1" >&2; exit 1; }
+
+echo "== [1/4] sbt test =="
+sbt -batch test > /tmp/presnapshot_test.log 2>&1 \
+  || fail "sbt test red (see /tmp/presnapshot_test.log)"
+grep -E "Tests: succeeded" /tmp/presnapshot_test.log | tail -1
+
+echo "== [2/4] Verify @ ${SF_VERIFY} =="
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify ${SF_VERIFY} ${OUT}" > /tmp/presnapshot_verify.log 2>&1 \
+  || fail "Verify exited nonzero (see /tmp/presnapshot_verify.log)"
+[ -f "$OUT/errors.json" ] || fail "Verify wrote no errors.json"
+python3 - "$OUT/errors.json" <<'EOF' || exit 1
+import json, sys
+errs = json.load(open(sys.argv[1]))
+if errs:
+    print("PRESNAPSHOT GATE: FAIL — queries threw in Verify:", file=sys.stderr)
+    for k, v in errs.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    sys.exit(1)
+EOF
+
+echo "== [3/4] DuckDB oracle compare =="
+python3 tools/check_oracle.py "$OUT" "$SF_VERIFY" > /tmp/presnapshot_oracle.log 2>&1 \
+  || fail "oracle mismatch (see /tmp/presnapshot_oracle.log)"
+tail -3 /tmp/presnapshot_oracle.log
+
+if [ "$FAST" = "--fast" ]; then
+  echo "== [4/4] bench SKIPPED (--fast) =="
+else
+  echo "== [4/4] Bench @ ${SF_BENCH} =="
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
+    > /tmp/presnapshot_bench.log 2>&1 \
+    || fail "Bench exited nonzero (see /tmp/presnapshot_bench.log)"
+  python3 - <<'EOF' || exit 1
+import json, sys
+rec = json.load(open("BENCH_SELF.json"))
+if rec.get("errors"):
+    print("PRESNAPSHOT GATE: FAIL — bench errors:", rec["errors"], file=sys.stderr)
+    sys.exit(1)
+bad = [k for k, v in rec.get("queries", {}).items() if v < 0]
+if bad:
+    print("PRESNAPSHOT GATE: FAIL — -1.0 sentinel queries:", bad, file=sys.stderr)
+    sys.exit(1)
+print(f"bench ok: {rec['value']:.1f}s over {len(rec['queries'])} queries")
+EOF
+fi
+
+echo "PRESNAPSHOT GATE: PASS"
