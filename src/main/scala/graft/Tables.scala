@@ -20,14 +20,38 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which the vectorized parquet
-    * reader rejects; read nanos as long and truncate to micros (matching
-    * DuckDB's ns→us cast) so `ts` is a normal timestamp column. */
+  /** Schema-adaptive events loader. Writers drift on the physical `ts`
+    * type: legacy fixtures carry TIMESTAMP(NANOS) (readable only via
+    * `nanosAsLong`, surfacing as LongType nanos), current ones carry native
+    * `timestamp[us]` (surfacing as TIMESTAMP_NTZ when the footer says
+    * isAdjustedToUTC=false). Branch on the type the scan actually surfaces
+    * rather than assuming one layout — at lake scale the same table mixes
+    * writers, so a loader hardcoded to one physical type is a landmine.
+    * Either branch normalizes to a session-tz TIMESTAMP (session tz is
+    * pinned UTC in [[GraftSession]]), matching DuckDB's naive-timestamp
+    * view of the same files for oracle parity. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // Harmless when ts is already a real timestamp; required for NANOS.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    eventsNormalizeTs(raw)
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType whatever the scan
+    * surfaced: integral = legacy nanos → truncate to micros (DuckDB's
+    * ns→us cast); TIMESTAMP_NTZ → reinterpret in the (UTC) session tz;
+    * already TIMESTAMP → passthrough. */
+  private[graft] def eventsNormalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType | IntegerType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB

@@ -21,18 +21,29 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with `ts` as raw nanos (for readStream, which cannot
-    * infer past the TIMESTAMP(NANOS) footer — see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema with a caller-supplied physical type for `ts` —
+    * readStream can't infer, so we probe the batch footer first (see
+    * [[readEventsStream]]) and build the stream schema to match whichever
+    * layout (legacy INT64-nanos or native timestamp[us]) is on disk. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Open the events table as a file stream (ts converted to timestamp). */
+  /** Legacy-nanos shape, kept for tests that pin the old layout. */
+  val rawSchemaNanos: StructType = rawSchema(LongType)
+
+  /** Open the events table as a file stream, schema-adaptive on the
+    * physical `ts` type: a one-off batch footer probe decides whether the
+    * on-disk column is legacy INT64 nanos or a native timestamp, then the
+    * stream declares that exact type and normalizes to TimestampType via
+    * the same [[graft.Tables.eventsNormalizeTs]] the batch path uses —
+    * one conversion rule, two execution modes. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    Tables.eventsNormalizeTs(
+      spark.readStream.schema(rawSchema(tsType)).parquet(dir))
   }
 
   /** Drop duplicate events by id — the at-least-once → exactly-once

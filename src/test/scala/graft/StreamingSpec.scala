@@ -209,11 +209,19 @@ class StreamingSpec extends AnyFunSuite {
     // invisible to both (StreamBench measured the resulting stall: 70
     // stranded tail rows at sf0.1). user_id = -1 keeps the sentinels out
     // of every real join key; the compare excludes them.
-    val maxNanos = spark.read.schema(EventStreams.rawSchema).parquet(d)
-      .agg(max(col("ts"))).as[Long].head()
-    Seq((-1L, maxNanos + 86400L * 1000000000L, -1L, "click", 0.0, "{}"),
-        (-2L, maxNanos + 86400L * 1000000000L, -1L, "purchase", 0.0, "{}"))
+    // The sentinel file must carry the SAME physical ts type as the copied
+    // fixture (the stream declares one schema over $d/*), so probe the
+    // layout and write to match — legacy INT64-nanos or native timestamp.
+    val tsType = spark.read.parquet(d).schema("ts").dataType
+    val maxMicros = Tables.eventsNormalizeTs(spark.read.parquet(d))
+      .agg(max(unix_micros(col("ts")))).as[Long].head()
+    val sentinelMicros = maxMicros + 86400L * 1000000L
+    Seq((-1L, sentinelMicros, -1L, "click", 0.0, "{}"),
+        (-2L, sentinelMicros, -1L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        if (tsType == org.apache.spark.sql.types.LongType) col("ts") * 1000L
+        else timestamp_micros(col("ts")).cast(tsType))
       .write.parquet(s"$d/zz_sentinel")
     val stream = EventStreams.readEventsStream(spark, s"$d/*")
       .withWatermark("ts", "2 hours")
