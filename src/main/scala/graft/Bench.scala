@@ -6,30 +6,85 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
   *
   * Protocol (pinned so round-over-round deltas are comparable):
+  *   - hash protocol pinned in-process (md5 — the oracle protocol) via
+  *     [[graft.functions.PortableHash.pin]]; timings never depend on
+  *     ambient `GRAFT_FAST_HASH`.
+  *   - the bench REFUSES to start while the box is busy: it polls
+  *     /proc/loadavg until 1-min load ≤ `SPARK_GRAFT_BENCH_MAXLOAD`
+  *     (default 4.0) for up to `SPARK_GRAFT_BENCH_MAXWAIT` seconds
+  *     (default 900), and records start/end load in the artifact. A
+  *     committed number measured under contention is an artifact lie
+  *     (d05 was once recorded at 53 s vs 3.2 s idle).
   *   - global warmup (JVM/codegen/parquet-footer caches), then per query
   *     one untimed warmup run + `SPARK_GRAFT_BENCH_RUNS` (default 3) timed
-  *     runs; the reported seconds are the MEDIAN. Ambient load on the
-  *     bench box showed ±70% single-run variance — medians of repeated
-  *     runs are the cheapest stable estimator.
-  *   - shuffle read/write bytes per query (BASELINE.md's "v0 action"
-  *     promised wall-clock + shuffle volume: at 100× data, shuffle bytes
-  *     predict cost; sf0.1 wall-clock doesn't). Collected via a
-  *     `SparkListener` over task metrics, deltas snapshotted around the
-  *     LAST timed run — bytes are deterministic per run, unlike time.
+  *     runs; the reported seconds are the MEDIAN.
+  *   - quadratic CERTIFICATION arms (exact all-pairs / exact k-hop:
+  *     d05, d18, g16) run against the sf0.01 cert tier
+  *     (`SPARK_GRAFT_SF_DIR_CERT`): their O(n²) at sf0.1 predicts
+  *     nothing that sf0.01 doesn't, and they were 40% of bench wall.
+  *     The subquadratic scale forms (d20, s02/s05, g17) stay at sf0.1.
+  *     The artifact records which queries ran at the cert tier.
+  *   - shuffle read/write bytes per query, via a `SparkListener` over
+  *     task metrics, deltas snapshotted around the LAST timed run —
+  *     bytes are deterministic per run, unlike time; at 100× data,
+  *     shuffle bytes predict cost.
   *   - a query that throws reports `-1` time plus its error class+message
   *     under `"errors"`, and the process exits 1: a broken query can never
   *     masquerade as a fast one.
+  *
+  * Artifact protocol: the FULL record (all 149 queries + shuffle bytes)
+  * goes to `BENCH_SELF.json`; stdout gets a COMPACT line (headline
+  * queries only, < 2000 chars) printed LAST, after `spark.stop()` —
+  * the driver tail-captures the final 2000 chars of output, and the
+  * full 11 KB line can never survive that window (BENCH_r04–r06 all
+  * carried `parsed: null` because of it).
   */
 object Bench {
 
+  /** Exact/quadratic certification arms benched at the cert tier. */
+  private val certTierQueries = Set(
+    "d05_embedding_neardup", "d18_semantic_clusters", "g16_khop_reach")
+
+  /** Headline subset for the compact stdout line: the per-family
+    * most-expensive queries plus everything the round gates watch. */
+  private val headline = Set(
+    "q01_agg", "q41_bucketed_join", "g01_triangles", "g07_components",
+    "g16_khop_reach", "g17_hyperball", "d01_exact_dedup", "d02_minhash_lsh",
+    "d05_embedding_neardup", "d13_prefix_jaccard", "d18_semantic_clusters",
+    "d20_semantic_clusters_banded", "s01_cosine_topk", "s05_ivf_topk",
+    "t05_tfidf", "p07_quantile_sketch", "p13_mad_outliers",
+    "st04_stream_dedup", "m06_phash_neardup", "e01_corpus_build")
+
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    graft.functions.PortableHash.pin(fast = false) // md5: the oracle protocol
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val certDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_CERT",
+      if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "4.0").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT", "900").toInt
     // comma-separated query-name filter for iterating on one line of the
     // bench without paying for the whole suite; empty = all
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // contention guard: never measure while another job owns the box
+    val waitStart = System.nanoTime()
+    var load = loadAvg()
+    while (load > maxLoad && (System.nanoTime() - waitStart) / 1e9 < maxWait) {
+      System.err.println(f"bench: load $load%.1f > $maxLoad%.1f, waiting for idle box...")
+      Thread.sleep(15000)
+      load = loadAvg()
+    }
+    val loadAtStart = load
+    if (loadAtStart > maxLoad)
+      System.err.println(f"bench: WARNING — starting under load $loadAtStart%.1f; timings suspect")
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,19 +102,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
+      val dir = if (certTierQueries(name)) certDir else sfDir
       try {
-        fn(spark, sfDir).count() // untimed warmup
+        fn(spark, dir).count() // untimed warmup
         val times = (1 to runs).map { i =>
           if (i == runs) {
             val (r0, w0) = totals.snapshotAfter()
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            fn(spark, dir).count()
             val sec = (System.nanoTime() - t0) / 1e9
             val (r1, w1) = totals.snapshotAfter()
             (sec, r1 - r0, w1 - w0)
           } else {
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            fn(spark, dir).count()
             ((System.nanoTime() - t0) / 1e9, 0L, 0L)
           }
         }
@@ -72,24 +128,35 @@ object Bench {
           (name, -1.0, 0L, 0L)
       }
     }
+    val loadAtEnd = loadAvg()
 
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ")
-    val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def num(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
     val sh = results.map { case (k, _, r, w) =>
       s"""\"$k\":{\"read\":$r,\"write\":$w}""" }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"\"$k\":\"${esc(m)}\"" }.mkString("{", ",", "}")
+    val certQs = results.collect { case (k, _, _, _) if certTierQueries(k) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"shuffle_bytes":$sh,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's tail-capture truncates stdout (BENCH_r0*.json carried
-    // "parsed": null for three rounds) — persist the full record too, but
-    // only for whole-suite runs so a filtered dev run can't shadow a real one
+    val meta = s""""unit":"sec","runs":$runs,"stat":"median","errors":$errs,""" +
+      s""""cert_sf":"$certDir","cert_queries":$certQs,""" +
+      f""""load_start":$loadAtStart%.2f,"load_end":$loadAtEnd%.2f,"sf":"$sfDir""""
+    val fullLine = s"""{"metric":"total","value":${num(total)},$meta,"queries":$qs,"shuffle_bytes":$sh}"""
+    // the full record is the committed artifact...
     if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     }
+    val hl = results.filter { case (k, _, _, _) => headline(k) }
+      .map { case (k, v, _, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${num(total)},$meta,""" +
+      s""""queries":$hl,"queries_all":${results.size},"full":"BENCH_SELF.json"}"""
     spark.stop()
+    // ...and the compact line goes LAST on stdout so the driver's
+    // 2000-char tail capture always contains one complete JSON record
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -32,8 +32,15 @@ object PortableHash {
   /** When set (env `GRAFT_FAST_HASH=1`), sketches use xxhash64 instead of
     * the md5-derived hash: ~2× faster MinHash signatures, but signatures
     * are no longer reproducible in the DuckDB oracle (rows-only checks
-    * apply). Default off — correctness gate first. */
-  lazy val fastHash: Boolean = sys.env.get("GRAFT_FAST_HASH").contains("1")
+    * apply). Default off — correctness gate first.
+    *
+    * Entry points that need run-to-run comparable timings (Bench) [[pin]]
+    * the choice explicitly rather than inherit ambient env, so two bench
+    * runs measure the same hash protocol without any setup. */
+  @volatile private var pinnedFastHash: Option[Boolean] = None
+  def pin(fast: Boolean): Unit = { pinnedFastHash = Some(fast) }
+  def fastHash: Boolean =
+    pinnedFastHash.getOrElse(sys.env.get("GRAFT_FAST_HASH").contains("1"))
 
   /** 32-bit base hash of a string column: int64 in [0, 2^32). */
   def baseHash(c: Column): Column =

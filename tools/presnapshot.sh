@@ -47,6 +47,17 @@ if [ "$FAST" = "--fast" ]; then
   echo "== [4/4] bench SKIPPED (--fast) =="
 else
   echo "== [4/4] Bench @ ${SF_BENCH} =="
+  # contention guard: never bench concurrently with another Spark job.
+  # (Bench.main also polls /proc/loadavg itself; this outer check makes the
+  # refusal visible in the gate log and catches long-running driver benches.)
+  for i in $(seq 1 60); do
+    LOAD=$(cut -d' ' -f1 /proc/loadavg)
+    OK=$(python3 -c "print(1 if $LOAD <= 4.0 else 0)")
+    [ "$OK" = "1" ] && break
+    echo "  load $LOAD > 4.0 — waiting for idle box ($i/60)..."
+    sleep 15
+  done
+  [ "$OK" = "1" ] || fail "box never went idle; refusing to record contaminated bench numbers"
   SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
     > /tmp/presnapshot_bench.log 2>&1 \
     || fail "Bench exited nonzero (see /tmp/presnapshot_bench.log)"
