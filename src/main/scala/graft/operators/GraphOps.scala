@@ -617,6 +617,38 @@ object GraphOps {
       |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |          FROM e WHERE src <> dst)""".stripMargin
 
+  // ---- skewed (power-law) derived graph --------------------------------
+  // The mod-4000 graph above is near-uniform; the reference's entire
+  // experiment was the deg² hub blowup on Twitter-skew graphs
+  // (mapreducePredictionTwitter100.java:52-87). g18–g21 gate the same
+  // operators on a deterministic POWER-LAW graph: a Knuth multiplicative
+  // hash turns each key into a uniform m ∈ [0, 1e6), and an integer cube
+  // ramp maps it to node = m³ div 2.5e14 ∈ [0, 4000) — P(node = k) ∝
+  // k^(-2/3), so node 0 is a hub absorbing ~6.3% of all endpoint draws
+  // (measured max/median distinct degree ≈ 650 at sf0.01; g21 certifies
+  // the ratio through the oracle). All-integer arithmetic — the hash,
+  // cube, and floor-division reproduce bit-for-bit in DuckDB (`div`/`//`
+  // agree on nonnegative operands), no IEEE pow() anywhere.
+
+  private def skewedEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .selectExpr(
+        "((l_orderkey * 2654435761) % 1000000) AS mo",
+        "((l_partkey * 2654435761) % 1000000) AS mp")
+      .selectExpr(
+        "(mo*mo*mo) div 250000000000000 AS src",
+        "(mp*mp*mp) div 250000000000000 AS dst")
+
+  private val skewSql =
+    """WITH m AS (SELECT (l_orderkey * 2654435761) % 1000000 AS mo,
+      |                  (l_partkey * 2654435761) % 1000000 AS mp
+      |           FROM lineitem WHERE l_linenumber = 1),
+      |e AS (SELECT (mo*mo*mo) // 250000000000000 AS src,
+      |             (mp*mp*mp) // 250000000000000 AS dst FROM m),
+      |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |          FROM e WHERE src <> dst)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("g01_triangles",
@@ -1039,5 +1071,81 @@ object GraphOps {
              |  CASE WHEN abs(est_reach - n_exact) * 100 <= greatest(500, 15 * n_exact)
              |       THEN 1 ELSE 0 END AS within_bound
              |FROM est ORDER BY root""".stripMargin)),
+
+    // ---- g18–g21: the same operators on the power-law hub graph --------
+    // (see skewedEdges). These rows are the gate the uniform mod-4000
+    // graph can't provide: the hub's deg² wedge fan-out IS the reference
+    // experiment, and the plans must survive it, not just the mild case.
+
+    Q("g18_skew_triangles",
+      (s, dir) => triangles(skewedEdges(s, dir))
+        .orderBy(col("a"), col("b"), col("c")),
+      Some(s"""$skewSql
+              |SELECT t1.u AS a, t1.v AS b, t2.v AS c
+              |FROM canon t1
+              |JOIN canon t2 ON t1.u = t2.u AND t1.v < t2.v
+              |JOIN canon t3 ON t3.u = t1.v AND t3.v = t2.v
+              |ORDER BY a, b, c""".stripMargin)),
+
+    // minCommon = 5 bounds the OUTPUT on the hub graph; the wedge join
+    // underneath still pays the full deg(hub)² fan-out — that cost is
+    // the point of the gate (the capped mitigation is g09's contract).
+    Q("g19_skew_common_neighbors",
+      (s, dir) => commonNeighbors(skewedEdges(s, dir), minCommon = 5)
+        .orderBy(col("u"), col("v")),
+      Some(s"""$skewSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon)
+              |SELECT n1.src AS u, n2.src AS v, count(*) AS cn
+              |FROM sym n1 JOIN sym n2 ON n1.dst = n2.dst
+              |WHERE n1.src < n2.src
+              |GROUP BY n1.src, n2.src
+              |HAVING count(*) >= 5
+              |ORDER BY u, v""".stripMargin)),
+
+    Q("g20_skew_components",
+      (s, dir) => connectedComponents(skewedEdges(s, dir))
+        .orderBy(col("node")),
+      Some(s"""$skewSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |reach AS (
+              |  SELECT src AS a, src AS b FROM sym
+              |  UNION
+              |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+              |)
+              |SELECT a AS node, min(b) AS component FROM reach
+              |GROUP BY a
+              |ORDER BY node""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ---- g21: the skew itself, oracle-certified ------------------------
+    // One summary row: node count, max and exact-median distinct degree,
+    // and their integer ratio. The gate holding means the graph the
+    // g18–g20 plans survived really is hub-skewed (ratio ≥ 100 is also
+    // asserted in GraphOpsSpec). The collect_list is over ≤ 4000 degree
+    // values — a broadcast-shaped summary, not a data-scale sort.
+    Q("g21_skew_degree_stats",
+      (s, dir) => degrees(skewedEdges(s, dir))
+        .agg(count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"),
+          sort_array(collect_list(col("degree"))).as("sorted"))
+        .select(col("n_nodes"), col("max_degree"),
+          expr("element_at(sorted, CAST(floor((n_nodes + 1) / 2) AS INT))").as("median_degree"))
+        .select(col("n_nodes"), col("max_degree"), col("median_degree"),
+          expr("max_degree div median_degree").as("skew_ratio")),
+      Some(s"""$skewSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+              |r AS (SELECT degree,
+              |    row_number() OVER (ORDER BY degree) AS rn,
+              |    count(*) OVER () AS n FROM deg)
+              |SELECT CAST(max(n) AS BIGINT) AS n_nodes,
+              |  CAST(max(degree) AS BIGINT) AS max_degree,
+              |  max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+              |      THEN CAST(degree AS BIGINT) END) AS median_degree,
+              |  CAST(max(degree) AS BIGINT)
+              |    // max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+              |           THEN CAST(degree AS BIGINT) END) AS skew_ratio
+              |FROM r""".stripMargin)),
   )
 }

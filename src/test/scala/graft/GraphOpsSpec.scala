@@ -294,6 +294,21 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed derived graph is genuinely hub-skewed: max/median degree >= 100") {
+    // g18-g21's gate value rests on the derived graph actually having the
+    // reference experiment's shape (Twitter-skew deg^2 hub blowup). The
+    // g21 summary row certifies it: at sf0.01 the cube-ramp derivation
+    // measures max degree 691 vs median 3 (ratio 230).
+    val row = SparkEntry.queries("g21_skew_degree_stats")(
+      spark, "/root/testdata/sf0.01").collect().head
+    val (nNodes, maxDeg, medDeg, ratio) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nNodes > 1000)
+    assert(medDeg >= 1)
+    assert(ratio === maxDeg / medDeg)
+    assert(ratio >= 100, s"max/median degree $maxDeg/$medDeg = $ratio below 100")
+  }
+
   test("hyperballReach: exact arm matches khopReach, every node within bound") {
     val rnd = new scala.util.Random(11)
     val es = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
