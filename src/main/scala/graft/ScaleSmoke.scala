@@ -69,6 +69,7 @@ object ScaleSmoke {
     val t13Only = args.contains("--t13-only")
     val p12Only = args.contains("--p12-only")
     val zorderOnly = args.contains("--zorder-only")
+    val recallOnly = args.contains("--recall-only")
     val posArgs = args.filterNot(_.startsWith("--"))
     val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
     val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
@@ -84,6 +85,57 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       val (r1, w1) = totals.snapshotAfter()
       println(s"""{"step":"$name","rows":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
+    }
+
+    if (recallOnly) {
+      // ---- the ANN recall/cost curve at 500k × 64-dim -------------------
+      // What a real deployment tunes: recall@10 against the exact scan,
+      // swept over (nlist, nprobe) for IVF (s05) and (planes, tables) for
+      // multi-table sign-LSH (s03). The curve goes to BASELINE_SELF.md;
+      // the run FAILS (exit 1) if recall at the registered settings —
+      // s03 (4 planes × 16 tables), s05 (nlist 64, nprobe 16) — drops
+      // below 0.9, so a regression in either index can't ship silently.
+      val nVecs = 500000L
+      val embCols = (0 until 64).map(i =>
+        ((pmod(xxhash64(col("id"), lit(i)), lit(2001L)) - 1000).cast("double") / 1000.0))
+      val bigEmb = spark.range(nVecs)
+        .select(col("id").as("vec_id"), array(embCols: _*).as("embedding"))
+        .persist()
+      val queries = bigEmb.filter(col("vec_id") < 50).persist()
+      queries.count()
+      val exact = Similarity.bruteForceTopK(bigEmb, queries, 10)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(df: DataFrame): Double = {
+        val got = df.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(exact).size.toDouble / exact.size
+      }
+      var registeredOk = true
+      for ((nlist, nprobe) <- Seq((64, 4), (64, 8), (64, 16), (256, 16),
+          (256, 32), (256, 64))) {
+        val t0 = System.nanoTime()
+        val r = recallOf(Similarity.ivfTopK(bigEmb, queries, k = 10,
+          nlist = nlist, nprobe = nprobe))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val reg = nlist == 64 && nprobe == 16
+        if (reg && r < 0.9) registeredOk = false
+        println(f"""{"step":"recall_ivf","nlist":$nlist,"nprobe":$nprobe,"recall_at_10":$r%.4f,"sec":$sec%.2f,"registered":$reg}""")
+      }
+      for ((planes, tables) <- Seq((2, 8), (2, 16), (2, 32), (4, 8),
+          (4, 16), (8, 8))) {
+        val t0 = System.nanoTime()
+        val r = recallOf(Similarity.lshTopKMulti(bigEmb, queries, k = 10,
+          planes = planes, tables = tables))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val reg = planes == 4 && tables == 16
+        if (reg && r < 0.9) registeredOk = false
+        println(f"""{"step":"recall_lsh","planes":$planes,"tables":$tables,"recall_at_10":$r%.4f,"sec":$sec%.2f,"registered":$reg}""")
+      }
+      println(s"""{"step":"recall_gate","registered_settings_recall_ge_090":$registeredOk}""")
+      spark.stop()
+      if (!registeredOk) sys.exit(1)
+      return
     }
 
     if (!skewOnly && !t13Only && !p12Only && !zorderOnly) {
@@ -138,8 +190,10 @@ object ScaleSmoke {
         .select(col("id").as("vec_id"), array(embCols: _*).as("embedding"))
         .persist()
       timed("s05_ivf_topk_500k") {
+        // (64, 16): the registered scale setting the --recall-only gate
+        // pins at recall >= 0.9
         Similarity.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 10),
-          k = 10, nlist = 64, nprobe = 4).count()
+          k = 10, nlist = 64, nprobe = 16).count()
       }
 
       // s06 two-stage retrieval on the same 500k corpus: stage 1 scans
