@@ -25,8 +25,12 @@ object Tables {
     * `nanosAsLong`, surfacing as LongType nanos), current ones carry native
     * `timestamp[us]` (surfacing as TIMESTAMP_NTZ when the footer says
     * isAdjustedToUTC=false). Branch on the type the scan actually surfaces
-    * rather than assuming one layout — at lake scale the same table mixes
-    * writers, so a loader hardcoded to one physical type is a landmine.
+    * rather than assuming one layout — at lake scale different table
+    * versions/directories come from different writers, so a loader
+    * hardcoded to one physical type is a landmine. Adaptivity is
+    * per-DIRECTORY: a single directory mixing both layouts fails loudly
+    * at scan time (never decodes nonsense) — TablesSpec pins that, along
+    * with both homogeneous layouts and the legacy-nanos truncation.
     * Either branch normalizes to a session-tz TIMESTAMP (session tz is
     * pinned UTC in [[GraftSession]]), matching DuckDB's naive-timestamp
     * view of the same files for oracle parity. */

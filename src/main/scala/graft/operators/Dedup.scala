@@ -567,6 +567,14 @@ object Dedup {
     * thresholds (cos ≥ 0.9, per-edge bucket-together prob ≈ 0.99 at
     * these defaults): DedupSpec plants high-cosine duplicates and holds
     * banded clusters equal to exact clusters. */
+  /** d20's registered banding setting. The SAME constants drive both the
+    * Spark plan and the generated oracle SQL below, so retuning the
+    * banding can never silently desynchronize the two sides of the gate. */
+  private[graft] val d20Dim = 64
+  private[graft] val d20Planes = 8
+  private[graft] val d20Tables = 8
+  private[graft] val d20MinCos = 0.4
+
   def semanticClustersBanded(emb: DataFrame, minCos: Double = 0.4,
       dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
     require(planes * tables <= 64, "signature must fit one long")
@@ -1052,20 +1060,21 @@ object Dedup {
     // scaladoc; recall is certified at production thresholds in
     // DedupSpec instead.)
     Q("d20_semantic_clusters_banded",
-      (s, dir) => semanticClustersBanded(Tables.load(s, dir, "embeddings"))
+      (s, dir) => semanticClustersBanded(Tables.load(s, dir, "embeddings"),
+        minCos = d20MinCos, dim = d20Dim, planes = d20Planes, tables = d20Tables)
         .orderBy(col("vec_id")),
       Some(s"""WITH RECURSIVE e AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
              |sig AS (SELECT vec_id, e,
-             |        ${Similarity.lshBucketSql("e", 64, 64)} AS s FROM e),
-             |band AS (SELECT vec_id, e, t, (s >> (t*8)) & 255 AS b
-             |         FROM sig, unnest(range(8)) AS u(t)),
+             |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e),
+             |band AS (SELECT vec_id, e, t, (s >> (t*$d20Planes)) & ${(1 << d20Planes) - 1} AS b
+             |         FROM sig, unnest(range($d20Tables)) AS u(t)),
              |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
              |                a.e AS e1, b.e AS e2
              |         FROM band a JOIN band b
              |           ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
              |dup AS (SELECT d1, d2 FROM cand
-             |        WHERE round(list_cosine_similarity(e1, e2), 4) >= 0.4),
+             |        WHERE round(list_cosine_similarity(e1, e2), 4) >= $d20MinCos),
              |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
              |        UNION ALL SELECT d2, d1 FROM dup),
              |reach(a, b) AS (

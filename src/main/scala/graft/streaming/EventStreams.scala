@@ -30,18 +30,29 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Legacy-nanos shape, kept for tests that pin the old layout. */
-  val rawSchemaNanos: StructType = rawSchema(LongType)
-
   /** Open the events table as a file stream, schema-adaptive on the
     * physical `ts` type: a one-off batch footer probe decides whether the
     * on-disk column is legacy INT64 nanos or a native timestamp, then the
     * stream declares that exact type and normalizes to TimestampType via
     * the same [[graft.Tables.eventsNormalizeTs]] the batch path uses —
-    * one conversion rule, two execution modes. */
+    * one conversion rule, two execution modes.
+    *
+    * An empty or not-yet-populated directory (normal at stream-definition
+    * time — the writer may start after the reader) can't be probed; fall
+    * back to the native timestamp layout, today's writer default.
+    *
+    * The probed layout is declared for the stream's LIFETIME: a streamed
+    * directory must be layout-homogeneous. A later file written with the
+    * OTHER physical type fails the declared schema loudly at scan time
+    * (parquet conversion error in that micro-batch) rather than decoding
+    * nonsense — mixed-writer lakes must split layouts into separate
+    * directories (or rewrite) before streaming them; TablesSpec pins the
+    * batch path's behavior on a mixed directory. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     Tables.eventsNormalizeTs(
       spark.readStream.schema(rawSchema(tsType)).parquet(dir))
   }

@@ -46,7 +46,10 @@ class QueriesSpec extends AnyFunSuite {
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
     "p12_sketch_overlap", "p13_mad_outliers", "p14_grouped_distinct",
     "d19_dup_spans", "d20_semantic_clusters_banded",
-    "g16_khop_reach", "g17_hyperball", "q55_string_agg",
+    "g16_khop_reach", "g17_hyperball",
+    // the skew-gate oracles use DuckDB's integer-division `//`
+    "g18_skew_triangles", "g19_skew_common_neighbors",
+    "g20_skew_components", "g21_skew_degree_stats", "q55_string_agg",
     "st13_sketch_registers",
     "q26_percentile", "q28_range_join", "q29_json_extract",
     "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
