@@ -41,9 +41,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Exact/quadratic certification arms benched at the cert tier. */
+  /** Exact/quadratic certification arms benched at the cert tier.
+    * g17 is here because its registered query EMBEDS the exact g16
+    * closure as its per-node certification arm; the scale-safe register
+    * fold alone is measured at 5M edges in ScaleSmoke. */
   private val certTierQueries = Set(
-    "d05_embedding_neardup", "d18_semantic_clusters", "g16_khop_reach")
+    "d05_embedding_neardup", "d18_semantic_clusters", "g16_khop_reach",
+    "g17_hyperball")
 
   /** Headline subset for the compact stdout line: the per-family
     * most-expensive queries plus everything the round gates watch. */

@@ -1118,6 +1118,28 @@ object GraphOps {
               |GROUP BY a
               |ORDER BY node""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
 
+    // g22: the degree-cap mitigation on the SAME hub graph g19 pays full
+    // price on — cap 64 drops wedges through the 691-degree hub (and only
+    // through genuinely hubby centers; the fixture median is 3), so the
+    // bench shows blowup and mitigation side by side on one graph and the
+    // oracle certifies the cap's SEMANTICS with an identical degree-filter
+    // CTE (the g09 pattern, now where the cap actually matters).
+    Q("g22_skew_capped_neighbors",
+      (s, dir) => commonNeighbors(skewedEdges(s, dir), minCommon = 5, maxDegree = 64)
+        .orderBy(col("u"), col("v")),
+      Some(s"""$skewSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT dst AS w, count(*) AS deg FROM sym GROUP BY dst),
+              |small AS (SELECT s.src, s.dst FROM sym s
+              |          JOIN deg ON s.dst = deg.w WHERE deg.deg <= 64)
+              |SELECT n1.src AS u, n2.src AS v, count(*) AS cn
+              |FROM small n1 JOIN small n2 ON n1.dst = n2.dst
+              |WHERE n1.src < n2.src
+              |GROUP BY n1.src, n2.src
+              |HAVING count(*) >= 5
+              |ORDER BY u, v""".stripMargin)),
+
     // ---- g21: the skew itself, oracle-certified ------------------------
     // One summary row: node count, max and exact-median distinct degree,
     // and their integer ratio. The gate holding means the graph the
