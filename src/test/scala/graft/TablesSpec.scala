@@ -87,6 +87,37 @@ class TablesSpec extends AnyFunSuite {
     info(s"mixed-layout outcome: ${outcome.fold(e => s"LOUD FAIL: ${e.getClass.getSimpleName}", r => s"read ${r.size} rows correctly")}")
   }
 
+  test("streamed directory: a late file in the OTHER layout fails loudly, never decodes nonsense") {
+    // readEventsStream's scaladoc: the probed layout is declared for the
+    // stream's lifetime; a later file with the other physical type must
+    // fail the declared schema at scan time, not decode garbage.
+    val dir = freshEventsDir()
+    addNativeFile(dir)
+    val path = Paths.get(dir, "events.parquet").toString
+    val q = graft.streaming.EventStreams.readEventsStream(spark, path)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mixed_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mixed_stream_out").count() === 1)
+      addNanosFile(dir)
+      val outcome =
+        try {
+          q.processAllAvailable()
+          Right(spark.table("mixed_stream_out")
+            .select(unix_micros(col("ts"))).as[Long].collect().toSet)
+        } catch { case e: Throwable => Left(e) }
+      outcome match {
+        case Left(_) => // loud failure in the micro-batch: pinned
+        case Right(micros) =>
+          // if the engine DID read the late file, every value must be
+          // correct — silent misdecoding is what this test forbids
+          assert(micros === (expectedMicros.toSet + 1700000100000000L))
+      }
+      info(s"late-wrong-layout outcome: ${outcome.fold(e => s"LOUD FAIL: ${e.getClass.getSimpleName}", m => s"read correctly (${m.size} distinct ts)")}")
+    } finally q.stop()
+  }
+
   test("readEventsStream on an empty directory falls back to the native layout") {
     val dir = Files.createTempDirectory("graft_empty_stream").toString
     val df = graft.streaming.EventStreams.readEventsStream(spark, dir)
