@@ -70,6 +70,7 @@ object ScaleSmoke {
     val p12Only = args.contains("--p12-only")
     val zorderOnly = args.contains("--zorder-only")
     val recallOnly = args.contains("--recall-only")
+    val d13Only = args.contains("--d13-only")
     val posArgs = args.filterNot(_.startsWith("--"))
     val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
     val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
@@ -85,6 +86,26 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       val (r1, w1) = totals.snapshotAfter()
       println(s"""{"step":"$name","rows":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
+    }
+
+    if (d13Only) {
+      val d = docs(spark, nDocs).persist()
+      d.count()
+      var d13Cands = -1L
+      // three repeats: d13's cost history here was dominated by a
+      // flapping broadcast decision (see prefixJaccardParts), so the
+      // variance band is part of what this flag measures
+      for (i <- 1 to 3) {
+        timed(s"d13_prefix_jaccard_candidates_$i") {
+          val (_, cand) = Dedup.prefixJaccardParts(d, minJaccard = 0.5)
+          d13Cands = cand.count(); d13Cands
+        }
+        timed(s"d13_prefix_jaccard_full_$i") {
+          Dedup.prefixJaccardPairs(d, minJaccard = 0.5).count()
+        }
+      }
+      println(s"""{"step":"d13_selectivity","docs":$nDocs,"candidates":$d13Cands,"all_pairs_bound":${nDocs * (nDocs - 1) / 2}}""")
+      spark.stop(); return
     }
 
     if (recallOnly) {

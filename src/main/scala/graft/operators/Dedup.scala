@@ -422,14 +422,20 @@ object Dedup {
     * prefix guarantee covers J ≥ t, not round(J) ≥ t. */
   def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val (arrs, cand) = prefixJaccardParts(docs, minJaccard)
-    // verify: attach the two sid-sorted long arrays (AQE broadcasts arrs
-    // when small; at corpus scale these are plain doc_id equi-shuffles) and
-    // merge-count in-row — graft_sorted_intersect is a codegen'd two-pointer
-    // over primitive longs (no per-pair hash set, no output array); the
-    // sort_array runs once per DOCUMENT, the merge once per candidate pair
+    // verify: attach the two sid-sorted long arrays and merge-count
+    // in-row — graft_sorted_intersect is a codegen'd two-pointer over
+    // primitive longs (no per-pair hash set, no output array); the
+    // sort_array runs once per DOCUMENT, the merge once per candidate
+    // pair. Same sizing rule as the candidate self-join: byId is the
+    // corpus-sized side (one heavy long-array row per doc), so broadcast
+    // only when its true array volume fits — otherwise doc_id
+    // equi-shuffles, deterministically.
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val byId = arrs.select(col("doc_id"), sort_array(col("arr")).as("arr"),
+    val arrBytes = arrs.agg(sum(col("sz")).cast("long")).head().getLong(0) * 8L +
+      arrs.count() * 32L
+    val byId0 = arrs.select(col("doc_id"), sort_array(col("arr")).as("arr"),
       col("sz"))
+    val byId = if (arrBytes < (64L << 20)) byId0 else byId0.hint("shuffle_hash")
     cand
       .join(byId.toDF("d1", "a1", "sz1"), "d1")
       .join(byId.toDF("d2", "a2", "sz2"), "d2")
@@ -465,11 +471,17 @@ object Dedup {
     // one per-doc aggregation carrying the WHOLE rarest-first ordering:
     // sort_array on (df, sid) structs reproduces the global (df, sid) key
     // order, so the prefix and the verify array are slices of one array
+    // localCheckpoint (eager): arrs is the shared base of BOTH sides of
+    // the candidate self-join AND the verify arrays — without the barrier
+    // Catalyst re-derives the whole scan + df-join + agg subtree once per
+    // reference (measured: the dfreq join ran twice at 50k docs), and the
+    // self-join's inputs get sized from compressed re-derived estimates.
     val arrs = sh.join(dfreq, "sid")
       .groupBy(col("doc_id"), col("lang"))
       .agg(transform(sort_array(collect_list(struct(col("df"), col("sid")))),
         x => x.getField("sid")).as("arr"))
       .withColumn("sz", size(col("arr")))
+      .localCheckpoint()
     // prefix = first |d| - ceil(t*|d|) + 1 entries, sliced in-row — no
     // window, no second pass over the shingle stream. pos (0-based) feeds
     // the positional bound below.
@@ -488,7 +500,18 @@ object Dedup {
     //    (later matches only tighten the bound — any-match + distinct is
     //    exactly first-match semantics, lossless).
     val alpha = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
-    val cand = pref.as("a").join(pref.as("b"),
+    // Join-strategy decision made from TRUE cardinality, not AQE's
+    // compressed map-output estimate: both self-join sides are the
+    // corpus-sized prefix stream, and at 50k smoke docs AQE's estimate
+    // slipped under the 64 MB broadcast threshold and built a 2M-row
+    // broadcast map on the driver — 30-60 s of plan-invisible variance
+    // and a plan that CANNOT survive a corpus 100× that. The prefix row
+    // count is exact and nearly free off the checkpointed arrs; broadcast
+    // only when the true uncompressed build side genuinely fits.
+    val prefRows = prefixStreamRows(arrs, t)
+    val a = pref.as("a")
+    val left = if (prefRows * 48L < (64L << 20)) a else a.hint("shuffle_hash")
+    val cand = left.join(pref.as("b"),
         col("a.sid") === col("b.sid") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.sz") >= lit(t) * col("a.sz") - lit(1e-9) &&
@@ -497,6 +520,13 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
     (arrs, cand)
   }
+
+  /** Exact prefix-stream cardinality Σ_d (|d| − ⌈t·|d|⌉ + 1), read off the
+    * checkpointed per-doc table — one tiny aggregate, the operator's own
+    * sizing statistic for the self-join strategy above. */
+  private def prefixStreamRows(arrs: DataFrame, t: Double): Long =
+    arrs.agg(sum((col("sz") - ceil(lit(t) * col("sz")) + lit(1)).cast("long")))
+      .head().getLong(0)
 
   /** Embedding near-duplicate pairs: cosine ≥ `minCos` (computed in double,
     * rounded to 4dp). Brute-force all-pairs — the exact baseline; the LSH
