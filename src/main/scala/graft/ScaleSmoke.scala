@@ -71,6 +71,7 @@ object ScaleSmoke {
     val zorderOnly = args.contains("--zorder-only")
     val recallOnly = args.contains("--recall-only")
     val d13Only = args.contains("--d13-only")
+    val d02Only = args.contains("--d02-only")
     val posArgs = args.filterNot(_.startsWith("--"))
     val nEdges = posArgs.lift(0).map(_.toLong).getOrElse(5000000L)
     val nDocs = posArgs.lift(1).map(_.toLong).getOrElse(50000L)
@@ -105,6 +106,26 @@ object ScaleSmoke {
         }
       }
       println(s"""{"step":"d13_selectivity","docs":$nDocs,"candidates":$d13Cands,"all_pairs_bound":${nDocs * (nDocs - 1) / 2}}""")
+      spark.stop(); return
+    }
+
+    if (d02Only) {
+      // the MinHash-band family (d02 and its consumers d17/e01): same
+      // repeat protocol as --d13-only, for the same reason — the band
+      // self-join's strategy used to flap on AQE's compressed estimate
+      val d = docs(spark, nDocs).persist()
+      d.count()
+      for (i <- 1 to 3) {
+        timed(s"d02_minhash_lsh_$i") {
+          Dedup.minhashLshPairs(d).filter(col("est_jaccard") >= 0.5).count()
+        }
+      }
+      for (i <- 1 to 2) {
+        timed(s"d17_cluster_split_$i") { Dedup.clusterSplit(d).count() }
+      }
+      timed("e01_corpus_build") {
+        graft.operators.Pipeline.corpusBuild(d).count()
+      }
       spark.stop(); return
     }
 

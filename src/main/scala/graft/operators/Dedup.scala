@@ -137,8 +137,23 @@ object Dedup {
       lit(0), (acc, x) => acc + x).cast("double") / K, 4)
 
   def minhashLshPairs(docs: DataFrame, bands: Int = 8): DataFrame = {
-    val bandsDf = bandTable(docs, bands)
-    bandsDf.as("a").join(bandsDf.as("b"),
+    // localCheckpoint: the band table feeds BOTH sides of the self-join —
+    // without the barrier the whole signature build (the md5 MinHash
+    // pass, d02's dominant cost) is re-derived once per side, and AQE
+    // sizes the join from compressed estimates that undercount the
+    // 32-long sig arrays (the d13 flap class: at 50k smoke docs the
+    // estimate slipped under the broadcast threshold and the driver
+    // built a corpus-sized broadcast map). Strategy is chosen from the
+    // TRUE row count, nearly free off the checkpoint: broadcast only
+    // when the uncompressed build side genuinely fits (~400 B/row:
+    // 32×8 B sig + 32-hex bkey + keys), else a deterministic shuffled
+    // hash join on (band, bkey) — in-partition work grows with bucket
+    // occupancy, never the corpus.
+    val bandsDf = bandTable(docs, bands).localCheckpoint()
+    val a = bandsDf.as("a")
+    val left = if (bandsDf.count() * 400L < (64L << 20)) a
+               else a.hint("shuffle_hash")
+    left.join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
