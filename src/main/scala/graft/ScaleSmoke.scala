@@ -126,6 +126,12 @@ object ScaleSmoke {
       timed("e01_corpus_build") {
         graft.operators.Pipeline.corpusBuild(d).count()
       }
+      timed("d14_incremental_2pct") {
+        Dedup.incrementalLshPairs(
+          d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
+          .filter(col("est_jaccard") >= 0.5).count()
+      }
+      timed("d15_dup_shingle_rate") { Dedup.dupShingleRate(d).count() }
       spark.stop(); return
     }
 
