@@ -49,6 +49,38 @@ object Dedup {
       PortableHash.baseHash(TextFns.normalizeText(col("text"))) % 100 < rate)
   }
 
+  /** Temperature-scaled domain mixture weights — the sampling schedule a
+    * multi-domain training run needs (the α-scaled multinomial of XLM /
+    * mT5: w_d ∝ tokens_d^α, α < 1 upweights small domains). Per domain:
+    * doc/token counts, the raw corpus share, the resampled share, and the
+    * expected epochs each domain is replayed when `budgetTokens` are drawn
+    * under the resampled shares (epochs > 1 ⇒ that domain repeats —
+    * the overfitting signal mixture designers watch).
+    *
+    * Shape: one map-side-combined agg to ~|domains| rows, then the two
+    * scalar totals broadcast back — nothing downstream of the first agg
+    * depends on corpus size, so the plan is identical at 100 TB. α = 0.5
+    * uses `sqrt` (IEEE-exact in both engines — bit-identical to the
+    * oracle); other α fall back to `pow`, correctly-rounded in practice
+    * but not guaranteed by IEEE. */
+  def mixtureWeights(docs: DataFrame, domainCol: String = "source",
+      alpha: Double = 0.5, budgetTokens: Long = 1000000L): DataFrame = {
+    def w(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), alpha)
+    val dom = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = dom.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(w(col("n_tokens"))).as("tot_w"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 4).as("raw_share"),
+        round(w(col("n_tokens")) / col("tot_w"), 4).as("temp_share"),
+        round(lit(budgetTokens) * (w(col("n_tokens")) / col("tot_w"))
+          / col("n_tokens"), 4).as("expected_epochs"))
+      .orderBy(col("domain"))
+  }
+
   /** Exact dedup decision per document: keeper = min doc_id sharing the
     * normalized-content fingerprint.
     *
@@ -1141,5 +1173,26 @@ object Dedup {
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
              |ORDER BY v1, v2""".stripMargin)),
+
+    // ---- d21: temperature-scaled domain mixture weights ----------------
+    // α = 0.5 (sqrt — IEEE-exact on both engines), 1M-token budget; the
+    // `source` column is the domain axis. raw vs temp share shows the
+    // small-domain upweighting; expected_epochs > 1 flags domains the
+    // budget would replay.
+    Q("d21_mixture_weights",
+      (s, dir) => mixtureWeights(Tables.load(s, dir, "documents"))
+        .orderBy(col("domain")),
+      Some(s"""WITH dom AS (SELECT source AS domain,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT sum(n_tokens) AS tot_tokens,
+             |    sum(sqrt(n_tokens)) AS tot_w FROM dom)
+             |SELECT domain, n_docs, n_tokens,
+             |  round(n_tokens / tot_tokens, 4) AS raw_share,
+             |  round(sqrt(n_tokens) / tot_w, 4) AS temp_share,
+             |  round(1000000 * (sqrt(n_tokens) / tot_w) / n_tokens, 4)
+             |    AS expected_epochs
+             |FROM dom, tot ORDER BY domain""".stripMargin)),
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column profiling for data-quality gates: one pass over the table
@@ -578,6 +578,50 @@ object Profile {
       .orderBy(col("pk"))
   }
 
+  /** One declarative data-quality constraint (the Deequ / dbt-test shape):
+    * `numer` is an aggregate counting satisfying units and `minBp` the
+    * minimum fraction of the table, in exact integer basis points, the
+    * constraint demands. The audit's metric is `10000·numer div count(*)`
+    * — integer arithmetic end-to-end, so the pass/fail verdict can never
+    * flip on float summation order. Names must be identifier-shaped
+    * (they are spliced into column names and `expr` text). */
+  final case class Constraint(name: String, numer: Column, minBp: Long)
+
+  object Constraint {
+    /** Completeness: fraction of rows where `c` is non-null. */
+    def complete(name: String, c: Column, minBp: Long = 10000): Constraint =
+      Constraint(name, count(c), minBp)
+    /** Compliance: fraction of rows satisfying `pred` (null ⇒ violating). */
+    def satisfies(name: String, pred: Column, minBp: Long = 10000): Constraint =
+      Constraint(name, sum(coalesce(pred, lit(false)).cast("long")), minBp)
+    /** Uniqueness: distinct values per row — 10000 bp iff `c` is a key. */
+    def unique(name: String, c: Column, minBp: Long = 10000): Constraint =
+      Constraint(name, countDistinct(c), minBp)
+  }
+
+  /** Single-pass constraint verification: ALL checks evaluate inside one
+    * aggregate over one scan (partial-merge, no per-check jobs), then one
+    * literal-array explode unpivots the wide row into
+    * `(constraint, metric_bp, threshold_bp, passed)` — the [[profile]]
+    * pattern. An empty table passes vacuously (every constraint is a
+    * universally-quantified claim over zero rows). At 100 TB this is one
+    * map-side-combined scan regardless of how many constraints the suite
+    * declares — the whole point of the Deequ design. */
+  def constraintAudit(df: DataFrame, checks: Seq[Constraint]): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +:
+      checks.map(k => k.numer.cast("long").as(s"_m_${k.name}"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(checks.map { k =>
+      struct(lit(k.name).as("constraint"),
+        when(col("_n") === 0, lit(10000L))
+          .otherwise(expr(s"10000 * _m_${k.name} div _n")).as("metric_bp"),
+        lit(k.minBp).as("threshold_bp"))
+    }: _*)
+    wide.select(explode(entries).as("c")).select(col("c.*"))
+      .withColumn("passed", (col("metric_bp") >= col("threshold_bp")).cast("int"))
+      .orderBy(col("constraint"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("p01_profile",
       (s, dir) => profile(Tables.load(s, dir, "customer"),
@@ -971,5 +1015,46 @@ object Profile {
              |  CASE WHEN abs(est_distinct - n_exact) * 100 <= 15 * n_exact
              |       THEN 1 ELSE 0 END AS within_bound
              |FROM est ORDER BY event_type""".stripMargin)),
+
+    // ---- p15: declarative constraint audit (Deequ shape) ---------------
+    // Six-constraint suite over orders, all evaluated in ONE scan+agg.
+    // `status_in_of` is a DELIBERATELY violated expectation (orders also
+    // carries status 'P'): the audit must report failures, not just
+    // confirm health. Thresholds/metrics in exact integer basis points.
+    Q("p15_constraint_audit",
+      (s, dir) => constraintAudit(Tables.load(s, dir, "orders"), Seq(
+        Constraint.complete("complete_custkey", col("o_custkey")),
+        Constraint.unique("unique_orderkey", col("o_orderkey")),
+        Constraint.satisfies("positive_totalprice", col("o_totalprice") > 0),
+        Constraint.satisfies("status_in_of",
+          col("o_orderstatus").isin("O", "F")),
+        Constraint.satisfies("priority_known", col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        Constraint.satisfies("date_before_2001",
+          col("o_orderdate") < to_timestamp(lit("2001-01-01")), 9000))), {
+        def row(name: String, numer: String, thresh: Long) =
+          s"""SELECT '$name' AS "constraint",
+             |  CAST(CASE WHEN count(*) = 0 THEN 10000
+             |       ELSE 10000 * ($numer) // count(*) END AS BIGINT) AS metric_bp,
+             |  CAST($thresh AS BIGINT) AS threshold_bp
+             |FROM orders""".stripMargin
+        Some("SELECT \"constraint\", metric_bp, threshold_bp,\n" +
+          "  CASE WHEN metric_bp >= threshold_bp THEN 1 ELSE 0 END AS passed\nFROM (\n" +
+          Seq(
+            row("complete_custkey", "count(o_custkey)", 10000),
+            row("unique_orderkey", "count(DISTINCT o_orderkey)", 10000),
+            row("positive_totalprice",
+              "sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)", 10000),
+            row("status_in_of",
+              "sum(CASE WHEN o_orderstatus IN ('O','F') THEN 1 ELSE 0 END)", 10000),
+            row("priority_known",
+              "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END)",
+              10000),
+            row("date_before_2001",
+              "sum(CASE WHEN o_orderdate < TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END)",
+              9000),
+          ).mkString("\nUNION ALL\n") +
+          "\n) ORDER BY \"constraint\"")
+      }),
   )
 }
