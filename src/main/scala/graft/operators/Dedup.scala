@@ -478,8 +478,8 @@ object Dedup {
     // only when its true array volume fits — otherwise doc_id
     // equi-shuffles, deterministically.
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val arrBytes = arrs.agg(sum(col("sz")).cast("long")).head().getLong(0) * 8L +
-      arrs.count() * 32L
+    val arrBytes = arrs.agg(coalesce(sum(col("sz")).cast("long"), lit(0L)))
+      .head().getLong(0) * 8L + arrs.count() * 32L
     val byId0 = arrs.select(col("doc_id"), sort_array(col("arr")).as("arr"),
       col("sz"))
     val byId = if (arrBytes < (64L << 20)) byId0 else byId0.hint("shuffle_hash")
@@ -572,7 +572,9 @@ object Dedup {
     * checkpointed per-doc table — one tiny aggregate, the operator's own
     * sizing statistic for the self-join strategy above. */
   private def prefixStreamRows(arrs: DataFrame, t: Double): Long =
-    arrs.agg(sum((col("sz") - ceil(lit(t) * col("sz")) + lit(1)).cast("long")))
+    arrs.agg(coalesce(
+        sum((col("sz") - ceil(lit(t) * col("sz")) + lit(1)).cast("long")),
+        lit(0L))) // empty corpus: sum is NULL, the stream has 0 rows
       .head().getLong(0)
 
   /** Embedding near-duplicate pairs: cosine ≥ `minCos` (computed in double,

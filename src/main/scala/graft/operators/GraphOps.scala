@@ -457,6 +457,9 @@ object GraphOps {
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
+    // empty graph: no nodes to rank (and SCALE/n would divide by zero)
+    if (n == 0)
+      return deg.select(col("src").as("node"), lit(0L).as("rank_ppb")).limit(0)
     var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
     for (_ <- 1 to iters) {
       val contrib = sym.join(ranks, sym("src") === ranks("node"))
@@ -497,6 +500,10 @@ object GraphOps {
     val seeds = deg.select(col("src").as("node"))
       .filter(pmod(col("node"), lit(seedMod)) === 0).localCheckpoint()
     val nSeeds = seeds.count()
+    // no seeds (empty graph, or no node ≡ 0 mod seedMod): no proximity
+    // mass to spread — empty result, not a division by zero
+    if (nSeeds == 0)
+      return seeds.select(col("node"), lit(0L).as("rank_ppb")).limit(0)
     var ranks = seeds.select(col("node"), lit(SCALE / nSeeds).as("r"))
     for (_ <- 1 to iters) {
       val contrib = sym.join(ranks, sym("src") === ranks("node"))

@@ -916,7 +916,9 @@ object Relational {
           sys.props("java.io.tmpdir"), "graft_q39_roundtrip").toString
         graft.sources.Formats.writeParquet(src, out,
           partitionBy = Seq("l_returnflag"))
-        s.read.parquet(out)
+        // explicit schema: a zero-row partitioned write leaves no files
+        // to infer from, and the read-back schema is known anyway
+        s.read.schema(src.schema).parquet(out)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             sum(col("cents")).as("total_cents"),
@@ -1418,7 +1420,8 @@ object Relational {
           sys.props("java.io.tmpdir"), "graft_q54_dpp").toString
         graft.sources.Formats.writeParquet(src, out,
           partitionBy = Seq("l_returnflag"))
-        val fact = s.read.parquet(out)
+        // explicit schema for the same zero-row reason as q39
+        val fact = s.read.schema(src.schema).parquet(out)
         val dim = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag")).distinct()
           .filter(col("flag").isin("A", "R"))
