@@ -81,6 +81,44 @@ object Dedup {
       .orderBy(col("domain"))
   }
 
+  /** Quality-ranked greedy selection under a token budget — the cut a
+    * training corpus actually takes: order documents by (score DESC,
+    * doc_id ASC) and keep the prefix whose cumulative token count stays
+    * within `budget` (prefix rule: a document is kept iff the running
+    * total INCLUDING it fits — no skip-and-continue knapsack).
+    *
+    * The global running sum is the [[Relational.distributionRanks]]
+    * two-pass shape, generalized from counts to weights: range-partition
+    * on the total order (`parts` contiguous slices, max task load
+    * n/parts), per-slice token totals → prefix offsets over that tiny
+    * `parts`-row table, broadcast back, and local running sums complete
+    * the global cumulative count. Never a single-partition global
+    * window, which is the textbook cumsum scale-killer. The order must
+    * be total (score ties broken by doc_id) or cross-engine determinism
+    * is lost. */
+  def budgetSelect(docs: DataFrame, score: Column, weight: Column,
+      budget: Long, numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = if (numParts > 0) numParts
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(col("doc_id"), score.as("score"),
+      weight.cast("long").as("n_tokens"))
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    val ranged = base.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val slices = ranged.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__wsum"))
+    val offsets = slices.select(col("__pid"),
+      coalesce(sum(col("__wsum")).over(Window.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(localW))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__off")
+  }
+
   /** Exact dedup decision per document: keeper = min doc_id sharing the
     * normalized-content fingerprint.
     *
@@ -1196,5 +1234,38 @@ object Dedup {
              |  round(1000000 * (sqrt(n_tokens) / tot_w) / n_tokens, 4)
              |    AS expected_epochs
              |FROM dom, tot ORDER BY domain""".stripMargin)),
+
+    // ---- d22: token-budget corpus selection ----------------------------
+    // Greedy prefix under a 15k-token budget, quality = stopword density
+    // in exact integer basis points (ties broken by doc_id). The oracle
+    // certifies the two-pass distributed cumulative sum against the
+    // naive single-window form it replaces.
+    Q("d22_budget_select",
+      (s, dir) => {
+        def idiv(a: Column, b: Column): Column =
+          ((a - pmod(a, b)) / b).cast("long")
+        val toks = TextFns.tokens(col("text"))
+        val scoreBp = idiv(
+          lit(10000L) * size(filter(toks,
+            x => x.isInCollection(graft.functions.Stopwords.en))),
+          greatest(size(toks), lit(1)))
+        budgetSelect(Tables.load(s, dir, "documents"),
+          scoreBp, TextFns.tokenCount(col("text")), budget = 15000L)
+          .orderBy(col("doc_id"))
+      }, {
+        val inList = graft.functions.Stopwords.en
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        Some(s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+               |sc AS (SELECT doc_id,
+               |    CAST(10000 * len(list_filter(t, x -> x IN $inList))
+               |         // greatest(len(t), 1) AS BIGINT) AS score,
+               |    CAST(len(t) AS BIGINT) AS n_tokens FROM d),
+               |c AS (SELECT doc_id, score, n_tokens,
+               |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+               |         AS BIGINT) AS cum_tokens FROM sc)
+               |SELECT doc_id, score, n_tokens, cum_tokens
+               |FROM c WHERE cum_tokens <= 15000
+               |ORDER BY doc_id""".stripMargin)
+      }),
   )
 }

@@ -69,6 +69,35 @@ class AuditMixtureSpec extends AnyFunSuite {
     assert(out("c") === ((1L, 25L, 0.5, 0.4167, 1.6667)))
   }
 
+  test("budgetSelect: prefix rule, exact boundary, and doc_id tie-break") {
+    // score 9: docs 1 (5 tok) and 2 (5 tok); score 5: doc 3 (4 tok);
+    // budget 14 ⇒ 1, 2 kept, 3 lands exactly ON the boundary (kept),
+    // then nothing else fits
+    val docs = Seq((1L, 9L, 5L), (2L, 9L, 5L), (3L, 5L, 4L), (4L, 5L, 9L),
+      (5L, 1L, 1L)).toDF("doc_id", "s", "w")
+    val out = Dedup.budgetSelect(docs, col("s"), col("w"), budget = 14L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 5L, 2L -> 10L, 3L -> 14L))
+  }
+
+  test("budgetSelect: two-pass cumsum equals the naive reference at any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i, rnd.nextInt(20).toLong,
+      (1 + rnd.nextInt(50)).toLong))
+    val docs = rows.toDF("doc_id", "s", "w")
+    // naive reference: sort by (score desc, doc_id), running-sum prefix
+    val expected = rows.sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, s, w)) =>
+        (id, s, w, cum + w) }
+      .drop(1).takeWhile(_._4 <= 1000L)
+      .map { case (id, _, _, cum) => id -> cum }.toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Dedup.budgetSelect(docs, col("s"), col("w"), 1000L, parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === expected, s"mismatch at numParts=$parts")
+    }
+  }
+
   test("mixtureWeights: alpha = 1 reproduces raw shares") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
     val docs = Seq(("a", words(10)), ("b", words(30))).toDF("source", "text")
