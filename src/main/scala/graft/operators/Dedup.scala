@@ -104,8 +104,12 @@ object Dedup {
     val base = docs.select(col("doc_id"), score.as("score"),
       weight.cast("long").as("n_tokens"))
     val order = Seq(col("score").desc, col("doc_id").asc)
+    // localCheckpoint for the same correctness reason as
+    // [[Relational.distributionRanks]]: the slice assignment feeds both
+    // the offsets pass and the running-sum pass, and two un-materialized
+    // references would each range-sample their own boundaries.
     val ranged = base.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()).localCheckpoint()
     val slices = ranged.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__wsum"))
     val offsets = slices.select(col("__pid"),

@@ -55,8 +55,21 @@ object Relational {
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val g = groupCols.map(col)
+    // localCheckpoint is CORRECTNESS here, not caching: the slice table
+    // is consumed twice (per-slice counts, then the rank join), and each
+    // un-materialized reference would execute its own range exchange with
+    // its own sampled boundaries (RangePartitioner seeds by rdd id, and
+    // exchange reuse does not fire across the analyzer's self-join
+    // re-aliasing — verified on the executed plan: two independent
+    // rangepartitioning exchanges). At fixture scale the sampler sees
+    // every row so both sides happen to agree; at partial-sampling scale
+    // the __pid assignment diverges between the two passes and the
+    // offsets silently describe the wrong slices. Materializing the
+    // assignment once makes it a fact, not a coincidence — and a lost
+    // checkpoint block fails loudly instead of recomputing different
+    // boundaries.
     val ranged = df.repartitionByRange(parts, (g ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()).localCheckpoint()
     val counts = ranged.groupBy(col("__pid") +: g: _*)
       .agg(count(lit(1)).as("__c"))
     val perGroup = Window.partitionBy(g: _*)
