@@ -30,14 +30,28 @@ object Pipeline {
       budgetTokens: Int = 512, shards: Int = 8): DataFrame = {
     val corpus = docs.filter(col("doc_id") >= evalMax)
     val evalSet = docs.filter(col("doc_id") < evalMax)
+    // Materialize each stage boundary once: the lazy composition
+    // referenced the quality-filtered corpus from FOUR downstream
+    // subtrees (decontamination, the anti-join, dedup, the survivor
+    // semi-join), and the executed plan re-scanned the input and re-ran
+    // the tokenize/normalize quality predicate 12 times (counted on the
+    // executed plan; now 0 — every consumer reads the materialized
+    // stage). At fixture scale the redundant scans are cheap and wall
+    // time barely moves; at 100 TB a 12× re-read of the corpus is the
+    // difference between a pipeline and an accident. This is also how a
+    // production corpus build runs — stage outputs materialize between
+    // stages rather than re-deriving the whole upstream flow per
+    // consumer.
     val qualified = corpus
       .filter(TextFns.qualityScore(col("text")) >= minQuality)
+      .localCheckpoint()
     // WIDE shingles for decontamination (5-gram, the d12 operator's ngram
     // knob): bigrams collide on shared VOCABULARY and would empty a
     // narrow-domain corpus; a 5-gram only collides on copied spans
     val contaminated = Dedup.decontaminate(qualified, evalSet, decontamNgram)
       .filter(col("contaminated") === 1).select(col("doc_id"))
     val clean = qualified.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val keepers = Dedup.exactDedup(clean)
       .filter(!col("is_dup")).select(col("doc_id"))
     val surviving = clean.join(keepers, Seq("doc_id"), "left_semi")
@@ -90,6 +104,14 @@ object Pipeline {
     */
   def dayTwoCertification(docs: DataFrame): DataFrame = {
     val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    // The five certifications deliberately re-derive their arms (fold vs
+    // whole IS the certification), so each arm re-reads the columnar
+    // source — 15 scans on the executed plan. That is the honest shape
+    // for a cert query: pruned parquet re-reads are cheap, while
+    // materializing the text column once to feed them costs more than it
+    // saves (measured +1.4 s at sf0.1). The PRODUCTION incremental path
+    // (d11/d14 probes) never re-reads old data; only this certification
+    // arm does.
     val old = docs.filter(!isBatch)
     val nw = docs.filter(isBatch)
     def row(name: String, v: DataFrame) =
