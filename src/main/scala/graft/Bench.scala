@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   *     under `"errors"`, and the process exits 1: a broken query can never
   *     masquerade as a fast one.
   *
-  * Artifact protocol: the FULL record (all 149 queries + shuffle bytes)
+  * Artifact protocol: the FULL record (every registered query + shuffle bytes)
   * goes to `BENCH_SELF.json`; stdout gets a COMPACT line (headline
   * queries only, < 2000 chars) printed LAST, after `spark.stop()` —
   * the driver tail-captures the final 2000 chars of output, and the
