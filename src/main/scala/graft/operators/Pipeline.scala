@@ -86,6 +86,57 @@ object Pipeline {
       .dropDuplicates("fp")
       .select(col("doc_id"), col("fp"))
 
+  /** Filter-ablation audit: the per-document admission status of the
+    * corpus-build front end under TWO quality thresholds, side by side —
+    * the "what would this config change actually do" report a pipeline
+    * owner runs before touching a knob that re-filters 100 TB.
+    *
+    * Status per config, in the pipeline's own gate order: `quality`
+    * (score below the threshold), `contaminated` (shares an eval 5-gram),
+    * `duplicate` (a smaller-id twin with the same fingerprint survived
+    * the earlier gates), `admitted`. Each config derives its OWN keeper
+    * table — the general shape, because dedup keepers depend on which
+    * twins survive the earlier gates. On THIS data model the keeper can
+    * never actually shift between configs: fingerprint, quality, and
+    * contamination are all functions of the same normalized text, so an
+    * fp-group is status-homogeneous up to the keeper role and a config
+    * change moves whole groups, never their internal order. That
+    * invariance is a provable property, not an assumption — PipelineSpec
+    * asserts no doc ever flips between `admitted` and `duplicate`, while
+    * planting every flip class that CAN happen (quality → admitted /
+    * duplicate / contaminated).
+    *
+    * Scale shape: the config-independent per-doc facts (quality score,
+    * fingerprint, contamination bit) are computed ONCE from one corpus
+    * scan and materialized; each config then derives its keeper table
+    * with one map-side-combinable min-per-fingerprint aggregate over
+    * that base — no second read of `text`, no per-config re-scan. */
+  def admissionDiff(docs: DataFrame, qA: Double = 0.7, qB: Double = 0.4,
+      evalMax: Long = 20, decontamNgram: Int = 5): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= evalMax)
+    val evalSet = docs.filter(col("doc_id") < evalMax)
+    val cont = Dedup.decontaminate(corpus, evalSet, decontamNgram)
+      .select(col("doc_id"), col("contaminated"))
+    val base = corpus
+      .select(col("doc_id"), TextFns.qualityScore(col("text")).as("q"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .join(cont, "doc_id")
+      .localCheckpoint()
+    def status(minQ: Double, out: String): DataFrame = {
+      val keeper = base
+        .filter(col("q") >= minQ && col("contaminated") === 0)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      base.join(keeper, Seq("fp"), "left")
+        .select(col("doc_id"),
+          when(col("q") < minQ, "quality")
+            .when(col("contaminated") === 1, "contaminated")
+            .when(col("doc_id") === col("keep_id"), "admitted")
+            .otherwise("duplicate").as(out))
+    }
+    status(qA, "status_a").join(status(qB, "status_b"), "doc_id")
+      .withColumn("changed", (col("status_a") =!= col("status_b")).cast("int"))
+  }
+
   /** Day-2 incremental maintenance, certified in one result set — the
     * operations a 100 TB corpus actually runs when a new batch lands,
     * WITHOUT re-reading old data, each emitting a machine-checked row:
@@ -197,6 +248,46 @@ object Pipeline {
               |  CAST(pre % 512 AS BIGINT) AS seq_offset
               |FROM c
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- e03: filter-ablation admission diff ---------------------------
+    // The oracle replays BOTH config chains from one shared base CTE
+    // (the same quality/fingerprint/contamination fragments e01 gates)
+    // and joins the two statuses — one hash certifies both chains and
+    // the per-doc diff between them.
+    Q("e03_admission_diff",
+      (s, dir) => admissionDiff(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some {
+        val sh = """unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                   |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s""".stripMargin
+        def arm(q: Double, tag: String) =
+          s"""k$tag AS (SELECT fp, min(doc_id) AS keep_id FROM base
+             |      WHERE q >= $q AND cd = 0 GROUP BY fp),
+             |s$tag AS (SELECT b.doc_id,
+             |      CASE WHEN b.q < $q THEN 'quality'
+             |           WHEN b.cd = 1 THEN 'contaminated'
+             |           WHEN b.doc_id = k$tag.keep_id THEN 'admitted'
+             |           ELSE 'duplicate' END AS status_$tag
+             |  FROM base b LEFT JOIN k$tag USING (fp))""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $normSql AS n, $toksSql AS t FROM documents),
+           |c AS (SELECT doc_id, n, t, ${TextOps.qualitySql} AS q FROM d
+           |      WHERE doc_id >= 20),
+           |ev AS (SELECT DISTINCT s FROM (
+           |        SELECT $sh
+           |        FROM d WHERE doc_id < 20)),
+           |csh AS (SELECT doc_id, $sh
+           |        FROM c),
+           |cont AS (SELECT DISTINCT doc_id FROM csh JOIN ev USING (s)),
+           |base AS (SELECT doc_id, q, md5(n) AS fp,
+           |      CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END AS cd
+           |    FROM c),
+           |${arm(0.7, "a")},
+           |${arm(0.4, "b")}
+           |SELECT sa.doc_id, status_a, status_b,
+           |  CASE WHEN status_a <> status_b THEN 1 ELSE 0 END AS changed
+           |FROM sa JOIN sb USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- e02: day-2 incremental maintenance, certified -----------------
     // The oracle recomputes the two countable metrics from scratch (full

@@ -177,6 +177,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Full k-NN SELF-join via IVF cells: every corpus vector gets its k
+    * approximate nearest neighbors — the building block a SemDeDup /
+    * corpus-clustering pipeline runs over the WHOLE embedding table, as
+    * opposed to [[ivfTopK]]'s small-query-set retrieval.
+    *
+    * Shape: one centroid broadcast scores both roles of every vector —
+    * its home cell (index side, min-cid tiebreak like [[ivfTopK]]) and
+    * its `nprobe` nearest cells (probe side). Candidates are the equi-join
+    * probe×index on cell id, so no pair outside a shared probed cell is
+    * ever formed, and the per-vector ranking window partitions on qid —
+    * the table's own key, never a fat partition.
+    *
+    * Scale contract: candidate volume is n·nprobe·(n/nlist), so `nlist`
+    * must grow with the corpus (nlist ≈ √n keeps the join at n^1.5 —
+    * the standard IVF sizing); at fixed nlist a 100× corpus is 10⁴× the
+    * candidates. The registered fixture runs nlist=8 over 5k vectors;
+    * ScaleSmoke measures the n^1.5 slope at 500k. Recall is certified
+    * against [[bruteForceTopK]] in SimilaritySpec on a planted-duplicate
+    * corpus; the oracle certifies the banded computation itself. */
+  def knnJoin(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
+      .withColumn("cnrm", VectorFns.norm(col("ce")))
+    // one scored stream feeds BOTH the home-cell assignment and the probe
+    // lists: n·nlist rows, centroids broadcast, corpus scanned once
+    val scores = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+        round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val assigned = scores
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+    val index = corpus.join(assigned, "vec_id")
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = scores
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(index, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos"))
+      .distinct() // a neighbor reachable via two probed cells counts once
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Two-stage retrieval: int8 stage-1 scan + exact float re-rank — the
     * memory-bandwidth design for a RAM-resident 100 TB index (SCANN /
     * IVF-PQ shape): stage 1 scans only the 4×-smaller [[quantizeInt8]]
@@ -495,6 +548,44 @@ object Similarity {
              |  FROM adc)
              |SELECT qid, vec_id, adc_micro, rank
              |FROM ranked WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- s08: IVF k-NN self-join (whole-corpus neighbors) --------------
+    // The oracle replays the banded computation: identical deterministic
+    // centroids, identical min-cid home-cell assignment, identical nprobe
+    // probe lists over EVERY vector, identical candidate dedup and 6dp
+    // ranking — so the hash certifies the self-join path bit-for-bit.
+    // (Recall vs the exact form is certified in SimilaritySpec on planted
+    // duplicates; an oracle cannot decide recall, only reproduce the
+    // approximate computation.)
+    Q("s08_knn_join",
+      (s, dir) => knnJoin(Tables.load(s, dir, "embeddings"), k = 3)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+             |ascore AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents),
+             |abest AS (SELECT vec_id, max(ccos) AS best FROM ascore GROUP BY vec_id),
+             |assign AS (SELECT a.vec_id, min(cid) AS cid
+             |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id),
+             |probe AS (SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS pr
+             |    FROM ascore) WHERE pr <= 2),
+             |cand AS (SELECT DISTINCT p.qid, a.vec_id
+             |  FROM probe p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id),
+             |scored AS (SELECT c.qid, c.vec_id,
+             |    round(list_cosine_similarity(qe.e, xe.e), 6) AS cos
+             |  FROM cand c
+             |  JOIN e qe ON qe.vec_id = c.qid
+             |  JOIN e xe ON xe.vec_id = c.vec_id),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rank
+             |FROM ranked WHERE rank <= 3
              |ORDER BY qid, rank""".stripMargin)),
 
     Q("s04_quantize_int8",

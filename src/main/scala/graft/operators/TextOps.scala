@@ -506,6 +506,60 @@ object TextOps {
               |GROUP BY doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- t14: CCNet-style perplexity buckets ---------------------------
+    // The per-doc unigram surprisal (t11's integer-bits model standing in
+    // for the wiki-LM perplexity) terciled WITHIN language into
+    // head/middle/tail — the CCNet bucketing a crawl pipeline uses to
+    // keep/downsample/drop by fluency. lang is a 3-value key, so the
+    // tercile is NOT a Window.partitionBy(lang) (one task per lang at any
+    // scale) but Relational.distributionRanks' two-pass range-partitioned
+    // rank: max task load n/parts regardless of group cardinality, with
+    // (mean_millibits, doc_id) the tie-broken total order both engines
+    // rank identically. ntile(3) semantics (first n mod 3 buckets one
+    // larger) are the SQL standard on both sides.
+    Q("t14_perplexity_buckets",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), col("lang"),
+            explode(TextFns.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val nn = docs
+          .agg(sum(size(array_remove(TextFns.tokens(col("text")), "")))
+            .as("n_corpus"))
+        val perDoc = toks.join(freq, "term").crossJoin(broadcast(nn))
+          .withColumn("bits", length(expr("bin(n_corpus div freq)")))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+          .select(col("doc_id"), col("lang"),
+            expr("sum_bits * 1000 div n_tokens").as("mean_millibits"))
+        Relational.distributionRanks(perDoc, Seq("lang"),
+            Seq(col("mean_millibits"), col("doc_id")), ntiles = 3)
+          .select(col("doc_id"), col("lang"), col("mean_millibits"),
+            when(col("octile") === 1, "head")
+              .when(col("octile") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS term FROM documents),
+              |tk AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
+              |freq AS (SELECT term, count(*) AS freq FROM tk GROUP BY term),
+              |nn AS (SELECT CAST(sum(freq) AS BIGINT) AS n_corpus FROM freq),
+              |pd AS (SELECT doc_id, lang,
+              |    CAST(sum(length(format('{:b}', n_corpus // freq))) * 1000
+              |         // count(*) AS BIGINT) AS mean_millibits
+              |  FROM tk JOIN freq USING (term), nn
+              |  GROUP BY doc_id, lang),
+              |b AS (SELECT doc_id, lang, mean_millibits,
+              |    ntile(3) OVER (PARTITION BY lang
+              |                   ORDER BY mean_millibits, doc_id) AS tl
+              |  FROM pd)
+              |SELECT doc_id, lang, mean_millibits,
+              |  CASE tl WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              |          ELSE 'tail' END AS bucket
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
     // ---- d10: importance sampling by quality score ---------------------
     // Keep a document with probability proportional to its quality score
     // — deterministic (content-hash threshold, like d06/d07), so the

@@ -96,4 +96,46 @@ class SimilaritySpec extends AnyFunSuite {
     // exact set on clustered embeddings; the measured value is the spec
     assert(r >= 0.125, s"recall $r below the single-list floor")
   }
+
+  test("knnJoin: probing ALL lists == exact per-vector top-k") {
+    // nprobe = nlist makes every cell a probed cell, so the self-join
+    // must reproduce the exact whole-corpus top-k ranking bit-for-bit —
+    // including the pair-level distinct (a neighbor reachable through
+    // two probed cells appears once, or ranks would shift)
+    val viaJoin = topkSet(Similarity.knnJoin(emb, k = 3, nlist = 8, nprobe = 8))
+    val exact3 = topkSet(Similarity.bruteForceTopK(emb, emb, k = 3))
+    assert(viaJoin === exact3)
+  }
+
+  test("knnJoin structural contract: no self pairs, ranks 1..k, k bound") {
+    val out = Similarity.knnJoin(emb, k = 3).collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self pair leaked")
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks === (1 to ranks.size), s"ranks not contiguous for qid=$q")
+      assert(ranks.size <= 3, s"more than k neighbors for qid=$q")
+    }
+  }
+
+  test("knnJoin recall: every planted high-cosine twin finds its base at rank 1") {
+    // the SemDeDup use case: a near-duplicate's nearest neighbor must
+    // surface through the cell join even at nprobe=2 — a twin at
+    // cos ≈ 0.997 shares its base's home cell (or probes it second)
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 10).map(i => (i.toLong, vec()))
+    val twins = bases.map { case (i, v) =>
+      (100L + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.02f))
+    }
+    val loners = (0 until 40).map(i => (1000L + i, vec()))
+    val planted = spark.createDataFrame(bases ++ twins ++ loners)
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.knnJoin(planted, k = 1, nlist = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bases.foreach { case (i, _) =>
+      assert(top1(100L + i) === i, s"twin of $i missed its base: ${top1.get(100L + i)}")
+      assert(top1(i) === 100L + i, s"base $i missed its twin: ${top1.get(i)}")
+    }
+  }
 }

@@ -37,6 +37,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("t14 terciles: per-lang sizes within 1 and surprisal boundaries monotone") {
+    val rows = SparkEntry.queries("t14_perplexity_buckets")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val by = rs.groupBy(_._3).map { case (b, xs) => b -> xs.map(_._2) }
+      // ntile(3): bucket sizes differ by at most one within each language
+      val sizes = Seq("head", "middle", "tail").map(b => by.getOrElse(b, Array[Long]()).length)
+      assert(sizes.max - sizes.min <= 1, s"$lang bucket sizes $sizes")
+      // head holds the LOWEST surprisal: boundaries monotone (ties may abut)
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+           if by.contains(a) && by.contains(b)) {
+        assert(by(a).max <= by(b).min, s"$lang: $a max > $b min")
+      }
+    }
+  }
+
   test("domainCap == naive per-domain window for random corpora, all knobs") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(20260813L)
