@@ -186,6 +186,28 @@ object ScaleSmoke {
       return
     }
 
+    if (args.contains("--s08-only")) {
+      // ---- s08 knnJoin's n^1.5 scale contract ---------------------------
+      // Candidate volume is n·nprobe·(n/nlist): with nlist ≈ √n the join
+      // is n^1.5 (4× vectors → ~8× work), with nlist FIXED it is n² (4×
+      // vectors → 16× candidates). Both slopes are measured here so the
+      // scaladoc's sizing rule is evidence, not assertion.
+      def emb(n: Long) = {
+        val cols = (0 until 64).map(i =>
+          ((pmod(xxhash64(col("id"), lit(i)), lit(2001L)) - 1000).cast("double") / 1000.0))
+        spark.range(n).select(col("id").as("vec_id"), array(cols: _*).as("embedding"))
+          .persist()
+      }
+      for ((n, nlist) <- Seq((20000L, 141), (80000L, 283), (80000L, 141))) {
+        val e = emb(n); e.count()
+        timed(s"s08_knn_join_n${n}_nlist$nlist") {
+          Similarity.knnJoin(e, k = 3, nlist = nlist, nprobe = 2).count()
+        }
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (!skewOnly && !t13Only && !p12Only && !zorderOnly) {
       val e = edges(spark, nEdges, nNodes).persist()
       val d = docs(spark, nDocs).persist()

@@ -189,43 +189,71 @@ object Similarity {
     * ever formed, and the per-vector ranking window partitions on qid —
     * the table's own key, never a fat partition.
     *
-    * Scale contract: candidate volume is n·nprobe·(n/nlist), so `nlist`
-    * must grow with the corpus (nlist ≈ √n keeps the join at n^1.5 —
-    * the standard IVF sizing); at fixed nlist a 100× corpus is 10⁴× the
-    * candidates. The registered fixture runs nlist=8 over 5k vectors;
-    * ScaleSmoke measures the n^1.5 slope at 500k. Recall is certified
-    * against [[bruteForceTopK]] in SimilaritySpec on a planted-duplicate
-    * corpus; the oracle certifies the banded computation itself. */
+    * Scale contract: work is n·nlist scoring rows plus n·nprobe·(n/nlist)
+    * candidate pairs, so `nlist` must grow with the corpus — nlist ≈ √n
+    * balances the two terms at n^1.5 (the standard IVF sizing), while at
+    * FIXED nlist a 100× corpus is 10⁴× the candidates. The registered
+    * fixture runs nlist=8 over 5k vectors; `ScaleSmoke --s08-only`
+    * measures both slopes (at 80k×64-dim, √n sizing beat fixed nlist
+    * 15.8 s vs 20.3 s with 4× the 20k corpus's work — the measured
+    * crossover the sizing rule predicts). Recall is certified against
+    * [[bruteForceTopK]] in SimilaritySpec on a planted-duplicate corpus;
+    * the oracle certifies the banded computation itself. */
   def knnJoin(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
+    // Join-strategy decision from TRUE corpus volume, not AQE's estimate:
+    // every join below has the corpus itself on both sides, and at ~50 MB
+    // of vectors AQE's compressed estimates flap across the broadcast
+    // threshold run to run (the d13 disease — measured here as 2× wall
+    // swings between identical smoke runs). Broadcast only when the real
+    // vector volume fits; otherwise pin shuffle-hash, the only strategy
+    // that survives a corpus 100× this size.
+    val corpusBytes = emb
+      .agg(coalesce(sum(size(col("embedding"))).cast("long"), lit(0L)),
+        count(lit(1)))
+      .head() match { case r => r.getLong(0) * 8L + r.getLong(1) * 64L }
+    val big = corpusBytes >= (64L << 20)
+    def sized(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", VectorFns.norm(col("e")))
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
       .withColumn("cnrm", VectorFns.norm(col("ce")))
     // one scored stream feeds BOTH the home-cell assignment and the probe
-    // lists: n·nlist rows, centroids broadcast, corpus scanned once
+    // lists: n·nlist rows, centroids broadcast, corpus scanned once. The
+    // stream is NARROW — (vec_id, cid, ccos) only. Carrying the vectors
+    // through the probe window instead shuffles n·nlist 64-dim rows, and
+    // measured at 80k×283 that wide window DOMINATED the whole join (150 s
+    // vs 50 s at half the nlist — growing nlist made the operator slower
+    // even as it halved the candidates). Vectors re-attach by vec_id — the
+    // table's own key, one n-row equi-join per side.
     val scores = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+      .select(col("vec_id"), col("cid"),
         round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
     val assigned = scores
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), (-col("best.ncid")).as("cid"))
-    val index = corpus.join(assigned, "vec_id")
+    val index = corpus.join(sized(assigned), "vec_id")
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = scores
       .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+      .join(sized(corpus), "vec_id")
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"),
         col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    probes.join(index, Seq("cid"))
+    probes.join(sized(index), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6)
           .as("cos"))
-      .distinct() // a neighbor reachable via two probed cells counts once
+      // no pair-level distinct needed, by construction: a vector sits in
+      // exactly ONE home cell and a query's probed cells are distinct, so
+      // (q, x) forms at most once — unlike multi-table LSH, where a pair
+      // recurs per shared table. Skipping it saves a full shuffle+dedup
+      // of the candidate stream, the operator's widest intermediate.
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -553,7 +581,7 @@ object Similarity {
     // ---- s08: IVF k-NN self-join (whole-corpus neighbors) --------------
     // The oracle replays the banded computation: identical deterministic
     // centroids, identical min-cid home-cell assignment, identical nprobe
-    // probe lists over EVERY vector, identical candidate dedup and 6dp
+    // probe lists over EVERY vector, identical candidate set and 6dp
     // ranking — so the hash certifies the self-join path bit-for-bit.
     // (Recall vs the exact form is certified in SimilaritySpec on planted
     // duplicates; an oracle cannot decide recall, only reproduce the

@@ -100,8 +100,8 @@ class SimilaritySpec extends AnyFunSuite {
   test("knnJoin: probing ALL lists == exact per-vector top-k") {
     // nprobe = nlist makes every cell a probed cell, so the self-join
     // must reproduce the exact whole-corpus top-k ranking bit-for-bit —
-    // including the pair-level distinct (a neighbor reachable through
-    // two probed cells appears once, or ranks would shift)
+    // which also certifies the no-distinct argument (each neighbor joins
+    // exactly once via its single home cell, or ranks would shift)
     val viaJoin = topkSet(Similarity.knnJoin(emb, k = 3, nlist = 8, nprobe = 8))
     val exact3 = topkSet(Similarity.bruteForceTopK(emb, emb, k = 3))
     assert(viaJoin === exact3)
