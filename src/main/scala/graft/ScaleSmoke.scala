@@ -220,6 +220,14 @@ object ScaleSmoke {
         canon.unpersist(); n
       }
 
+      // g23: the exact hub mitigation on the same graph — identical
+      // triangle set via degree-ordered orientation; the id-ordered join
+      // above pays C(deg_lo(hub), 2) wedges while the forward algorithm
+      // bounds every node's wedge contribution by C(O(√m), 2)
+      timed("g23_triangles_degree_ordered") {
+        GraphOps.trianglesDegreeOrdered(e).count()
+      }
+
       // g03: the degree cap is the hub mitigation (output-explosion skew);
       // runtime under the cap on a 5M-edge power-law graph is the evidence
       timed("g03_common_neighbors_capped") {

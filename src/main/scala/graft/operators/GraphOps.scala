@@ -69,6 +69,58 @@ object GraphOps {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Unique triangles via DEGREE-ORDERED orientation — the "forward"
+    * algorithm (Schank & Wagner 2005; the standard MapReduce triangle
+    * fix, Suri & Vassilvitskii 2011): orient every canonical edge from
+    * its lower-(degree, id) endpoint toward the higher, generate wedges
+    * only between pairs of OUT-edges of a shared source, and close with
+    * one semi-join against the oriented set.
+    *
+    * Why it exists next to [[triangles]]: the id-ordered join fans out
+    * C(deg_lo(v), 2) wedges per node, and on a hub-skewed graph whose
+    * hub happens to sort low — exactly the reference's Twitter
+    * experiment (`mapreducePredictionTwitter100.java:52-87`), and
+    * exactly the g18 fixture, whose hub is node 0 — that is the full
+    * deg² blowup. Under the degree orientation every node's out-degree
+    * is O(√m), so wedge volume is O(m^1.5) REGARDLESS of skew: the
+    * blowup becomes structurally impossible rather than capped (g09/g22
+    * trade recall for safety; this is exact — same output as
+    * [[triangles]], property-proven on random graphs in
+    * GraphPropertySpec).
+    *
+    * The oriented edge set is referenced three times (both wedge sides +
+    * the closing semi-join) under different keys, so it is materialized
+    * once — narrow (s, t, dt) rows, edge-sized. Ties in degree break by
+    * node id, giving a TOTAL order both engines reproduce; the closing
+    * edge of a wedge (t1 ≺ t2) is then always oriented t1 → t2, so the
+    * semi-join needs no direction test. */
+  def trianglesDegreeOrdered(edges: DataFrame): DataFrame = {
+    val canon = canonicalEdges(edges)
+    val deg = symmetrize(canon.toDF("src", "dst"))
+      .groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val oriented = canon
+      .join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint()
+    val wedges = oriented.toDF("s", "t1", "dt1")
+      .join(oriented.toDF("s", "t2", "dt2"), "s")
+      .filter(struct(col("dt1"), col("t1")) < struct(col("dt2"), col("t2")))
+    wedges
+      .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+      .select(least(col("s"), col("t1"), col("t2")).as("a"),
+        (col("s") + col("t1") + col("t2")
+          - least(col("s"), col("t1"), col("t2"))
+          - greatest(col("s"), col("t1"), col("t2"))).as("b"),
+        greatest(col("s"), col("t1"), col("t2")).as("c"))
+  }
+
   /** Adjacency lists — the reference's first groupByKey stage
     * (`mapreducePredictionTwitter.java:45`, `adj(node, neighbors)`), as a
     * hash aggregation with the neighbor list kept sorted for determinism.
@@ -1146,6 +1198,36 @@ object GraphOps {
               |GROUP BY n1.src, n2.src
               |HAVING count(*) >= 5
               |ORDER BY u, v""".stripMargin)),
+
+    // g23: the EXACT mitigation of g18's hub blowup — same triangles,
+    // degree-ordered wedge generation (see trianglesDegreeOrdered). The
+    // oracle re-derives the orientation independently with DuckDB row
+    // comparison, so the green row certifies both the orientation and
+    // that the forward algorithm loses no triangle on the hub graph.
+    Q("g23_skew_triangles_ordered",
+      (s, dir) => trianglesDegreeOrdered(skewedEdges(s, dir))
+        .orderBy(col("a"), col("b"), col("c")),
+      Some(s"""$skewSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src AS n, count(*) AS d FROM sym GROUP BY src),
+              |o AS (SELECT
+              |    CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.u ELSE c.v END AS s,
+              |    CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.v ELSE c.u END AS t,
+              |    CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN dv.d ELSE du.d END AS dt
+              |  FROM canon c
+              |  JOIN deg du ON c.u = du.n
+              |  JOIN deg dv ON c.v = dv.n),
+              |w AS (SELECT o1.s, o1.t AS t1, o2.t AS t2
+              |  FROM o o1 JOIN o o2 ON o1.s = o2.s
+              |  WHERE (o1.dt, o1.t) < (o2.dt, o2.t)),
+              |tri AS (SELECT w.s, w.t1, w.t2 FROM w
+              |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2))
+              |SELECT least(s, t1, t2) AS a,
+              |  s + t1 + t2 - least(s, t1, t2) - greatest(s, t1, t2) AS b,
+              |  greatest(s, t1, t2) AS c
+              |FROM tri
+              |ORDER BY a, b, c""".stripMargin)),
 
     // ---- g21: the skew itself, oracle-certified ------------------------
     // One summary row: node count, max and exact-median distinct degree,

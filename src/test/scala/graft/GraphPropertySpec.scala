@@ -45,6 +45,17 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("degree-ordered triangles == id-ordered triangles — ∀ random graphs") {
+    // the forward algorithm must lose/duplicate nothing under ANY degree
+    // distribution — tie-heavy small random graphs are the adversarial
+    // case for the (degree, id) total order's tie-breaking
+    samples(edgeGen, 10).foreach { es =>
+      val ordered = GraphOps.trianglesDegreeOrdered(es.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ordered === brute(es), s"forward algorithm mismatch: $es")
+    }
+  }
+
   test("triangles invariant under permutation, flips, duplication — ∀ random graphs") {
     samples(edgeGen, 6).zipWithIndex.foreach { case (es, i) =>
       val rnd = new scala.util.Random(1000L + i)

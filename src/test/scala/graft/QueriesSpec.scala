@@ -53,7 +53,8 @@ class QueriesSpec extends AnyFunSuite {
     // the skew-gate oracles use DuckDB's integer-division `//`
     "g18_skew_triangles", "g19_skew_common_neighbors",
     "g20_skew_components", "g21_skew_degree_stats",
-    "g22_skew_capped_neighbors", "q55_string_agg",
+    "g22_skew_capped_neighbors", "g23_skew_triangles_ordered",
+    "q55_string_agg",
     "st13_sketch_registers",
     "q26_percentile", "q28_range_join", "q29_json_extract",
     "q30_approx_quantile", "q31_window_range", "q32_grouping_sets",
