@@ -560,6 +560,46 @@ object TextOps {
               |          ELSE 'tail' END AS bucket
               |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ---- t15: overlapping token-window chunking (RAG layout) -----------
+    // Each document split into stride-48 windows of 64 tokens (16-token
+    // overlap) with a per-chunk content fingerprint — the chunk index a
+    // retrieval pipeline embeds, as opposed to t10's gapless pretraining
+    // packing. Pure per-row array math: one scan, zero shuffles, chunk
+    // count and boundaries from integer arithmetic both engines share.
+    // Empty docs emit no chunks (sequence(0, -1) would DESCEND — guarded).
+    Q("t15_rag_chunks",
+      (s, dir) => {
+        val win = 64; val stride = 48
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(TextFns.tokens(col("text")), x => x =!= "").as("t"))
+          .withColumn("n", size(col("t")))
+          .filter(col("n") > 0)
+          .withColumn("nch",
+            expr(s"(greatest(n - $win, 0) + ${stride - 1}) div $stride + 1"))
+          .select(col("doc_id"), col("t"), col("n"),
+            posexplode(sequence(lit(0L), col("nch") - 1)))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+            (col("col") * stride + 1).cast("bigint").as("start_tok"),
+            slice(col("t"), (col("col") * stride + 1).cast("int"), lit(win)).as("chunk"))
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            size(col("chunk")).cast("bigint").as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
+              |          FROM documents),
+              |c AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+              |ch AS (SELECT doc_id, i AS chunk_id, i*48 + 1 AS start_tok,
+              |         t[i*48 + 1 : least(i*48 + 64, n)] AS chunk
+              |       FROM c, unnest(range((greatest(n - 64, 0) + 47) // 48 + 1)) AS u(i))
+              |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+              |  CAST(start_tok AS BIGINT) AS start_tok,
+              |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+              |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+              |FROM ch
+              |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ---- d10: importance sampling by quality score ---------------------
     // Keep a document with probability proportional to its quality score
     // — deterministic (content-hash threshold, like d06/d07), so the

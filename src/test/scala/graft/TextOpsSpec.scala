@@ -54,6 +54,35 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t15 chunks: full coverage, stride-48 starts, only the final chunk short") {
+    val docs = Seq(0, 1, 5, 63, 64, 65, 100, 112, 113, 200).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    // drive through a temp dir so the registered query's loader runs as-is
+    val dir = java.nio.file.Files.createTempDirectory("graft-t15").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t15_rag_chunks")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(0L), "empty doc emitted a chunk")
+    for ((doc, chunks) <- byDoc) {
+      val n = docs.filter($"doc_id" === doc).select(size(split($"text", " ")))
+        .head().getInt(0)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq, s"doc $doc ids")
+      sorted.foreach { case (_, id, start, len) =>
+        assert(start === id * 48L + 1, s"doc $doc chunk $id start")
+        if (id < sorted.length - 1) assert(len === 64L, s"doc $doc chunk $id len")
+      }
+      // the final chunk reaches the last token; with stride < width the
+      // windows tile [1..n] with no gap
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 === n.toLong, s"doc $doc tail coverage")
+      assert(sorted.forall { case (_, id, s, _) =>
+        id == 0 || s <= sorted(id - 1)._3 + 64 }, s"doc $doc gap")
+    }
+  }
+
   test("domainCap == naive per-domain window for random corpora, all knobs") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(20260813L)
