@@ -696,6 +696,33 @@ object Dedup {
   private[graft] val d20Tables = 8
   private[graft] val d20MinCos = 0.4
 
+  /** The d20 oracle's banded-clustering CTE chain (signatures → bands →
+    * in-bucket candidates → cosine-θ edges → recursive min-label
+    * components), generated from the SAME constants the Scala operator
+    * gets — shared by d20 and d23 so the keeper's oracle certifies the
+    * clusters it selects from with one text. Ends at `comp`; append a
+    * SELECT (d20) or further CTEs (d23). */
+  private lazy val d20ChainSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sig AS (SELECT vec_id, e,
+       |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e),
+       |band AS (SELECT vec_id, e, t, (s >> (t*$d20Planes)) & ${(1 << d20Planes) - 1} AS b
+       |         FROM sig, unnest(range($d20Tables)) AS u(t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+       |                a.e AS e1, b.e AS e2
+       |         FROM band a JOIN band b
+       |           ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+       |dup AS (SELECT d1, d2 FROM cand
+       |        WHERE round(list_cosine_similarity(e1, e2), 4) >= $d20MinCos),
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+       |        UNION ALL SELECT d2, d1 FROM dup),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)""".stripMargin
+
   def semanticClustersBanded(emb: DataFrame, minCos: Double = 0.4,
       dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
     require(planes * tables <= 64, "signature must fit one long")
@@ -726,6 +753,46 @@ object Dedup {
       .join(comps, col("vec_id") === comps("node"), "left")
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("cluster_id"))
+  }
+
+  /** SemDeDup's KEEPER step over [[semanticClustersBanded]]'s clusters:
+    * one representative per cluster — the medoid, the member with the
+    * highest summed cosine affinity to its cluster mates (ties → min
+    * vec_id; singletons keep themselves at affinity 0). Affinities are
+    * exact integer micro-units (the s07 LUT convention): each pair
+    * cosine rounds to 1e-6 BEFORE the sum, so totals are BIGINTs both
+    * engines reproduce under any summation order — no float-order
+    * hazard in the argmax.
+    *
+    * Scale shape: the affinity self-join is cluster-keyed and m² only
+    * WITHIN a cluster; SemDeDup clusters at production thresholds are
+    * small near-duplicate groups by construction (a giant cluster means
+    * θ is wrong for the corpus, and shows up here as cost rather than as
+    * a silently arbitrary keeper). Cluster assignment itself comes from
+    * the subquadratic banded path. */
+  def semanticRepresentatives(emb: DataFrame, minCos: Double = 0.4,
+      dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val members = semanticClustersBanded(emb, minCos, dim, planes, tables)
+      .join(emb.select(col("vec_id"),
+          VectorFns.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", VectorFns.norm(col("e"))), "vec_id")
+    val aff = members.toDF("v1", "cluster_id", "e1", "n1")
+      .join(members.toDF("v2", "cluster_id", "e2", "n2"), "cluster_id")
+      .filter(col("v1") =!= col("v2"))
+      .select(col("cluster_id"), col("v1"),
+        round(VectorFns.dot(col("e1"), col("e2")) / (col("n1") * col("n2")) * 1e6)
+          .cast("long").as("cm"))
+      .groupBy(col("cluster_id"), col("v1"))
+      .agg(sum(col("cm")).as("affinity"))
+      .withColumnRenamed("v1", "vec_id")
+    members.select(col("cluster_id"), col("vec_id"))
+      .join(aff, Seq("cluster_id", "vec_id"), "left")
+      .withColumn("affinity", coalesce(col("affinity"), lit(0L)))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("affinity"), (-col("vec_id")).as("nv"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nv")).as("rep_vec_id"),
+        col("n_members"), col("best.affinity").as("affinity_micro"))
   }
 
   /** Exposed for the ScaleSmoke candidate-count audit: the (v1, v2)
@@ -1184,28 +1251,47 @@ object Dedup {
       (s, dir) => semanticClustersBanded(Tables.load(s, dir, "embeddings"),
         minCos = d20MinCos, dim = d20Dim, planes = d20Planes, tables = d20Tables)
         .orderBy(col("vec_id")),
-      Some(s"""WITH RECURSIVE e AS (
-             |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-             |sig AS (SELECT vec_id, e,
-             |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e),
-             |band AS (SELECT vec_id, e, t, (s >> (t*$d20Planes)) & ${(1 << d20Planes) - 1} AS b
-             |         FROM sig, unnest(range($d20Tables)) AS u(t)),
-             |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
-             |                a.e AS e1, b.e AS e2
-             |         FROM band a JOIN band b
-             |           ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
-             |dup AS (SELECT d1, d2 FROM cand
-             |        WHERE round(list_cosine_similarity(e1, e2), 4) >= $d20MinCos),
-             |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
-             |        UNION ALL SELECT d2, d1 FROM dup),
-             |reach(a, b) AS (
-             |  SELECT src, src FROM sym
-             |  UNION
-             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-             |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
+      Some(s"""$d20ChainSql
              |SELECT vec_id, coalesce(c, vec_id) AS cluster_id
              |FROM e LEFT JOIN comp ON vec_id = node
              |ORDER BY vec_id""".stripMargin)),
+
+    // ---- d23: SemDeDup keeper — one representative per d20 cluster -----
+    // The medoid: the member with the highest summed cosine affinity to
+    // its cluster mates (ties -> min vec_id; singletons keep themselves
+    // at affinity 0). Affinities are exact integer micro-units (the s07
+    // LUT convention) so the BIGINT sums match in any order. The oracle
+    // extends the d20 chain, so one hash certifies clusters AND keeper.
+    // m-squared only WITHIN a cluster — SemDeDup clusters at production
+    // thresholds are small near-duplicate groups by construction.
+    Q("d23_semantic_representatives",
+      (s, dir) => semanticRepresentatives(Tables.load(s, dir, "embeddings"),
+        minCos = d20MinCos, dim = d20Dim, planes = d20Planes, tables = d20Tables)
+        .orderBy(col("cluster_id")),
+      Some(s"""$d20ChainSql,
+             |cl AS (SELECT vec_id, coalesce(c, vec_id) AS cluster_id
+             |       FROM e LEFT JOIN comp ON vec_id = node),
+             |mem AS (SELECT cl.cluster_id, cl.vec_id, e.e
+             |        FROM cl JOIN e USING (vec_id)),
+             |pa AS (SELECT a.cluster_id, a.vec_id,
+             |        CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) AS cm
+             |       FROM mem a JOIN mem b
+             |         ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
+             |aff AS (SELECT cluster_id, vec_id, CAST(sum(cm) AS BIGINT) AS affinity
+             |        FROM pa GROUP BY cluster_id, vec_id),
+             |ma AS (SELECT m.cluster_id, m.vec_id, coalesce(a.affinity, 0) AS affinity
+             |       FROM mem m LEFT JOIN aff a
+             |         ON m.cluster_id = a.cluster_id AND m.vec_id = a.vec_id),
+             |best AS (SELECT cluster_id, max(affinity) AS am FROM ma GROUP BY cluster_id),
+             |rep AS (SELECT m.cluster_id, min(m.vec_id) AS rep_vec_id
+             |        FROM ma m JOIN best b
+             |          ON m.cluster_id = b.cluster_id AND m.affinity = b.am
+             |        GROUP BY m.cluster_id),
+             |cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+             |        FROM mem GROUP BY cluster_id)
+             |SELECT r.cluster_id, r.rep_vec_id, c.n_members, b.am AS affinity_micro
+             |FROM rep r JOIN best b USING (cluster_id) JOIN cnt c USING (cluster_id)
+             |ORDER BY cluster_id""".stripMargin)),
 
     // ---- d05: embedding-cosine near-dup pairs --------------------------
     Q("d05_embedding_neardup",

@@ -349,6 +349,33 @@ class DedupSpec extends AnyFunSuite {
     banded.values.toSet.foreach { c: Long => assert(banded(c) === c) }
   }
 
+  test("semanticRepresentatives: reps are the brute-force medoids of their clusters") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val clusters = Dedup.semanticClustersBanded(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = clusters.groupBy(_._2).map { case (c, ms) =>
+      val ids = ms.map(_._1).sorted
+      val aff = ids.map(i =>
+        i -> ids.filter(_ != i).map(j => cosMicro(vecs(i), vecs(j))).sum)
+      val maxA = aff.map(_._2).max
+      c -> ((aff.filter(_._2 == maxA).map(_._1).min, ids.length.toLong, maxA))
+    }
+    val got = Dedup.semanticRepresentatives(emb)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // singletons keep themselves at affinity 0
+    got.foreach { case (c, (rep, n, a)) => if (n == 1) assert(rep === c && a === 0L) }
+  }
+
   test("lshTopK == exact top-k restricted to the query's bucket") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 20)
