@@ -28,6 +28,13 @@ object GraphBench {
       canon.unpersist()
       val (r1, w1) = totals.snapshotAfter()
       println(s"""{"file":"$f","triangles":$n,"sec":$sec,"shuffle_read":${r1 - r0},"shuffle_write":${w1 - w0}}""")
+      // the degree-ordered form on the same file: identical count, the
+      // orientation that survives hub skew (see trianglesDegreeOrdered)
+      val t1 = System.nanoTime()
+      val nOrd = GraphOps.trianglesDegreeOrdered(EdgeList.read(spark, f)).count()
+      val secOrd = (System.nanoTime() - t1) / 1e9
+      val (r2, w2) = totals.snapshotAfter()
+      println(s"""{"file":"$f","variant":"degree_ordered","triangles":$nOrd,"sec":$secOrd,"shuffle_read":${r2 - r1},"shuffle_write":${w2 - w1}}""")
     }
     spark.stop()
   }

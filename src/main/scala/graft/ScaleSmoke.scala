@@ -203,6 +203,40 @@ object ScaleSmoke {
         timed(s"s08_knn_join_n${n}_nlist$nlist") {
           Similarity.knnJoin(e, k = 3, nlist = nlist, nprobe = 2).count()
         }
+        if (n == 20000L) {
+          // recall@3 against the exact scan for 50 sampled vectors — the
+          // self-join path's recall evidence, beside --recall-only's
+          // s03/s05 curves. Sampled by id stride so the probe set spans
+          // the corpus rather than one cell.
+          val qids = (0 until 50).map(i => i * 397L)
+          val qs = e.filter(col("vec_id").isin(qids: _*))
+          val exact = Similarity.bruteForceTopK(e, qs, 3)
+            .select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val got = Similarity.knnJoin(e, k = 3, nlist = nlist, nprobe = 2)
+            .filter(col("qid").isin(qids: _*))
+            .select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = (exact & got).size.toDouble / exact.size
+          println(f"""{"step":"s08_recall_at_3","n":$n,"nlist":$nlist,"nprobe":2,"recall":$recall%.4f}""")
+          // the operator's ACTUAL contract is near-duplicate recall (the
+          // SemDeDup role), not arbitrary-neighbor recall on structureless
+          // noise: plant 200 deterministic twins at cos ≈ 0.999 and ask
+          // whether each finds its base at rank 1 through the cell join
+          val twins = e.filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                x + (pmod(xxhash64(col("vec_id"), i), lit(101L)) - 50)
+                  .cast("double") / 1000.0).as("embedding"))
+          val withTwins = e.unionByName(twins).persist()
+          val nTwins = twins.count()
+          val top1 = Similarity.knnJoin(withTwins, k = 1, nlist = nlist, nprobe = 2)
+            .filter(col("qid") >= 1000000L)
+            .select("qid", "vec_id").collect()
+          val hits = top1.count(r => r.getLong(1) == r.getLong(0) - 1000000L)
+          withTwins.unpersist()
+          println(f"""{"step":"s08_twin_recall_at_1","n":$n,"nlist":$nlist,"nprobe":2,"twins":$nTwins,"recall":${hits.toDouble / nTwins}%.4f}""")
+        }
         e.unpersist()
       }
       spark.stop(); return
