@@ -56,6 +56,26 @@ object Formats {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Small-file compaction — the lake-maintenance pass that keeps a
+    * landing directory scannable. Streaming sinks and incremental batch
+    * appends leave thousands of KB-scale files; at 100 TB the scan cost
+    * is then dominated by task scheduling and footer reads, not data.
+    * Rewrites `inDir` into ⌈bytes / targetBytes⌉ files at `outDir` and
+    * returns the file count. Row-identical by construction (one
+    * round-robin repartition, no keys touched); sized from the REAL
+    * on-disk bytes, not an estimate. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(inDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = df.inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Bucketed managed table: pre-shuffles rows into `buckets` files by
     * `bucketCols`, so equi-joins/aggregations between co-bucketed tables
     * need NO exchange — the 100 TB answer to repeated joins on the same

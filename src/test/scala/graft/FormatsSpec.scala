@@ -94,6 +94,27 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: many small files -> sized file count, content identical") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val rows = spark.range(50000L)
+      .select(col("id"), (col("id") % 97).as("k"),
+        concat(lit("v"), col("id")).as("v"))
+    // 200 tiny files: the streaming-sink landing-dir pathology
+    rows.repartition(200).write.parquet(s"$base/in")
+    val inFiles = spark.read.parquet(s"$base/in").inputFiles.length
+    assert(inFiles >= 190, s"fixture did not fragment: $inFiles files")
+    val n = Formats.compactParquet(spark, s"$base/in", s"$base/out",
+      targetBytes = 256L << 10)
+    val outFiles = spark.read.parquet(s"$base/out").inputFiles.length
+    assert(outFiles === n)
+    assert(outFiles < inFiles / 10,
+      s"compaction barely helped: $inFiles -> $outFiles")
+    // row-identical, not just count-identical
+    val a = rows.collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.load(spark, dir, "events")
     val direct = ev.groupBy($"user_id".as("key"))
