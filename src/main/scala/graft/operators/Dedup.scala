@@ -772,10 +772,14 @@ object Dedup {
     * the subquadratic banded path. */
   def semanticRepresentatives(emb: DataFrame, minCos: Double = 0.4,
       dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
+    // materialized once: members is referenced three times (both sides
+    // of the affinity self-join + the final member list), and each lazy
+    // reference would re-run the banded clustering and the corpus scan
     val members = semanticClustersBanded(emb, minCos, dim, planes, tables)
       .join(emb.select(col("vec_id"),
           VectorFns.toDouble(col("embedding")).as("e"))
         .withColumn("nrm", VectorFns.norm(col("e"))), "vec_id")
+      .localCheckpoint()
     val aff = members.toDF("v1", "cluster_id", "e1", "n1")
       .join(members.toDF("v2", "cluster_id", "e2", "n2"), "cluster_id")
       .filter(col("v1") =!= col("v2"))

@@ -114,10 +114,13 @@ object GraphOps {
     wedges
       .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
         Seq("t1", "t2"), "left_semi")
+      // median of three via min/max composition, NOT s + t1 + t2 − min −
+      // max: the sum overflows Long for 64-bit hash node ids (an
+      // ArithmeticException under ANSI mode on exactly the inputs
+      // [[triangles]] handles fine, which never does id arithmetic)
       .select(least(col("s"), col("t1"), col("t2")).as("a"),
-        (col("s") + col("t1") + col("t2")
-          - least(col("s"), col("t1"), col("t2"))
-          - greatest(col("s"), col("t1"), col("t2"))).as("b"),
+        greatest(least(col("s"), col("t1")),
+          least(greatest(col("s"), col("t1")), col("t2"))).as("b"),
         greatest(col("s"), col("t1"), col("t2")).as("c"))
   }
 
@@ -1224,7 +1227,7 @@ object GraphOps {
               |tri AS (SELECT w.s, w.t1, w.t2 FROM w
               |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2))
               |SELECT least(s, t1, t2) AS a,
-              |  s + t1 + t2 - least(s, t1, t2) - greatest(s, t1, t2) AS b,
+              |  greatest(least(s, t1), least(greatest(s, t1), t2)) AS b,
               |  greatest(s, t1, t2) AS c
               |FROM tri
               |ORDER BY a, b, c""".stripMargin)),

@@ -144,30 +144,18 @@ object Similarity {
     * like every ranking here). */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nlist: Int = 8,
       nprobe: Int = 2): DataFrame = {
-    graft.plans.GraftFunctions.register(emb.sparkSession)
-    val cents = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
-      .withColumn("cnrm", VectorFns.norm(col("ce")))
-    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", VectorFns.norm(col("e")))
-    def centScores(vecs: DataFrame, id: Column, e: Column, nrm: Column): DataFrame =
-      vecs.join(broadcast(cents))
-        .select(id.as("_id"), col("cid"),
-          round(VectorFns.dot(e, col("ce")) / (nrm * col("cnrm")), 6).as("ccos"))
-    // nearest list per corpus vector: lexicographic max of (cos, -cid) =
-    // max cosine with min-cid tiebreak, as ONE map-side-combinable agg
-    val assigned = centScores(corpus, col("vec_id"), col("e"), col("nrm"))
-      .groupBy(col("_id").as("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+    val (corpus, cents, _, assigned) = ivfParts(emb, nlist)
     val index = corpus.join(assigned, "vec_id")
     // nprobe nearest lists per query (query set is small: window is fine)
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
       .withColumn("qnrm", VectorFns.norm(col("qe")))
-    val wp = Window.partitionBy(col("_id")).orderBy(col("ccos").desc, col("cid"))
-    val qprobe = centScores(qs, col("qid"), col("qe"), col("qnrm"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val qprobe = qs.join(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        round(VectorFns.dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6)
+          .as("ccos"))
       .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
-      .select(col("_id").as("qid"), col("cid"))
+      .select(col("qid"), col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     index.join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
@@ -175,6 +163,37 @@ object Similarity {
         round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** The deterministic coarse quantizer SHARED by [[ivfTopK]] and
+    * [[knnJoin]] — one definition of the engine-portable assignment
+    * convention (first-`nlist` centroids, 6dp-rounded cosine, min-cid
+    * tiebreak via the map-side-combinable max(struct) argmax), so the
+    * two operators' oracles can never drift apart. Returns
+    * (corpus, broadcast-ready centroids, per-(vector, cell) scores,
+    * home-cell assignment). */
+  private def ivfParts(emb: DataFrame, nlist: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
+      .withColumn("cnrm", VectorFns.norm(col("ce")))
+    // NARROW (vec_id, cid, ccos) rows — the probe window sorts this
+    // stream, and carrying vectors through that sort tripled knnJoin's
+    // wall at √n nlist (see BASELINE_SELF)
+    val scores = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    // nearest list per corpus vector: lexicographic max of (cos, -cid) =
+    // max cosine with min-cid tiebreak, as ONE map-side-combinable agg
+    val assigned = scores
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+    (corpus, cents, scores, assigned)
   }
 
   /** Full k-NN SELF-join via IVF cells: every corpus vector gets its k
@@ -200,7 +219,6 @@ object Similarity {
     * [[bruteForceTopK]] in SimilaritySpec on a planted-duplicate corpus;
     * the oracle certifies the banded computation itself. */
   def knnJoin(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    graft.plans.GraftFunctions.register(emb.sparkSession)
     // Join-strategy decision from TRUE corpus volume, not AQE's estimate:
     // every join below has the corpus itself on both sides, and at ~50 MB
     // of vectors AQE's compressed estimates flap across the broadcast
@@ -214,27 +232,11 @@ object Similarity {
       .head() match { case r => r.getLong(0) * 8L + r.getLong(1) * 64L }
     val big = corpusBytes >= (64L << 20)
     def sized(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
-    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", VectorFns.norm(col("e")))
-    val cents = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
-      .withColumn("cnrm", VectorFns.norm(col("ce")))
     // one scored stream feeds BOTH the home-cell assignment and the probe
-    // lists: n·nlist rows, centroids broadcast, corpus scanned once. The
-    // stream is NARROW — (vec_id, cid, ccos) only. Carrying the vectors
-    // through the probe window instead shuffles n·nlist 64-dim rows, and
-    // measured at 80k×283 that wide window DOMINATED the whole join (150 s
-    // vs 50 s at half the nlist — growing nlist made the operator slower
-    // even as it halved the candidates). Vectors re-attach by vec_id — the
-    // table's own key, one n-row equi-join per side.
-    val scores = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
-          .as("ccos"))
-    val assigned = scores
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+    // lists: n·nlist narrow rows, centroids broadcast, corpus scanned
+    // once — the shared ivfParts convention. Vectors re-attach by vec_id
+    // (the table's own key) after the probe window.
+    val (corpus, _, scores, assigned) = ivfParts(emb, nlist)
     val index = corpus.join(sized(assigned), "vec_id")
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = scores

@@ -67,10 +67,14 @@ object Formats {
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Int = {
     val df = spark.read.parquet(inDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val bytes = df.inputFiles.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    // stat each file on ITS OWN filesystem — FileSystem.get(conf) is the
+    // default FS only, and a lake landing dir is exactly where the path
+    // scheme (s3a/hdfs/file) differs from fs.defaultFS
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     nFiles
