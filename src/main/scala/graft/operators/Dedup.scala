@@ -755,6 +755,34 @@ object Dedup {
         coalesce(col("component"), col("vec_id")).as("cluster_id"))
   }
 
+  /** Embedding-space eval-set decontamination — [[decontaminate]]'s
+    * semantic sibling (the SemDeDup-paper eval-leak check): for every
+    * corpus vector, the max cosine to ANY eval vector plus a θ-flag. A
+    * paraphrased eval item shares no 5-gram but sits at high cosine;
+    * this catches what the shingle probe misses. The eval set is tiny
+    * by the d12 contract, so the plan is one corpus scan against the
+    * BROADCAST eval vectors reduced by a map-side-combinable
+    * max(struct) argmax — the corpus never shuffles. Nearest-eval ties
+    * break to the smallest eval id on the 6dp-rounded cosine. */
+  def embeddingDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      minCos: Double = 0.4): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val ev = evalSet.select(col("vec_id").as("eid"),
+        VectorFns.toDouble(col("embedding")).as("ee"))
+      .withColumn("en", VectorFns.norm(col("ee")))
+    corpus.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+      .join(broadcast(ev))
+      .select(col("vec_id"), col("eid"),
+        round(VectorFns.dot(col("e"), col("ee")) / (col("nrm") * col("en")), 6)
+          .as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("eid")).as("ne"))).as("best"))
+      .select(col("vec_id"), (-col("best.ne")).as("nearest_eval"),
+        col("best.cos").as("max_cos"),
+        (col("best.cos") >= minCos).cast("int").as("contaminated"))
+  }
+
   /** SemDeDup's KEEPER step over [[semanticClustersBanded]]'s clusters:
     * one representative per cluster — the medoid, the member with the
     * highest summed cosine affinity to its cluster mates (ties → min
@@ -1044,6 +1072,35 @@ object Dedup {
               |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
               |WHERE d.doc_id >= 20
               |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- d24: embedding-space decontamination --------------------------
+    // d12's semantic sibling (the SemDeDup-paper eval-leak check): a
+    // paraphrased eval item shares no 5-gram but sits at high cosine.
+    // The eval set is tiny by the same contract as d12, so the plan is
+    // one corpus scan against BROADCAST eval vectors — max cosine via a
+    // map-side-combinable max(struct) argmax, no shuffle of the corpus,
+    // no LSH needed (candidate generation only pays off when BOTH sides
+    // are large). 6dp rounding + min-vec_id tiebreak as everywhere.
+    Q("d24_embedding_decontaminate",
+      (s, dir) => {
+        val all = Tables.load(s, dir, "embeddings")
+        embeddingDecontaminate(all.filter(col("vec_id") >= 20),
+          all.filter(col("vec_id") < 20), minCos = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |ev AS (SELECT vec_id AS eid, e AS ee FROM e WHERE vec_id < 20),
+             |sc AS (SELECT e.vec_id, eid,
+             |         round(list_cosine_similarity(e.e, ee), 6) AS cos
+             |       FROM e CROSS JOIN ev WHERE e.vec_id >= 20),
+             |mx AS (SELECT vec_id, max(cos) AS m FROM sc GROUP BY vec_id),
+             |best AS (SELECT sc.vec_id, min(eid) AS nearest_eval, mx.m
+             |         FROM sc JOIN mx ON sc.vec_id = mx.vec_id AND sc.cos = mx.m
+             |         GROUP BY sc.vec_id, mx.m)
+             |SELECT vec_id, nearest_eval, m AS max_cos,
+             |  CAST(m >= 0.4 AS INT) AS contaminated
+             |FROM best
+             |ORDER BY vec_id""".stripMargin)),
 
     // ---- d03: SimHash signatures ---------------------------------------
     Q("d03_simhash",

@@ -47,7 +47,7 @@ class QueriesSpec extends AnyFunSuite {
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
     "p12_sketch_overlap", "p13_mad_outliers", "p14_grouped_distinct",
     "d19_dup_spans", "d20_semantic_clusters_banded",
-    "d23_semantic_representatives",
+    "d23_semantic_representatives", "d24_embedding_decontaminate",
     // d21 counts tokens with len(string_split(…)); p15/d22 use `//`
     "d21_mixture_weights", "d22_budget_select", "p15_constraint_audit",
     "g16_khop_reach", "g17_hyperball",
