@@ -44,9 +44,13 @@ object HdrSketch {
   /** Dense buffer size: shift ≤ 63 − SubBits − 1, bucket < (shift+2)·2^SubBits. */
   val MaxBuckets: Int = (64 - SubBits) * SubBuckets
 
-  /** Bucket index of a value ≥ 1 (monotone non-decreasing in v). */
+  /** Bucket index of a value ≥ 0 (monotone non-decreasing in v). Zero
+    * lands in bucket 0 with an exact midpoint of 0 — real corpora
+    * contain zero-length documents, and a sketch that rejects them
+    * crashes the whole pipeline on one empty row (found by
+    * tools/fuzz_oracle.py). */
   def bucketOf(v: Long): Int = {
-    require(v >= 1, s"HdrSketch values must be >= 1, got $v")
+    require(v >= 0, s"HdrSketch values must be >= 0, got $v")
     val m = 63 - java.lang.Long.numberOfLeadingZeros(v)
     if (m <= SubBits) v.toInt
     else {

@@ -24,4 +24,16 @@ object VectorFns {
   /** Cosine as dot/(‖a‖·‖b‖). When norms are precomputed per row (the
     * batch-efficient shape), prefer `dot(a,b) / (na * nb)` directly. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** The ZERO-NORM convention, one definition for every cosine operator:
+    * a zero embedding carries no direction, so it participates in no
+    * similarity result — filtered out of pair/candidate generation
+    * (cluster-shaped outputs still list it, as a singleton). Without the
+    * guard the norm product is 0 and ANSI mode turns the first zero
+    * vector in a real corpus into a DIVIDE_BY_ZERO crash (found by
+    * tools/fuzz_oracle.py, which plants one). [[nonZeroSql]] is the
+    * matching oracle-side filter. */
+  def nonZero(e: Column): Column = dot(e, e) > 0
+
+  def nonZeroSql(arr: String): String = s"list_dot_product($arr, $arr) > 0"
 }

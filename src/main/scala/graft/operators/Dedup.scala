@@ -627,6 +627,7 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
     e.toDF("v1", "e1", "n1").join(e.toDF("v2", "e2", "n2"), col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
@@ -706,7 +707,8 @@ object Dedup {
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |sig AS (SELECT vec_id, e,
-       |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e),
+       |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e
+       |        WHERE list_dot_product(e, e) > 0),
        |band AS (SELECT vec_id, e, t, (s >> (t*$d20Planes)) & ${(1 << d20Planes) - 1} AS b
        |         FROM sig, unnest(range($d20Tables)) AS u(t)),
        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
@@ -728,7 +730,10 @@ object Dedup {
     require(planes * tables <= 64, "signature must fit one long")
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val mask = (1L << planes) - 1
+    // zero-norm vectors skip candidate generation (VectorFns.nonZero) but
+    // keep their singleton row via the final left join over all of emb
     val sig = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
       .withColumn("tb", explode(array((0 until tables).map { t =>
@@ -769,8 +774,10 @@ object Dedup {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val ev = evalSet.select(col("vec_id").as("eid"),
         VectorFns.toDouble(col("embedding")).as("ee"))
+      .filter(VectorFns.nonZero(col("ee")))
       .withColumn("en", VectorFns.norm(col("ee")))
     corpus.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
       .join(broadcast(ev))
       .select(col("vec_id"), col("eid"),
@@ -1088,7 +1095,8 @@ object Dedup {
           all.filter(col("vec_id") < 20), minCos = 0.4)
           .orderBy(col("vec_id"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
              |ev AS (SELECT vec_id AS eid, e AS ee FROM e WHERE vec_id < 20),
              |sc AS (SELECT e.vec_id, eid,
              |         round(list_cosine_similarity(e.e, ee), 6) AS cos
@@ -1283,8 +1291,9 @@ object Dedup {
         .orderBy(col("vec_id")),
       Some("""WITH RECURSIVE e AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |en AS (SELECT * FROM e WHERE list_dot_product(e, e) > 0),
              |dup AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-             |        FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |        FROM en a JOIN en b ON a.vec_id < b.vec_id
              |        WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4),
              |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
              |        UNION ALL SELECT d2, d1 FROM dup),
@@ -1358,7 +1367,8 @@ object Dedup {
     Q("d05_embedding_neardup",
       (s, dir) => embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy(col("v1"), col("v2")),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
              |SELECT a.vec_id AS v1, b.vec_id AS v2,
              |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
              |FROM e a JOIN e b ON a.vec_id < b.vec_id

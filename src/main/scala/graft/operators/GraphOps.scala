@@ -957,18 +957,20 @@ object GraphOps {
               |ORDER BY log2_bin""".stripMargin)),
 
     // ---- g11: k-core decomposition (iterative peeling) -----------------
-    // The oracle unrolls 16 peeling rounds as a CTE chain — measured
+    // The oracle unrolls 48 peeling rounds as a CTE chain — measured
     // convergence on the derived graph is ≤ 8 rounds across sf0.001/0.01/
-    // 0.1 (k ∈ {2,3}; probed 2026-08-12), a 2× margin; the Spark side
-    // runs to the true fixed point, and a fixture that ever needed more
-    // than 16 rounds would surface as a gate mismatch, not silent
-    // wrongness. The per-round CTEs are MATERIALIZED: DuckDB inlines
+    // 0.1 (k ∈ {2,3}; probed 2026-08-12), and a bootstrap-resampled fuzz
+    // graph (tools/fuzz_oracle.py seed 1) blew through the old 16-round
+    // margin and surfaced as a 55-vs-46-row gate mismatch — exactly the
+    // loud failure the contract promises. The Spark side runs to the true
+    // fixed point; a corpus needing more than 48 rounds still fails loud,
+    // never silently wrong. The per-round CTEs are MATERIALIZED: DuckDB inlines
     // plain CTEs per reference, and each round references its
     // predecessor 3× — un-materialized, the chain expands 3^16 scans.
     Q("g11_kcore",
       (s, dir) => kCore(derivedEdges(s, dir), k = 2)._1.orderBy(col("node")),
       Some {
-        val rounds = 16
+        val rounds = 48
         val roundSql = (1 to rounds).map { i =>
           s"""k$i AS MATERIALIZED (SELECT node
              |     FROM (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) s$i

@@ -52,8 +52,10 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .filter(VectorFns.nonZero(col("qe")))
       .withColumn("qnrm", VectorFns.norm(col("qe")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(qs), col("qid") =!= col("vec_id"))
@@ -86,10 +88,12 @@ object Similarity {
       struct(lit(t).as("t"), shiftright(sig, t * planes).bitwiseAND(lit(mask)).as("b"))
     }: _*))
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("tb", bandRows(lshBucket(col("e"), dim, planes * tables)))
       .select(col("vec_id"), col("e"), col("nrm"), col("tb.t").as("t"), col("tb.b").as("b"))
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .filter(VectorFns.nonZero(col("qe")))
       .withColumn("qnrm", VectorFns.norm(col("qe")))
       .withColumn("tb", bandRows(lshBucket(col("qe"), dim, planes * tables)))
       .select(col("qid"), col("qe"), col("qnrm"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -109,9 +113,11 @@ object Similarity {
       planes: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("bucket", lshBucket(col("e"), dim, planes))
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .filter(VectorFns.nonZero(col("qe")))
       .withColumn("qnrm", VectorFns.norm(col("qe")))
       .withColumn("bucket", lshBucket(col("qe"), dim, planes))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -148,6 +154,7 @@ object Similarity {
     val index = corpus.join(assigned, "vec_id")
     // nprobe nearest lists per query (query set is small: window is fine)
     val qs = queries.select(col("vec_id").as("qid"), VectorFns.toDouble(col("embedding")).as("qe"))
+      .filter(VectorFns.nonZero(col("qe")))
       .withColumn("qnrm", VectorFns.norm(col("qe")))
     val wp = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
     val qprobe = qs.join(broadcast(cents))
@@ -176,9 +183,11 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
+      .filter(VectorFns.nonZero(col("ce")))
       .withColumn("cnrm", VectorFns.norm(col("ce")))
     // NARROW (vec_id, cid, ccos) rows — the probe window sorts this
     // stream, and carrying vectors through that sort tripled knnJoin's
@@ -277,6 +286,7 @@ object Similarity {
       candMult: Int = 4): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val floats = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
     val qt = quantizeInt8(emb)
     val index = qt.join(floats.select(col("vec_id"), col("nrm")), "vec_id")
@@ -382,7 +392,8 @@ object Similarity {
         bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
              |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
              |scored AS (SELECT qid, vec_id,
              |    round(list_cosine_similarity(qe, e.e), 6) AS cos
@@ -406,7 +417,8 @@ object Similarity {
         lshTopK(emb, emb.filter(col("vec_id") < 50), k = 10, planes = 4)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
               |c AS (SELECT vec_id, e,
               |       ${lshBucketSql("e", 64, 4)} AS bucket FROM e),
               |q AS (SELECT vec_id AS qid, e AS qe, bucket FROM c WHERE vec_id < 50),
@@ -433,7 +445,8 @@ object Similarity {
           planes = 4, tables = 16)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
               |c AS (SELECT vec_id, e,
               |       ${lshBucketSql("e", 64, 64)} AS sig FROM e),
               |q AS (SELECT vec_id AS qid, e AS qe, sig AS qsig FROM c WHERE vec_id < 50),
@@ -465,7 +478,8 @@ object Similarity {
         ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 2)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
              |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
              |ascore AS (SELECT e.vec_id, cid,
              |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
@@ -506,7 +520,8 @@ object Similarity {
         quantizedRerank(emb, emb.filter(col("vec_id") < 5), k = 10)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
              |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
              |m AS (SELECT vec_id, e,
              |        greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS mx
@@ -591,7 +606,8 @@ object Similarity {
     Q("s08_knn_join",
       (s, dir) => knnJoin(Tables.load(s, dir, "embeddings"), k = 3)
         .orderBy(col("qid"), col("rank")),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
              |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
              |ascore AS (SELECT e.vec_id, cid,
              |    round(list_cosine_similarity(e.e, ce), 6) AS ccos

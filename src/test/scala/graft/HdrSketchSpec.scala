@@ -35,8 +35,12 @@ class HdrSketchSpec extends AnyFunSuite {
       val b = HdrSketch.bucketOf(v)
       assert(b >= 0 && b < HdrSketch.MaxBuckets, s"bucket $b out of range at $v")
     }
-    assert(intercept[IllegalArgumentException](HdrSketch.bucketOf(0))
-      .getMessage.contains(">= 1"))
+    // zero is a VALUE, not an error: real corpora hold zero-length rows
+    // (fuzz gate finding) — it lands in bucket 0 with an exact midpoint
+    assert(HdrSketch.bucketOf(0L) === 0)
+    assert(HdrSketch.estOf(0) === 0L)
+    assert(intercept[IllegalArgumentException](HdrSketch.bucketOf(-1L))
+      .getMessage.contains(">= 0"))
   }
 
   test("merged per-slice sketches equal the whole-stream sketch exactly") {

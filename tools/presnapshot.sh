@@ -2,7 +2,7 @@
 # Pre-snapshot gate: refuse the end-of-round snapshot unless EVERY artifact
 # the driver will produce is healthy. Run from the repo root:
 #
-#   tools/presnapshot.sh            # full gate: sbt test + Verify + oracle + Bench
+#   tools/presnapshot.sh            # full gate: sbt test + Verify + oracle + fuzz + Bench
 #   tools/presnapshot.sh --fast     # skip the sf0.1 bench (dev loop)
 #
 # Exits nonzero (and says why) on: red sbt test, any query that throws in
@@ -18,12 +18,12 @@ SF_BENCH=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 OUT=/tmp/graft_presnapshot_verify
 fail() { echo "PRESNAPSHOT GATE: FAIL — $1" >&2; exit 1; }
 
-echo "== [1/4] sbt test =="
+echo "== [1/5] sbt test =="
 sbt -batch test > /tmp/presnapshot_test.log 2>&1 \
   || fail "sbt test red (see /tmp/presnapshot_test.log)"
 grep -E "Tests: succeeded" /tmp/presnapshot_test.log | tail -1
 
-echo "== [2/4] Verify @ ${SF_VERIFY} =="
+echo "== [2/5] Verify @ ${SF_VERIFY} =="
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify ${SF_VERIFY} ${OUT}" > /tmp/presnapshot_verify.log 2>&1 \
   || fail "Verify exited nonzero (see /tmp/presnapshot_verify.log)"
@@ -38,15 +38,20 @@ if errs:
     sys.exit(1)
 EOF
 
-echo "== [3/4] DuckDB oracle compare =="
+echo "== [3/5] DuckDB oracle compare =="
 python3 tools/check_oracle.py "$OUT" "$SF_VERIFY" > /tmp/presnapshot_oracle.log 2>&1 \
   || fail "oracle mismatch (see /tmp/presnapshot_oracle.log)"
 tail -3 /tmp/presnapshot_oracle.log
 
+echo "== [4/5] randomized differential fuzz (seed 1) =="
+python3 tools/fuzz_oracle.py 1 > /tmp/presnapshot_fuzz.log 2>&1 \
+  || fail "fuzz-corpus divergence (see /tmp/presnapshot_fuzz.log)"
+tail -2 /tmp/presnapshot_fuzz.log
+
 if [ "$FAST" = "--fast" ]; then
-  echo "== [4/4] bench SKIPPED (--fast) =="
+  echo "== [5/5] bench SKIPPED (--fast) =="
 else
-  echo "== [4/4] Bench @ ${SF_BENCH} =="
+  echo "== [5/5] Bench @ ${SF_BENCH} =="
   # contention guard: never bench concurrently with another Spark job.
   # (Bench.main also polls /proc/loadavg itself; this outer check makes the
   # refusal visible in the gate log and catches long-running driver benches.)
