@@ -308,6 +308,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s08 knn self-join: rank-limit pushdown fires and the probe window is narrow") {
+    val df = SparkEntry.queries("s08_knn_join")(spark, dir)
+    df.collect()
+    // formatted mode prints per-node Input lists (toString hides child
+    // outputs), which is what the narrowness claim is about
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // Spark 4's WindowGroupLimit must cut BOTH windows (probe top-nprobe,
+    // final top-k) before their exchanges — without it the probe window
+    // shuffles the full n·nlist score stream
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown did not fire:\n$plan")
+    // the probe window ranks a NARROW (vec_id, cid, ccos) stream: no
+    // embedding array may appear in any window-group-limit input (the
+    // wide-window form measured 3x the wall at sqrt-n nlist)
+    val windowInputs = "(?s)\\(\\d+\\) WindowGroupLimit\\s*\\nInput \\[\\d+\\]: \\[[^\\]]*\\]"
+      .r.findAllIn(plan).toList
+    assert(windowInputs.nonEmpty, s"no WindowGroupLimit Input lines:\n$plan")
+    windowInputs.foreach(w =>
+      assert(!w.contains("e#") && !w.contains("qe#") && !w.contains("embedding"),
+        s"window input carries the vector column:\n$w"))
+  }
+
+  test("t15 chunking shuffles only for its output ordering") {
+    val df = SparkEntry.queries("t15_rag_chunks")(spark, dir)
+    // AQE's toString prints final AND initial plans — match the final only
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // one rangepartitioning exchange (the ORDER BY), zero data shuffles
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toList
+    assert(exchanges.length === 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected exactly the order-by exchange, got $exchanges:\n$plan")
+    // and the scan reads only the two referenced columns
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang"),
+      s"scan not pruned to (doc_id, text): $readSchema")
+  }
+
+  test("d24 embedding decontamination never shuffles the corpus") {
+    val plan = executedPlan(SparkEntry.queries("d24_embedding_decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"eval side should broadcast:\n$plan")
+    // corpus-side movement = the final sort only; the argmax must be a
+    // partial-then-final hash aggregate, not a window
+    assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
+  }
+
   test("q54 fact scan carries a dynamic partition pruning filter from the dim join") {
     // the fact is written partitioned by l_returnflag; joining through the
     // filtered dim must inject the dim's keys into the fact scan's
