@@ -560,6 +560,38 @@ object TextOps {
               |          ELSE 'tail' END AS bucket
               |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ---- t16: BPE pair statistics (tokenizer-training inner step) ------
+    // The count-adjacent-pairs step a BPE trainer iterates: character
+    // pairs weighted by word frequency, top 20 by (count, pair). The
+    // scale trick is the real BPE one — pairs explode over the DISTINCT
+    // VOCABULARY (already map-side-combined to word counts), never over
+    // the corpus token stream; the top-k is TakeOrdered, no global sort
+    // materializes. Both engines slice strings by CHARACTER (Spark
+    // substr / DuckDB [i:j]), so the unicode fuzz docs exercise the
+    // same boundaries in both.
+    Q("t16_bpe_pairs",
+      (s, dir) => {
+        val words = Tables.load(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        words.filter(length(col("w")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+      },
+      Some(s"""WITH tk AS (SELECT unnest($toksSql) AS w FROM documents),
+              |wf AS (SELECT w, count(*) AS freq FROM tk WHERE w <> '' GROUP BY w),
+              |pr AS (SELECT w[i:i+1] AS pair, freq
+              |       FROM wf, unnest(range(1, len(w))) AS u(i)
+              |       WHERE len(w) >= 2)
+              |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+              |FROM pr GROUP BY pair
+              |ORDER BY n DESC, pair
+              |LIMIT 20""".stripMargin)),
+
     // ---- t15: overlapping token-window chunking (RAG layout) -----------
     // Each document split into stride-48 windows of 64 tokens (16-token
     // overlap) with a per-chunk content fingerprint — the chunk index a

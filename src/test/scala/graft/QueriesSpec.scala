@@ -37,7 +37,7 @@ class QueriesSpec extends AnyFunSuite {
     "d14_incremental_dedup", "d15_dup_shingle_rate", "d16_containment",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "s08_knn_join",
-    "t14_perplexity_buckets", "t15_rag_chunks",
+    "t14_perplexity_buckets", "t15_rag_chunks", "t16_bpe_pairs",
     "g05_adjacency", "g06_pagerank", "g07_components", "g11_kcore",
     "g12_link_prediction", "g13_personalized_pagerank",
     "g14_clustering_coefficient", "g15_graph_stats",

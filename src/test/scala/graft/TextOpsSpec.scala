@@ -54,6 +54,19 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t16 BPE pairs: hand-computed counts, vocabulary-weighted not corpus-exploded") {
+    val docs = Seq(
+      (0L, "ab ab abc", "en"),   // ab word x2, abc x1
+      (1L, "abc x", "en")        // abc again; "x" has no pair
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t16").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t16_bpe_pairs")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "ab": freq 2 contributes ab:2; "abc": freq 2 contributes ab:2, bc:2
+    assert(out === Map("ab" -> 4L, "bc" -> 2L))
+  }
+
   test("t15 chunks: full coverage, stride-48 starts, only the final chunk short") {
     val docs = Seq(0, 1, 5, 63, 64, 65, 100, 112, 113, 200).zipWithIndex.map {
       case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" "), "en")
