@@ -108,6 +108,30 @@ object TextOps {
     * the boundary bucket extends the same idea if one can't. Domains
     * smaller than n never reach the threshold (no b* row) and are kept
     * whole via the left join's null arm. */
+  /** Overlapping token-window chunks (the t15 operator body): stride-48
+    * windows of 64 tokens with per-chunk md5 fingerprints, from per-row
+    * integer array math — one scan, zero shuffles. STATELESS, so it runs
+    * unchanged under `readStream` (StreamingSpec proves stream == batch
+    * chunk-for-chunk); empty docs emit no chunks (a descending
+    * `sequence(0, -1)` is guarded out). */
+  def ragChunks(docs: org.apache.spark.sql.DataFrame, win: Int = 64,
+      stride: Int = 48): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(TextFns.tokens(col("text")), x => x =!= "").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .withColumn("nch",
+        expr(s"(greatest(n - $win, 0) + ${stride - 1}) div $stride + 1"))
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(0L), col("nch") - 1)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        (col("col") * stride + 1).cast("bigint").as("start_tok"),
+        slice(col("t"), (col("col") * stride + 1).cast("int"), lit(win)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+
   def domainCap(docs: org.apache.spark.sql.DataFrame, n: Long = 15,
       buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -600,25 +624,8 @@ object TextOps {
     // count and boundaries from integer arithmetic both engines share.
     // Empty docs emit no chunks (sequence(0, -1) would DESCEND — guarded).
     Q("t15_rag_chunks",
-      (s, dir) => {
-        val win = 64; val stride = 48
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            filter(TextFns.tokens(col("text")), x => x =!= "").as("t"))
-          .withColumn("n", size(col("t")))
-          .filter(col("n") > 0)
-          .withColumn("nch",
-            expr(s"(greatest(n - $win, 0) + ${stride - 1}) div $stride + 1"))
-          .select(col("doc_id"), col("t"), col("n"),
-            posexplode(sequence(lit(0L), col("nch") - 1)))
-          .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
-            (col("col") * stride + 1).cast("bigint").as("start_tok"),
-            slice(col("t"), (col("col") * stride + 1).cast("int"), lit(win)).as("chunk"))
-          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-            size(col("chunk")).cast("bigint").as("n_tokens"),
-            md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
-          .orderBy(col("doc_id"), col("chunk_id"))
-      },
+      (s, dir) => ragChunks(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id")),
       Some(s"""WITH d AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
               |          FROM documents),
               |c AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),

@@ -20,6 +20,28 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("streaming RAG chunking == batch, chunk for chunk") {
+    // t15's chunker is stateless, so it must run UNCHANGED under
+    // readStream — the day-0 ingest shape for a retrieval index. Replay
+    // the documents as 4 micro-batches and compare every chunk row.
+    val docs = Tables.load(spark, dir, "documents")
+    val replay = Files.createTempDirectory("graft-chunk-replay").toString
+    docs.withColumn("part", col("doc_id") % 4).repartition(4, col("part"))
+      .drop("part").write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    val q = graft.operators.TextOps.ragChunks(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunks_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunks_out")
+      .orderBy(col("doc_id"), col("chunk_id")).collect().map(_.toSeq)
+    val batch = graft.operators.TextOps.ragChunks(docs)
+      .orderBy(col("doc_id"), col("chunk_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming hourly windows == batch hourly windows") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.hourlyByType(stream.withWatermark("ts", "2 hours"))
