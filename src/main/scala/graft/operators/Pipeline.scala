@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{PortableHash, TextFns}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus build — the composition a training-data pipeline
@@ -122,18 +122,23 @@ object Pipeline {
         TextFns.fingerprint(col("text")).as("fp"))
       .join(cont, "doc_id")
       .localCheckpoint()
-    def status(minQ: Double, out: String): DataFrame = {
-      val keeper = base
-        .filter(col("q") >= minQ && col("contaminated") === 0)
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-      base.join(keeper, Seq("fp"), "left")
-        .select(col("doc_id"),
-          when(col("q") < minQ, "quality")
-            .when(col("contaminated") === 1, "contaminated")
-            .when(col("doc_id") === col("keep_id"), "admitted")
-            .otherwise("duplicate").as(out))
-    }
-    status(qA, "status_a").join(status(qB, "status_b"), "doc_id")
+    // BOTH configs' keeper tables from ONE conditional aggregation (a
+    // config's keeper = min doc_id among its clean members), and both
+    // statuses from one join against it — one fp shuffle and no final
+    // doc_id self-join, half the exchanges of the status-per-arm form
+    val keepers = base.groupBy(col("fp")).agg(
+      min(when(col("q") >= qA && col("contaminated") === 0, col("doc_id")))
+        .as("keep_a"),
+      min(when(col("q") >= qB && col("contaminated") === 0, col("doc_id")))
+        .as("keep_b"))
+    def status(minQ: Double, keep: String): Column =
+      when(col("q") < minQ, "quality")
+        .when(col("contaminated") === 1, "contaminated")
+        .when(col("doc_id") === col(keep), "admitted")
+        .otherwise("duplicate")
+    base.join(keepers, "fp")
+      .select(col("doc_id"), status(qA, "keep_a").as("status_a"),
+        status(qB, "keep_b").as("status_b"))
       .withColumn("changed", (col("status_a") =!= col("status_b")).cast("int"))
   }
 
