@@ -307,13 +307,20 @@ object EventStreams {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
 
   /** Per-user session statistics (batch rollup of [[sessions]]; a second
-    * stateful aggregation, so streaming callers stop at [[sessions]]). */
+    * stateful aggregation, so streaming callers stop at [[sessions]]).
+    * The averages are EXACT fixed-point integers (events ×10⁴, ms ×10²),
+    * not round(avg(..)): sum/n in doubles can land exactly on a
+    * representable .xx5 and the engines' tie rules then disagree — the
+    * hostile fuzz corpus produced such a tie (2594.325 → 2594.32 vs
+    * 2594.33). Integer division is the same number everywhere. */
   def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     sessions(events, gap).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("ne")).as("total_events"),
-        round(avg(col("ne")), 4).as("avg_session_events"),
-        round(avg(col("dur")), 2).as("avg_session_ms"))
+        sum(col("dur")).as("sum_dur"))
+      .select(col("user_id"), col("n_sessions"), col("total_events"),
+        expr("total_events * 10000 div n_sessions").as("avg_events_e4"),
+        expr("sum_dur * 100 div n_sessions").as("avg_ms_e2"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -332,10 +339,15 @@ object EventStreams {
     Q("st02_sessionize",
       (s, dir) => sessionStats(Tables.load(s, dir, "events"))
         .orderBy(col("user_id")),
+      // boundary semantics: session_window intervals are HALF-OPEN
+      // [ts, ts+gap), so a gap of EXACTLY the gap length starts a NEW
+      // session — the oracle's break test is therefore >=, not >. (The
+      // fixture never contains an exact 30-minute gap; the hostile fuzz
+      // corpus produced one and caught the > form diverging.)
       Some("""WITH x AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
              |o AS (SELECT user_id, ms,
              |        CASE WHEN lag(ms) OVER w IS NULL
-             |               OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+             |               OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
              |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
              |s AS (SELECT user_id, ms,
              |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
@@ -345,8 +357,8 @@ object EventStreams {
              |      FROM s GROUP BY user_id, sid)
              |SELECT user_id, count(*) AS n_sessions,
              |  CAST(sum(ne) AS BIGINT) AS total_events,
-             |  round(avg(ne), 4) AS avg_session_events,
-             |  round(avg(dur), 2) AS avg_session_ms
+             |  CAST(sum(ne) * 10000 // count(*) AS BIGINT) AS avg_events_e4,
+             |  CAST(sum(dur) * 100 // count(*) AS BIGINT) AS avg_ms_e2
              |FROM g GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
 

@@ -376,6 +376,26 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (c, (rep, n, a)) => if (n == 1) assert(rep === c && a === 0L) }
   }
 
+  test("zero-norm convention: no pairs, singleton cluster, self-kept representative") {
+    // a zero embedding has no direction: it must generate NO similarity
+    // pairs (previously an ANSI DIVIDE_BY_ZERO crash — fuzz finding) but
+    // cluster-shaped outputs still carry it as a singleton
+    val emb = Seq(
+      (0L, Array.fill(4)(0.0f)),                  // the zero vector
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f))       // near-dup of 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, minCos = 0.4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val clusters = Dedup.semanticClustersBanded(emb, minCos = 0.4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(0L) === 0L, "zero vector must stay a singleton cluster")
+    assert(clusters(1L) === clusters(2L))
+    val reps = Dedup.semanticRepresentatives(emb, minCos = 0.4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reps(0L) === 0L, "singleton zero vector keeps itself")
+  }
+
   test("lshTopK == exact top-k restricted to the query's bucket") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 20)

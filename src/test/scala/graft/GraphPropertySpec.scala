@@ -56,6 +56,17 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("degree-ordered triangles survive 64-bit hash node ids (no id arithmetic)") {
+    // regression: the middle vertex was once s+t1+t2−min−max, which
+    // overflows Long under ANSI mode for ids a hash-keyed graph uses
+    val big = 4000000000000000000L
+    val es = Seq((big, big + 1), (big, big + 2), (big + 1, big + 2))
+      .toDF("src", "dst")
+    val got = GraphOps.trianglesDegreeOrdered(es)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((big, big + 1, big + 2)))
+  }
+
   test("triangles invariant under permutation, flips, duplication — ∀ random graphs") {
     samples(edgeGen, 6).zipWithIndex.foreach { case (es, i) =>
       val rnd = new scala.util.Random(1000L + i)

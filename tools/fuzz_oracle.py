@@ -85,6 +85,19 @@ def gen_corpus(seed: int, out: str) -> None:
             # renumber ids but KEEP duplicated content — unique-key
             # contract restored while dedup operators still see clones
             df["event_id"] = np.arange(len(df), dtype=np.int64)
+        hostile = seed >= 100  # mass-duplication mode: giant dup groups
+        if t == "documents" and hostile:
+            # 40% of the corpus becomes ONE text: a single giant
+            # fingerprint group / near-dup cluster — keeper determinism
+            # and hot-bucket behavior under pathological duplication
+            idx = rng.choice(len(df), max(1, len(df) * 2 // 5), replace=False)
+            df.loc[idx, "text"] = df["text"].iloc[0]
+            df.loc[idx, "n_chars"] = len(df["text"].iloc[0])
+        if t == "embeddings" and hostile:
+            idx = rng.choice(len(df), max(1, len(df) * 3 // 10), replace=False)
+            df.loc[idx, "embedding"] = pd.Series(
+                [np.array(df["embedding"].iloc[0], dtype=np.float32)] * len(idx),
+                index=idx)
         if t == "documents":
             extra = pd.DataFrame({
                 "doc_id": np.zeros(len(EDGE_DOCS), dtype=np.int64),
