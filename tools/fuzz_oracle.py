@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("GRAFT_FUZZ_SRC", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
