@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the logger prefixes every line with
+// "[info] "/"[error] ", which broke the driver's parse of graft.Bench's
+// final JSON line four rounds running (BENCH_r04–r07 `parsed: null`).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -768,7 +768,13 @@ object Dedup {
     * by the d12 contract, so the plan is one corpus scan against the
     * BROADCAST eval vectors reduced by a map-side-combinable
     * max(struct) argmax — the corpus never shuffles. Nearest-eval ties
-    * break to the smallest eval id on the 6dp-rounded cosine. */
+    * break to the smallest eval id on the 6dp-rounded cosine.
+    *
+    * EVERY corpus row survives, literally: the scored argmax left-joins
+    * back to the full corpus key set, so an empty (or all-zero-norm)
+    * eval set and zero-norm corpus vectors yield `contaminated = 0` with
+    * NULL nearest_eval/max_cos — mirroring [[decontaminate]]'s left join
+    * — instead of silently dropping the rows (r7 ADVICE). */
   def embeddingDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       minCos: Double = 0.4): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
@@ -776,7 +782,8 @@ object Dedup {
         VectorFns.toDouble(col("embedding")).as("ee"))
       .filter(VectorFns.nonZero(col("ee")))
       .withColumn("en", VectorFns.norm(col("ee")))
-    corpus.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+    val best = corpus
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
       .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
       .join(broadcast(ev))
@@ -786,8 +793,12 @@ object Dedup {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("eid")).as("ne"))).as("best"))
       .select(col("vec_id"), (-col("best.ne")).as("nearest_eval"),
-        col("best.cos").as("max_cos"),
-        (col("best.cos") >= minCos).cast("int").as("contaminated"))
+        col("best.cos").as("max_cos"))
+    corpus.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nearest_eval"), col("max_cos"),
+        coalesce((col("max_cos") >= minCos).cast("int"), lit(0))
+          .as("contaminated"))
   }
 
   /** SemDeDup's KEEPER step over [[semanticClustersBanded]]'s clusters:
@@ -1104,11 +1115,12 @@ object Dedup {
              |mx AS (SELECT vec_id, max(cos) AS m FROM sc GROUP BY vec_id),
              |best AS (SELECT sc.vec_id, min(eid) AS nearest_eval, mx.m
              |         FROM sc JOIN mx ON sc.vec_id = mx.vec_id AND sc.cos = mx.m
-             |         GROUP BY sc.vec_id, mx.m)
-             |SELECT vec_id, nearest_eval, m AS max_cos,
-             |  CAST(m >= 0.4 AS INT) AS contaminated
-             |FROM best
-             |ORDER BY vec_id""".stripMargin)),
+             |         GROUP BY sc.vec_id, mx.m),
+             |corpus AS (SELECT vec_id FROM embeddings WHERE vec_id >= 20)
+             |SELECT c.vec_id, best.nearest_eval, best.m AS max_cos,
+             |  COALESCE(CAST(best.m >= 0.4 AS INT), 0) AS contaminated
+             |FROM corpus c LEFT JOIN best ON c.vec_id = best.vec_id
+             |ORDER BY c.vec_id""".stripMargin)),
 
     // ---- d03: SimHash signatures ---------------------------------------
     Q("d03_simhash",

@@ -226,8 +226,17 @@ object Similarity {
     * 15.8 s vs 20.3 s with 4× the 20k corpus's work — the measured
     * crossover the sizing rule predicts). Recall is certified against
     * [[bruteForceTopK]] in SimilaritySpec on a planted-duplicate corpus;
-    * the oracle certifies the banded computation itself. */
-  def knnJoin(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    * the oracle certifies the banded computation itself.
+    *
+    * NOTE (r7 ADVICE): unless `knownBytes` is supplied, building the plan
+    * runs an EAGER one-row aggregate over `emb` to size the join strategy
+    * from true cardinality, so construction scans the corpus once and the
+    * operator cannot compose over a streaming / not-yet-materialized
+    * input. Callers that already know the vector volume (an index
+    * build that just wrote it, or a streaming wrapper) pass
+    * `knownBytes = Some(n)` and construction stays lazy. */
+  def knnJoin(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      knownBytes: Option[Long] = None): DataFrame = {
     // Join-strategy decision from TRUE corpus volume, not AQE's estimate:
     // every join below has the corpus itself on both sides, and at ~50 MB
     // of vectors AQE's compressed estimates flap across the broadcast
@@ -235,10 +244,10 @@ object Similarity {
     // swings between identical smoke runs). Broadcast only when the real
     // vector volume fits; otherwise pin shuffle-hash, the only strategy
     // that survives a corpus 100× this size.
-    val corpusBytes = emb
+    val corpusBytes = knownBytes.getOrElse(emb
       .agg(coalesce(sum(size(col("embedding"))).cast("long"), lit(0L)),
         count(lit(1)))
-      .head() match { case r => r.getLong(0) * 8L + r.getLong(1) * 64L }
+      .head() match { case r => r.getLong(0) * 8L + r.getLong(1) * 64L })
     val big = corpusBytes >= (64L << 20)
     def sized(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
     // one scored stream feeds BOTH the home-cell assignment and the probe

@@ -99,16 +99,24 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration for graft's native expressions (idempotent). */
+/** Session registration for graft's native expressions (idempotent:
+  * a session that already has `graft_dot` is left untouched, so per-query
+  * re-registration is a no-op instead of a `SimpleFunctionRegistry`
+  * "replaced a previously registered function" warning per call — the
+  * r7 bench tail carried hundreds of them). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_sig", exprs => LshSignature(exprs.head, exprs(1), exprs(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sorted_intersect",
-      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_lsh_sig", exprs => LshSignature(exprs.head, exprs(1), exprs(2)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_sorted_intersect",
+        exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    }
   }
 }

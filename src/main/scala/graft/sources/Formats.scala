@@ -66,6 +66,12 @@ object Formats {
     * on-disk bytes, not an estimate. */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Int = {
+    // outDir inside inDir would write the compacted copy UNDER the landing
+    // dir, so the next recursive scan double-counts every row (r7 ADVICE)
+    val inAbs = new java.io.File(inDir).getCanonicalPath + java.io.File.separator
+    val outAbs = new java.io.File(outDir).getCanonicalPath + java.io.File.separator
+    require(!outAbs.startsWith(inAbs),
+      s"compactParquet: outDir ($outDir) must not be inDir or nested inside it ($inDir)")
     val df = spark.read.parquet(inDir)
     // stat each file on ITS OWN filesystem — FileSystem.get(conf) is the
     // default FS only, and a lake landing dir is exactly where the path
