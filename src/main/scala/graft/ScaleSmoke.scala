@@ -109,6 +109,40 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--d23-only")) {
+      // ---- d23/clusterRepresentatives on the HOSTILE duplication shape --
+      // 30% of n vectors (first positional arg, default 500k) land in ONE
+      // cluster; the rest in ≤5-member groups. The exact medoid affinity
+      // would be m² ≈ 2.25·10¹⁰ pairs for the giant cluster alone — a
+      // stuck stage, the r7 verdict's scale-killer. The capped keeper
+      // pays m·~cap; the wall + shuffle bytes printed here are the bound
+      // evidence, and the probe-count line shows the sample really is
+      // ~cap, not m.
+      val n = posArgs.lift(0).map(_.toLong).getOrElse(500000L)
+      val cap = 256
+      val cols = (0 until 64).map(i =>
+        ((pmod(xxhash64(col("id"), lit(i)), lit(2001L)) - 1000).cast("double") / 1000.0))
+      val emb = spark.range(n)
+        .select(col("id").as("vec_id"), array(cols: _*).as("embedding")).persist()
+      emb.count()
+      val assign = emb.select(col("vec_id"),
+        when(col("vec_id") % 10 < 3, lit(0L))
+          .otherwise(expr("(vec_id DIV 5) * 5 + 1")).as("cluster_id"))
+        .persist()
+      val giantM = assign.filter(col("cluster_id") === 0).count()
+      val giantProbes = assign.filter(col("cluster_id") === 0)
+        .filter(graft.functions.PortableHash.baseHash(col("vec_id").cast("string"))
+          * lit(giantM) < lit(cap.toLong << 32)).count()
+      println(s"""{"step":"d23_hostile_profile","n":$n,"giant_members":$giantM,""" +
+        s""""giant_probes":$giantProbes,"exact_pairs_bound":${giantM * giantM},""" +
+        s""""capped_pairs_bound":${giantM * (giantProbes max 1)}}""")
+      timed(s"d23_capped_keeper_n${n}_cap$cap") {
+        Dedup.clusterRepresentatives(assign, emb, cap = cap).count()
+      }
+      assign.unpersist(); emb.unpersist()
+      spark.stop(); return
+    }
+
     if (d02Only) {
       // the MinHash-band family (d02 and its consumers d17/e01): same
       // repeat protocol as --d13-only, for the same reason — the band

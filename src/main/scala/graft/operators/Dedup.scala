@@ -706,7 +706,12 @@ object Dedup {
   private lazy val d20ChainSql: String =
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |sig AS (SELECT vec_id, e,
+       |$d20ChainBodySql""".stripMargin
+
+  /** Chain body after the `e` source CTE — so a variant query (d25) can
+    * substitute a derived corpus for the raw embeddings table. */
+  private lazy val d20ChainBodySql: String =
+    s"""sig AS (SELECT vec_id, e,
        |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e
        |        WHERE list_dot_product(e, e) > 0),
        |band AS (SELECT vec_id, e, t, (s >> (t*$d20Planes)) & ${(1 << d20Planes) - 1} AS b
@@ -724,6 +729,43 @@ object Dedup {
        |  UNION
        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
        |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)""".stripMargin
+
+  /** Keeper-step CTEs appended after the chain: capped medoid per
+    * cluster, the SAME probe-set rule as [[clusterRepresentatives]]
+    * (`m <= cap` → exact, else baseHash(vec_id)·m < cap·2³²), so one
+    * SQL text certifies both the exact and the sampled arm. */
+  private def d23KeeperSql(cap: Int): String = {
+    val thr = cap.toLong << 32
+    s"""cl AS (SELECT vec_id, coalesce(c, vec_id) AS cluster_id
+       |       FROM e LEFT JOIN comp ON vec_id = node),
+       |mem AS (SELECT cl.cluster_id, cl.vec_id, e.e
+       |        FROM cl JOIN e USING (vec_id)),
+       |msz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS m
+       |        FROM mem GROUP BY cluster_id),
+       |pr AS (SELECT mem.cluster_id, mem.vec_id, mem.e
+       |       FROM mem JOIN msz USING (cluster_id)
+       |       WHERE m <= $cap
+       |          OR ${PortableHash.baseHashSql("CAST(mem.vec_id AS VARCHAR)")} * m < $thr),
+       |pa AS (SELECT a.cluster_id, a.vec_id,
+       |        CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) AS cm
+       |       FROM mem a JOIN pr b
+       |         ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
+       |aff AS (SELECT cluster_id, vec_id, CAST(sum(cm) AS BIGINT) AS affinity
+       |        FROM pa GROUP BY cluster_id, vec_id),
+       |ma AS (SELECT m.cluster_id, m.vec_id, coalesce(a.affinity, 0) AS affinity
+       |       FROM mem m LEFT JOIN aff a
+       |         ON m.cluster_id = a.cluster_id AND m.vec_id = a.vec_id),
+       |best AS (SELECT cluster_id, max(affinity) AS am FROM ma GROUP BY cluster_id),
+       |rep AS (SELECT m.cluster_id, min(m.vec_id) AS rep_vec_id
+       |        FROM ma m JOIN best b
+       |          ON m.cluster_id = b.cluster_id AND m.affinity = b.am
+       |        GROUP BY m.cluster_id),
+       |cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |        FROM mem GROUP BY cluster_id)
+       |SELECT r.cluster_id, r.rep_vec_id, c.n_members, b.am AS affinity_micro
+       |FROM rep r JOIN best b USING (cluster_id) JOIN cnt c USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+  }
 
   def semanticClustersBanded(emb: DataFrame, minCos: Double = 0.4,
       dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
@@ -810,24 +852,59 @@ object Dedup {
     * engines reproduce under any summation order — no float-order
     * hazard in the argmax.
     *
-    * Scale shape: the affinity self-join is cluster-keyed and m² only
-    * WITHIN a cluster; SemDeDup clusters at production thresholds are
-    * small near-duplicate groups by construction (a giant cluster means
-    * θ is wrong for the corpus, and shows up here as cost rather than as
-    * a silently arbitrary keeper). Cluster assignment itself comes from
-    * the subquadratic banded path. */
+    * Scale shape — BOUNDED (r7 verdict's one scale-killer, fixed): the
+    * affinity join is member × PROBE SET per cluster, never member ×
+    * member. For clusters of m ≤ `cap` members the probe set is the
+    * whole cluster (exact medoid, the pre-r8 semantics unchanged); above
+    * `cap` it is a deterministic content-hash sample of ~cap mates —
+    * member v probes iff `baseHash(v) · m < cap · 2³²`, a pure integer
+    * predicate both engines evaluate identically, with NO per-cluster
+    * sort/rank (a row_number window would put the giant cluster's m rows
+    * through one sorting reducer — the exact hot spot being avoided).
+    * Work is thus ≤ m·cap pairs per cluster (vs m²: 10¹⁸ → 2.5·10¹¹ for
+    * a 10⁹-member cluster), and the remaining single-key fan-out is a
+    * plain shuffle join on cluster_id whose small side is ≤ ~cap rows
+    * per key — precisely the shape AQE's skew-join split handles by
+    * splitting the member side. Sampled members estimate affinity on the
+    * SAME probe set, so the argmax compares like with like (probe
+    * members see cap−1 terms, non-probe members cap; deterministic in
+    * both engines, and irrelevant below the cap).
+    * `ScaleSmoke --d23-only` proves the bound on the hostile
+    * mass-duplication shape (30% of 500k vectors in ONE cluster). */
   def semanticRepresentatives(emb: DataFrame, minCos: Double = 0.4,
-      dim: Int = 64, planes: Int = 8, tables: Int = 8): DataFrame = {
+      dim: Int = 64, planes: Int = 8, tables: Int = 8,
+      cap: Int = 256): DataFrame =
+    clusterRepresentatives(
+      semanticClustersBanded(emb, minCos, dim, planes, tables), emb, cap)
+
+  /** The keeper step alone, over EXPLICIT cluster assignments
+    * (`assign`: vec_id, cluster_id — from [[semanticClustersBanded]],
+    * [[embeddingClusters]], or any external clustering): medoid per
+    * cluster under the capped probe-set contract documented on
+    * [[semanticRepresentatives]]. Factored out so the m·cap bound is
+    * measurable on a planted hostile assignment without paying (or
+    * detonating) the clustering stage. */
+  def clusterRepresentatives(assign: DataFrame, emb: DataFrame,
+      cap: Int = 256): DataFrame = {
+    require(cap >= 1, s"clusterRepresentatives: cap must be >= 1, got $cap")
     // materialized once: members is referenced three times (both sides
-    // of the affinity self-join + the final member list), and each lazy
-    // reference would re-run the banded clustering and the corpus scan
-    val members = semanticClustersBanded(emb, minCos, dim, planes, tables)
+    // of the affinity join + the final member list), and each lazy
+    // reference would re-run the upstream clustering and the corpus scan
+    val members = assign.select(col("vec_id"), col("cluster_id"))
       .join(emb.select(col("vec_id"),
           VectorFns.toDouble(col("embedding")).as("e"))
         .withColumn("nrm", VectorFns.norm(col("e"))), "vec_id")
       .localCheckpoint()
+    val sizes = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("m"))
+    val probes = members.toDF("v2", "cluster_id", "e2", "n2")
+      .join(sizes, "cluster_id")
+      .filter(col("m") <= cap ||
+        PortableHash.baseHash(col("v2").cast("string")) * col("m") <
+          lit(cap.toLong << 32))
+      .select(col("cluster_id"), col("v2"), col("e2"), col("n2"))
     val aff = members.toDF("v1", "cluster_id", "e1", "n1")
-      .join(members.toDF("v2", "cluster_id", "e2", "n2"), "cluster_id")
+      .join(probes, "cluster_id")
       .filter(col("v1") =!= col("v2"))
       .select(col("cluster_id"), col("v1"),
         round(VectorFns.dot(col("e1"), col("e2")) / (col("n1") * col("n2")) * 1e6)
@@ -1344,36 +1421,46 @@ object Dedup {
     // at affinity 0). Affinities are exact integer micro-units (the s07
     // LUT convention) so the BIGINT sums match in any order. The oracle
     // extends the d20 chain, so one hash certifies clusters AND keeper.
-    // m-squared only WITHIN a cluster — SemDeDup clusters at production
-    // thresholds are small near-duplicate groups by construction.
+    // Affinity work is capped at m·cap per cluster (cap=256 here; exact
+    // below the cap, hash-thresholded sample above — see d25 for the
+    // sampled arm under oracle certification).
     Q("d23_semantic_representatives",
       (s, dir) => semanticRepresentatives(Tables.load(s, dir, "embeddings"),
-        minCos = d20MinCos, dim = d20Dim, planes = d20Planes, tables = d20Tables)
+        minCos = d20MinCos, dim = d20Dim, planes = d20Planes, tables = d20Tables,
+        cap = 256)
         .orderBy(col("cluster_id")),
       Some(s"""$d20ChainSql,
-             |cl AS (SELECT vec_id, coalesce(c, vec_id) AS cluster_id
-             |       FROM e LEFT JOIN comp ON vec_id = node),
-             |mem AS (SELECT cl.cluster_id, cl.vec_id, e.e
-             |        FROM cl JOIN e USING (vec_id)),
-             |pa AS (SELECT a.cluster_id, a.vec_id,
-             |        CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) AS cm
-             |       FROM mem a JOIN mem b
-             |         ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
-             |aff AS (SELECT cluster_id, vec_id, CAST(sum(cm) AS BIGINT) AS affinity
-             |        FROM pa GROUP BY cluster_id, vec_id),
-             |ma AS (SELECT m.cluster_id, m.vec_id, coalesce(a.affinity, 0) AS affinity
-             |       FROM mem m LEFT JOIN aff a
-             |         ON m.cluster_id = a.cluster_id AND m.vec_id = a.vec_id),
-             |best AS (SELECT cluster_id, max(affinity) AS am FROM ma GROUP BY cluster_id),
-             |rep AS (SELECT m.cluster_id, min(m.vec_id) AS rep_vec_id
-             |        FROM ma m JOIN best b
-             |          ON m.cluster_id = b.cluster_id AND m.affinity = b.am
-             |        GROUP BY m.cluster_id),
-             |cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-             |        FROM mem GROUP BY cluster_id)
-             |SELECT r.cluster_id, r.rep_vec_id, c.n_members, b.am AS affinity_micro
-             |FROM rep r JOIN best b USING (cluster_id) JOIN cnt c USING (cluster_id)
-             |ORDER BY cluster_id""".stripMargin)),
+             |${d23KeeperSql(256)}""".stripMargin)),
+
+    // ---- d25: the capped keeper on the HOSTILE mass-duplication shape --
+    // 30% of the corpus is overwritten with one seed vector, building the
+    // exact giant cluster the r7 verdict flagged as d23's detonator; the
+    // cap (16 here, far below the ~150-member clique at sf0.01) forces
+    // the hash-thresholded SAMPLED arm, and the oracle encodes the same
+    // probe rule — so the driver's gate certifies the sampled medoid,
+    // not just the exact one. Work is m·~cap per cluster, never m².
+    Q("d25_semantic_representatives_hostile",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+        val seed = base.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding").as("semb"))
+        val hostile = base.crossJoin(broadcast(seed))
+          .select(col("vec_id"),
+            when(col("vec_id") % 10 < 3, col("semb"))
+              .otherwise(col("embedding")).as("embedding"))
+        semanticRepresentatives(hostile, minCos = d20MinCos, dim = d20Dim,
+          planes = d20Planes, tables = d20Tables, cap = 16)
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE seed AS (
+             |  SELECT embedding::DOUBLE[] AS semb FROM embeddings
+             |  ORDER BY vec_id LIMIT 1),
+             |e AS (SELECT vec_id,
+             |        CASE WHEN vec_id % 10 < 3 THEN semb
+             |             ELSE embedding::DOUBLE[] END AS e
+             |      FROM embeddings CROSS JOIN seed),
+             |$d20ChainBodySql,
+             |${d23KeeperSql(16)}""".stripMargin)),
 
     // ---- d05: embedding-cosine near-dup pairs --------------------------
     Q("d05_embedding_neardup",
