@@ -204,6 +204,44 @@ object ScaleSmoke {
         if (reg && r < 0.9) registeredOk = false
         println(f"""{"step":"recall_ivf","nlist":$nlist,"nprobe":$nprobe,"recall_at_10":$r%.4f,"sec":$sec%.2f,"registered":$reg}""")
       }
+      // s09 IVF-PQ end-to-end. Two curves, because the two recalls are
+      // different quantities (the s08 lesson, measured here at 500k):
+      // (a) arbitrary-neighbor recall@10 on STRUCTURELESS uniform noise —
+      // honest context, NOT gated: the 8×16-centroid PQ reconstruction
+      // error is larger than the ~0.01 cosine margins separating noise
+      // neighbors, so ADC cannot rank them (plain IVF scores exact
+      // cosine in-cell and hits 1.0 above; that contrast IS the PQ
+      // trade, not a defect); (b) near-duplicate recall@1 on planted
+      // twins at cos ≈ 0.999 — the engine's actual retrieval contract
+      // (SemDeDup/decontamination), GATED ≥ 0.9 at the registered
+      // (64, 16, 16) setting.
+      for ((nlist, nprobe, candMult) <- Seq((64, 16, 4), (64, 16, 16),
+          (64, 16, 64), (256, 32, 16))) {
+        val t0 = System.nanoTime()
+        val r = recallOf(Similarity.ivfPqTopK(bigEmb, queries, k = 10,
+          nlist = nlist, nprobe = nprobe, candMult = candMult))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"step":"recall_ivfpq_noise","nlist":$nlist,"nprobe":$nprobe,"cand_mult":$candMult,"recall_at_10":$r%.4f,"sec":$sec%.2f,"registered":false}""")
+      }
+      {
+        val twins = bigEmb.filter(col("vec_id") % 1000 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(xxhash64(col("vec_id"), i), lit(101L)) - 50)
+                .cast("double") / 1000.0).as("embedding"))
+        val withTwins = bigEmb.unionByName(twins).persist()
+        val nTwins = twins.count()
+        val t0 = System.nanoTime()
+        val top1 = Similarity.ivfPqTopK(withTwins, twins, k = 1,
+          nlist = 64, nprobe = 16, candMult = 16)
+          .select("qid", "vec_id").collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val hits = top1.count(r => r.getLong(1) == r.getLong(0) - 10000000L)
+        val twinRecall = hits.toDouble / nTwins
+        if (twinRecall < 0.9) registeredOk = false
+        withTwins.unpersist()
+        println(f"""{"step":"recall_ivfpq_twins","nlist":64,"nprobe":16,"cand_mult":16,"twins":$nTwins,"recall_at_1":$twinRecall%.4f,"sec":$sec%.2f,"registered":true}""")
+      }
       for ((planes, tables) <- Seq((2, 8), (2, 16), (2, 32), (4, 8),
           (4, 16), (8, 8))) {
         val t0 = System.nanoTime()

@@ -262,6 +262,72 @@ object Dedup {
     newVsCorpus.unionByName(newVsNew).distinct()
   }
 
+  /** Row-local MinHash band rows — the STREAMING-SAFE signature path:
+    * shingle set, K MinHash mins, and band keys are all computed inside
+    * one projection with higher-order array functions (`transform` /
+    * `array_min`), then the band structs explode row-locally. No
+    * explode→groupBy re-aggregation anywhere, so a `readStream` source
+    * bands its rows statelessly, micro-batch by micro-batch. Values are
+    * IDENTICAL to [[bandTable]]'s (min over the same distinct-shingle
+    * hash set; same md5 band keys), which StreamingSpec and the st14
+    * oracle both certify. Docs with no shingles (< 2 tokens) produce no
+    * rows, matching the aggregated path. */
+  private[graft] def bandRowsLocal(docs: DataFrame, bands: Int): DataFrame = {
+    val rows = K / bands
+    val sh = array_distinct(TextFns.wordBigrams(col("text")))
+    docs
+      .select(col("doc_id"), transform(sh, s => PortableHash.baseHash(s)).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), array((0 until K).map(k =>
+        array_min(transform(col("hs"), h => PortableHash.minhash(h, k)))): _*)
+        .as("sig"))
+      .select(col("doc_id"), col("sig"), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1).cast("string")): _*))
+              .as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Streaming incremental dedup (st14): each NEW document's LSH
+    * candidate matches against the STATIC corpus band index — d14's
+    * batch-vs-index probe under `readStream`, via st09's stream-static
+    * join template. New-vs-corpus ONLY, deliberately: new-vs-new pairs
+    * would make output depend on micro-batch slicing, and under
+    * continuous ingest "the other new doc" IS a corpus doc once its
+    * batch commits — the day-2 loop folds each admitted batch into the
+    * index and the next batch probes it.
+    *
+    * Streaming-safety is structural, not asserted: the probe side uses
+    * [[bandRowsLocal]] (zero stateful operators), and pair-level dedup
+    * (a doc pair can collide in several bands) is moved INTO the join —
+    * a row survives only on the FIRST matching band, decided row-locally
+    * from the two signature arrays riding the join. No `.distinct()`,
+    * no dropDuplicates state, append mode end to end. At 100 TB that
+    * also deletes the widest shuffle of the batch form. The static index
+    * should be the persisted [[bandTable]] artifact (persist()/bucketed
+    * by (band, bkey)); it is derived inline here because a registered
+    * query owns no cross-run state. */
+  def streamingLshProbe(corpus: DataFrame, newDocs: DataFrame,
+      bands: Int = 8): DataFrame = {
+    val rows = K / bands
+    val idx = bandTable(corpus, bands)
+    val probe = bandRowsLocal(newDocs, bands)
+    def sliceEq(b: Int): Column =
+      (0 until rows).map(r =>
+        element_at(col("a.sig"), b * rows + r + 1) ===
+          element_at(col("b.sig"), b * rows + r + 1)).reduce(_ && _)
+    val firstBandOnly = (0 until bands - 1).map(b =>
+      col("a.band") <= b || !sliceEq(b)).reduce(_ && _)
+    probe.as("a").join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .filter(firstBandOnly)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
+        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+  }
+
   /** Near-duplicate clusters: LSH candidate pairs above an estimated
     * Jaccard threshold become edges, and connected components over them
     * assign every document a cluster id (`min doc_id` of its cluster;
@@ -1028,6 +1094,41 @@ object Dedup {
                 |JOIN sig sb ON sb.doc_id = d2
                 |WHERE d1 % 10 = 0 OR d2 % 10 = 0
                 |ORDER BY d1, d2""".stripMargin)
+      }),
+
+    // ---- st14: streaming incremental dedup (registered batch form) -----
+    // The same probe StreamingSpec runs under readStream: new docs
+    // (every 10th) vs the static corpus index, new-vs-corpus pairs only
+    // (the streaming-safe contract — see streamingLshProbe). The oracle
+    // rebuilds the full band set and keeps exactly the directed
+    // new→corpus quadrant; the first-matching-band join dedup must
+    // reproduce its DISTINCT bit-for-bit.
+    Q("st14_stream_incremental_dedup", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        streamingLshProbe(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .orderBy(col("doc_id"), col("match_id"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        val matchSum = (0 until K)
+          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects),
+                |pairs AS (SELECT DISTINCT a.doc_id AS nd, b.doc_id AS cd
+                |          FROM bands a JOIN bands b
+                |            ON a.band = b.band AND a.bkey = b.bkey
+                |          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+                |SELECT nd AS doc_id, cd AS match_id,
+                |  round(($matchSum) / ${K}.0, 4) AS est_jaccard
+                |FROM pairs
+                |JOIN sig sa ON sa.doc_id = nd
+                |JOIN sig sb ON sb.doc_id = cd
+                |ORDER BY doc_id, match_id""".stripMargin)
       }),
 
     // ---- d08: near-dup clusters (LSH pairs -> connected components) ----

@@ -137,6 +137,35 @@ object GraphOps {
       .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
   }
 
+  /** Cost-based triangle plan selection — wires the choice the two
+    * baselines left to the user (r7 verdict gap #4): BASELINE_SELF
+    * measures the id-ordered join winning on near-uniform graphs
+    * (1.01 s vs 1.65 s at 100k edges — the orientation's degree pass is
+    * pure overhead there) and the degree-ordered orientation winning on
+    * power-law (69 s / 0.84 GB vs 107 s / 1.60 GB at 5M edges, and
+    * structurally immune to the hub-sorts-low deg² blowup). The branch
+    * predictor is the g21 skew certificate: max/median distinct degree,
+    * measured here with ONE eager degree aggregate (max exact,
+    * median via percentile_approx — the decision only picks a plan,
+    * both branches are output-identical, so the median needs no
+    * engine-portable definition and no collect of the degree list).
+    * Threshold ~10 separates the two baseline regimes (uniform fixture
+    * ≈ 1–2, power-law fixture ≥ 100).
+    *
+    * NOTE: building the plan runs the degree aggregate eagerly (the
+    * knnJoin true-cardinality convention) — plan choice from measured
+    * statistics, never from a guess that flaps at scale. */
+  def trianglesAuto(edges: DataFrame, skewThreshold: Long = 10): DataFrame = {
+    val stats = degrees(edges)
+      .agg(max(col("degree")).cast("long").as("mx"),
+        percentile_approx(col("degree"), lit(0.5), lit(10000)).cast("long").as("md"))
+      .head()
+    val maxDeg = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val medDeg = math.max(1L, if (stats.isNullAt(1)) 1L else stats.getLong(1))
+    if (maxDeg / medDeg >= skewThreshold) trianglesDegreeOrdered(edges)
+    else triangles(edges)
+  }
+
   /** Undirected degree (distinct neighbors; self-loops excluded). */
   def degrees(edges: DataFrame): DataFrame = {
     val canon = canonicalEdges(edges)
@@ -713,8 +742,15 @@ object GraphOps {
 
   val queries: Seq[Q] = Seq(
 
+    // g01 runs the COST-BASED chooser (trianglesAuto): the near-uniform
+    // derived graph measures skew ≈ 1 so the id-ordered join is picked;
+    // on a power-law input the same entry point takes the degree-ordered
+    // orientation (g23's plan). Both branches are output-identical
+    // (property-proven), so the oracle is unchanged. g18 stays pinned to
+    // the raw id-ordered join: its job is proving that plan SURVIVES the
+    // hub graph, not avoiding it.
     Q("g01_triangles",
-      (s, dir) => triangles(derivedEdges(s, dir))
+      (s, dir) => trianglesAuto(derivedEdges(s, dir))
         .orderBy(col("a"), col("b"), col("c")),
       Some(s"""$derivedSql
               |SELECT t1.u AS a, t1.v AS b, t2.v AS c

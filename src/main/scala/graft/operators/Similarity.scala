@@ -392,6 +392,87 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ end-to-end — the standard production ANN index (Jégou et
+    * al. TPAMI'11 "IVFADC"), composed from the three certified stages
+    * that previously existed only separately: [[ivfTopK]]'s coarse
+    * quantizer picks `nprobe` cells per query, [[pqTopK]]'s ADC scores
+    * ONLY the vectors assigned to those cells from their m-byte codes,
+    * and the top `k·candMult` ADC candidates are re-ranked with the
+    * exact float cosine (the [[quantizedRerank]] pattern).
+    *
+    * Scale shape — why this is THE 100 TB retrieval plan: the float
+    * corpus is scanned once at index-build time (assignment + codes);
+    * at query time the touched bytes are nprobe/nlist of the CODES
+    * table (64× smaller than the floats here: 8×4-bit codes vs 64
+    * floats) plus a by-key fetch of k·candMult float vectors per query
+    * for the re-rank. Centroids, probe lists, and the query LUT
+    * broadcast; nothing wide shuffles. Every stage keeps the engine's
+    * determinism conventions (6dp rounding, integer micro-unit ADC
+    * sums, min-id ties), so the full composition is hash-reproducible
+    * in the DuckDB oracle (s09). Recall at the 500k×64-dim sweep is
+    * measured and gated in `ScaleSmoke --recall-only`. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, candMult: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim must split into $m subvectors")
+    // ---- coarse stage: the shared deterministic quantizer --------------
+    val (corpus, cents, _, assigned) = ivfParts(emb, nlist)
+    val qs = queries.select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qe"))
+      .filter(VectorFns.nonZero(col("qe")))
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val qprobe = qs.join(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        round(VectorFns.dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cid"))
+    // ---- PQ codes + query LUT (pqTopK's exact conventions) -------------
+    def subs(df: DataFrame) = df
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("e"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(e, j * $dsub + 1, $dsub)").as("sub"))
+    val pcents = subs(emb.filter(col("vec_id") < ksub))
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("csub"))
+    val d2 = subs(emb).join(broadcast(pcents), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        round(VectorFns.dot(col("sub"), col("sub"))
+          - lit(2) * VectorFns.dot(col("sub"), col("csub"))
+          + VectorFns.dot(col("csub"), col("csub")), 6).as("d2"))
+    val codes = d2.groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.code").as("code"))
+    val lut = subs(queries).join(broadcast(pcents), "j")
+      .select(col("vec_id").as("qid"), col("j"), col("code"),
+        round(VectorFns.dot(col("sub"), col("csub")) * 1e6).cast("long").as("dm"))
+    // ---- ADC restricted to probed cells: (q, x) forms at most once -----
+    // (one home cell per vector, distinct probed cells per query — the
+    // s08 no-distinct argument)
+    val cand = assigned.join(broadcast(qprobe), "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_micro").desc, col("vec_id"))
+    val stage1 = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "j", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dm")).as("adc_micro"))
+      .withColumn("r1", row_number().over(wAdc)).filter(col("r1") <= k * candMult)
+      .select(col("qid"), col("vec_id"))
+    // ---- exact re-rank: floats fetched BY KEY for candidates only ------
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    stage1.join(corpus, "vec_id")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- s01: exact cosine top-10 for query vectors 0..4 ---------------
@@ -641,6 +722,70 @@ object Similarity {
              |  FROM scored)
              |SELECT qid, vec_id, cos, rank
              |FROM ranked WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- s09: IVF-PQ end-to-end (coarse → ADC → exact re-rank) ---------
+    // The full production composition, hash-certified: the oracle replays
+    // the s05 coarse assignment, the s07 codes/LUT, the cell-restricted
+    // integer ADC, the k·candMult stage-1 cut, and the exact 6dp re-rank
+    // — one SQL text proving the three stages compose bit-for-bit.
+    Q("s09_ivf_pq_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+             |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+             |ascore AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents),
+             |abest AS (SELECT vec_id, max(ccos) AS best FROM ascore GROUP BY vec_id),
+             |assign AS (SELECT a.vec_id, min(cid) AS cid
+             |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id),
+             |qprobe AS (SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS pr
+             |    FROM ascore WHERE vec_id < 5) WHERE pr <= 2),
+             |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |subs AS (SELECT vec_id, k AS j, e[k*8+1 : k*8+8] AS sub
+             |         FROM e0, range(0, 8) t(k)),
+             |pcents AS (SELECT j, CAST(vec_id AS INT) AS code, sub AS csub
+             |           FROM subs WHERE vec_id < 16),
+             |d2 AS (SELECT s.vec_id, s.j, c.code,
+             |    round(list_dot_product(s.sub, s.sub)
+             |          - 2 * list_dot_product(s.sub, c.csub)
+             |          + list_dot_product(c.csub, c.csub), 6) AS d2
+             |  FROM subs s JOIN pcents c ON s.j = c.j),
+             |dbest AS (SELECT vec_id, j, min(d2) AS b FROM d2 GROUP BY vec_id, j),
+             |codes AS (SELECT d.vec_id, d.j, min(d.code) AS code
+             |  FROM d2 d JOIN dbest b
+             |    ON d.vec_id = b.vec_id AND d.j = b.j AND d.d2 = b.b
+             |  GROUP BY d.vec_id, d.j),
+             |lut AS (SELECT s.vec_id AS qid, s.j, c.code,
+             |    CAST(round(list_dot_product(s.sub, c.csub) * 1e6) AS BIGINT) AS dm
+             |  FROM subs s JOIN pcents c ON s.j = c.j WHERE s.vec_id < 5),
+             |cand AS (SELECT qp.qid, a.vec_id
+             |  FROM qprobe qp JOIN assign a USING (cid) WHERE qp.qid <> a.vec_id),
+             |adc AS (SELECT c.qid, c.vec_id, CAST(sum(l.dm) AS BIGINT) AS adc_micro
+             |  FROM cand c JOIN codes co ON co.vec_id = c.vec_id
+             |  JOIN lut l ON l.qid = c.qid AND l.j = co.j AND l.code = co.code
+             |  GROUP BY c.qid, c.vec_id),
+             |stage1 AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY adc_micro DESC, vec_id) AS r1
+             |    FROM adc) WHERE r1 <= 40),
+             |qe AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM f WHERE vec_id < 5),
+             |rr AS (SELECT s.qid, s.vec_id,
+             |    round(list_dot_product(qe.qe, f.e) / (qe.qn * f.nrm), 6) AS cos
+             |  FROM stage1 s JOIN f ON f.vec_id = s.vec_id JOIN qe ON qe.qid = s.qid)
+             |SELECT qid, vec_id, cos,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+             |FROM rr
+             |QUALIFY rank <= 10
              |ORDER BY qid, rank""".stripMargin)),
 
     Q("s04_quantize_int8",

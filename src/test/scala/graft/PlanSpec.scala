@@ -355,6 +355,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
   }
 
+  test("g01 trianglesAuto selects the branch the skew certificate predicts, on both graph families") {
+    import graft.operators.GraphOps
+    // near-uniform graph (max/median ≈ 1): the id-ordered join — its
+    // plan has NO localCheckpoint barrier (the orientation materializes
+    // its oriented edge set as a LogicalRDD / ExistingRDD scan)
+    val uniform = spark.range(4000).selectExpr(
+      "id AS src", "(id * 37) % 4000 AS dst")
+    val uniPlan = GraphOps.trianglesAuto(uniform)
+      .queryExecution.optimizedPlan.toString
+    assert(!uniPlan.contains("LogicalRDD"),
+      s"uniform graph must take the id-ordered join (no orientation barrier):\n$uniPlan")
+    // power-law graph (hub node 0, skew ratio >= threshold): the
+    // degree-ordered orientation, visible as the checkpointed scan
+    val skewed = spark.range(8000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS src",
+      "(id * 37) % 4000 AS dst")
+    val skewPlan = GraphOps.trianglesAuto(skewed)
+      .queryExecution.optimizedPlan.toString
+    assert(skewPlan.contains("LogicalRDD"),
+      s"skewed graph must take the degree-ordered orientation:\n$skewPlan")
+    // both branches stay output-identical through the chooser
+    val viaAuto = GraphOps.trianglesAuto(skewed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaId = GraphOps.triangles(skewed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAuto === viaId)
+  }
+
   test("q54 fact scan carries a dynamic partition pruning filter from the dim join") {
     // the fact is written partitioned by l_returnflag; joining through the
     // filtered dim must inject the dim's keys into the fact scan's

@@ -97,6 +97,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.125, s"recall $r below the single-list floor")
   }
 
+  test("ivfPqTopK: probing ALL lists + wide re-rank == exact brute-force top-k") {
+    // nprobe = nlist makes every cell a probed cell, and a candMult
+    // covering the whole corpus makes the ADC cut a no-op — the exact
+    // float re-rank must then reproduce the brute-force ranking
+    // bit-for-bit, certifying that neither the cell restriction nor the
+    // stage-1 cut drops anything when disabled, and that (q, x) pairs
+    // form at most once through the cell join (else ranks would shift).
+    val n = emb.count().toInt
+    val all = topkSet(Similarity.ivfPqTopK(emb, queries, k,
+      nlist = 8, nprobe = 8, candMult = n))
+    assert(all === exact)
+  }
+
+  test("ivfPqTopK structural contract + recall at the registered s09 setting") {
+    val got = Similarity.ivfPqTopK(emb, queries, k).collect()
+    // no self pairs, ranks are 1..<=k and contiguous per query
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getInt(3)).sorted
+      assert(ranks === (1 to ranks.length).toArray, "ranks must be 1..n contiguous")
+      assert(ranks.length <= k)
+    }
+    val r = recall(topkSet(Similarity.ivfPqTopK(emb, queries, k)))
+    info(s"ivf-pq recall@10 (nlist=8, nprobe=2, candMult=4): $r")
+    // the PQ stage can only restrict the IVF candidate set, so the floor
+    // argument is the s05 one: 2/8 lists probed must beat a 1/8 share
+    assert(r >= 0.125, s"recall $r below the single-list floor")
+  }
+
   test("knnJoin: probing ALL lists == exact per-vector top-k") {
     // nprobe = nlist makes every cell a probed cell, so the self-join
     // must reproduce the exact whole-corpus top-k ranking bit-for-bit —

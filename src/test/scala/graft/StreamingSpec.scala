@@ -87,6 +87,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming incremental LSH probe == batch (st14: stateless probe vs static index)") {
+    // the day-2 dedup loop under readStream: new docs stream in, the
+    // corpus band index is the static join side. The probe must be
+    // append-mode with ZERO stateful operators (row-local signatures,
+    // first-matching-band dedup inside the join) — if any aggregation
+    // sneaks into the stream side, .start() itself throws.
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val d = Files.createTempDirectory("docs-stream")
+    newDocs.write.mode("overwrite").parquet(d.toString + "/p")
+    val stream = spark.readStream.schema(newDocs.schema).parquet(d.toString + "/p")
+    val q = Dedup.streamingLshProbe(corpus, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st14_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st14_out")
+      .orderBy(col("doc_id"), col("match_id")).collect().map(_.toSeq)
+    val batch = Dedup.streamingLshProbe(corpus, newDocs)
+      .orderBy(col("doc_id"), col("match_id")).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming parquet sink writes windows readable as a table") {
     val out = Files.createTempDirectory("stream-sink").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
