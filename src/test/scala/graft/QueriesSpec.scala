@@ -48,6 +48,10 @@ class QueriesSpec extends AnyFunSuite {
     "p12_sketch_overlap", "p13_mad_outliers", "p14_grouped_distinct",
     "d19_dup_spans", "d20_semantic_clusters_banded",
     "d23_semantic_representatives", "d24_embedding_decontaminate",
+    // r8 additions: recursive-CTE chain (d25), list_* + QUALIFY (s09),
+    // DuckDB %-predicates in the band quadrant (st14)
+    "d25_semantic_representatives_hostile", "s09_ivf_pq_topk",
+    "st14_stream_incremental_dedup",
     // d21 counts tokens with len(string_split(…)); p15/d22 use `//`
     "d21_mixture_weights", "d22_budget_select", "p15_constraint_audit",
     "g16_khop_reach", "g17_hyperball",

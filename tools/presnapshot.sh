@@ -2,12 +2,14 @@
 # Pre-snapshot gate: refuse the end-of-round snapshot unless EVERY artifact
 # the driver will produce is healthy. Run from the repo root:
 #
-#   tools/presnapshot.sh            # full gate: sbt test + Verify + oracle + fuzz + Bench
+#   tools/presnapshot.sh            # full gate: sbt test + Verify + oracle + fuzz + Bench + 2x floors
 #   tools/presnapshot.sh --fast     # skip the sf0.1 bench (dev loop)
 #
 # Exits nonzero (and says why) on: red sbt test, any query that throws in
 # Verify (errors.json non-empty), any oracle mismatch from check_oracle.py,
-# or a Bench run with nonzero rc / non-empty "errors". Three consecutive
+# a Bench run with nonzero rc / non-empty "errors", or a bench/GraphBench
+# total above 2x its pinned idle-box floor (GRAFT_BENCH_FLOOR_SEC /
+# GRAFT_GRAPH_FLOOR_SEC). Three consecutive
 # rounds shipped a defective artifact that this one command would have caught.
 set -uo pipefail
 cd "$(dirname "$0")/.."
@@ -18,12 +20,12 @@ SF_BENCH=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 OUT=/tmp/graft_presnapshot_verify
 fail() { echo "PRESNAPSHOT GATE: FAIL — $1" >&2; exit 1; }
 
-echo "== [1/5] sbt test =="
+echo "== [1/6] sbt test =="
 sbt -batch test > /tmp/presnapshot_test.log 2>&1 \
   || fail "sbt test red (see /tmp/presnapshot_test.log)"
 grep -E "Tests: succeeded" /tmp/presnapshot_test.log | tail -1
 
-echo "== [2/5] Verify @ ${SF_VERIFY} =="
+echo "== [2/6] Verify @ ${SF_VERIFY} =="
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify ${SF_VERIFY} ${OUT}" > /tmp/presnapshot_verify.log 2>&1 \
   || fail "Verify exited nonzero (see /tmp/presnapshot_verify.log)"
@@ -38,20 +40,20 @@ if errs:
     sys.exit(1)
 EOF
 
-echo "== [3/5] DuckDB oracle compare =="
+echo "== [3/6] DuckDB oracle compare =="
 python3 tools/check_oracle.py "$OUT" "$SF_VERIFY" > /tmp/presnapshot_oracle.log 2>&1 \
   || fail "oracle mismatch (see /tmp/presnapshot_oracle.log)"
 tail -3 /tmp/presnapshot_oracle.log
 
-echo "== [4/5] randomized differential fuzz (seed 1) =="
+echo "== [4/6] randomized differential fuzz (seed 1) =="
 python3 tools/fuzz_oracle.py 1 > /tmp/presnapshot_fuzz.log 2>&1 \
   || fail "fuzz-corpus divergence (see /tmp/presnapshot_fuzz.log)"
 tail -2 /tmp/presnapshot_fuzz.log
 
 if [ "$FAST" = "--fast" ]; then
-  echo "== [5/5] bench SKIPPED (--fast) =="
+  echo "== [5/6] bench + [6/6] GraphBench SKIPPED (--fast) =="
 else
-  echo "== [5/5] Bench @ ${SF_BENCH} =="
+  echo "== [5/6] Bench @ ${SF_BENCH} =="
   # contention guard: never bench concurrently with another Spark job.
   # (Bench.main also polls /proc/loadavg itself; this outer check makes the
   # refusal visible in the gate log and catches long-running driver benches.)
@@ -67,7 +69,7 @@ else
     > /tmp/presnapshot_bench.log 2>&1 \
     || fail "Bench exited nonzero (see /tmp/presnapshot_bench.log)"
   python3 - <<'EOF' || exit 1
-import json, sys
+import json, os, sys
 rec = json.load(open("BENCH_SELF.json"))
 if rec.get("errors"):
     print("PRESNAPSHOT GATE: FAIL — bench errors:", rec["errors"], file=sys.stderr)
@@ -76,7 +78,44 @@ bad = [k for k, v in rec.get("queries", {}).items() if v < 0]
 if bad:
     print("PRESNAPSHOT GATE: FAIL — -1.0 sentinel queries:", bad, file=sys.stderr)
     sys.exit(1)
-print(f"bench ok: {rec['value']:.1f}s over {len(rec['queries'])} queries")
+# the 2x regression gate (r7 verdict #7): a bench total more than 2x the
+# pinned idle-box floor is either a real regression or a contaminated
+# artifact (the r6 d05-at-53s class) — refuse to snapshot it either way.
+# Raise the floor deliberately (env) when the suite legitimately grows.
+floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "103.3"))
+if rec["value"] > 2 * floor:
+    print(f"PRESNAPSHOT GATE: FAIL — bench total {rec['value']:.1f}s "
+          f"> 2x pinned floor {floor}s", file=sys.stderr)
+    sys.exit(1)
+print(f"bench ok: {rec['value']:.1f}s over {len(rec['queries'])} queries "
+      f"(floor {floor}s)")
+EOF
+
+  echo "== [6/6] GraphBench 100k vs pinned floor =="
+  sbt -batch "runMain graft.GraphBench /root/reference/src/main/resources/100k.txt" \
+    > /tmp/presnapshot_graph.log 2>&1 \
+    || fail "GraphBench exited nonzero (see /tmp/presnapshot_graph.log)"
+  python3 - <<'EOF' || exit 1
+import json, os, sys
+rows = [json.loads(l) for l in open("/tmp/presnapshot_graph.log")
+        if l.startswith("{")]
+base = [r for r in rows if "variant" not in r]
+if not base:
+    print("PRESNAPSHOT GATE: FAIL — no GraphBench JSON line found",
+          file=sys.stderr)
+    sys.exit(1)
+r = base[0]
+if r["triangles"] != 587199:
+    print(f"PRESNAPSHOT GATE: FAIL — 100k.txt triangle count {r['triangles']}"
+          " != 587199", file=sys.stderr)
+    sys.exit(1)
+floor = float(os.environ.get("GRAFT_GRAPH_FLOOR_SEC", "0.78"))
+if r["sec"] > 2 * floor:
+    print(f"PRESNAPSHOT GATE: FAIL — 100k triangles {r['sec']:.2f}s "
+          f"> 2x pinned floor {floor}s", file=sys.stderr)
+    sys.exit(1)
+print(f"graph bench ok: 100k.txt {r['sec']:.2f}s, 587199 triangles "
+      f"(floor {floor}s)")
 EOF
 fi
 
