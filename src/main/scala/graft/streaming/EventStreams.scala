@@ -344,6 +344,16 @@ object EventStreams {
       // session — the oracle's break test is therefore >=, not >. (The
       // fixture never contains an exact 30-minute gap; the hostile fuzz
       // corpus produced one and caught the > form diverging.)
+      // The running session-id sum uses a RANGE frame, NOT ROWS: when a
+      // session-OPENING timestamp is duplicated (hostile resampling
+      // produced exactly that at sf0.1), exactly one tied row carries
+      // new_s=1 and a ROWS frame assigns its tie-PEERS to the previous
+      // session in whatever order the engine traverses ties — inflating
+      // that session's duration by the whole gap, nondeterministically.
+      // RANGE includes all peers in the frame, so every tied row lands
+      // in the NEW session — deterministic, and exactly session_window's
+      // semantics (identical timestamps can never straddle a session
+      // boundary).
       Some("""WITH x AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
              |o AS (SELECT user_id, ms,
              |        CASE WHEN lag(ms) OVER w IS NULL
@@ -351,7 +361,7 @@ object EventStreams {
              |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
              |s AS (SELECT user_id, ms,
              |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
-             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |                         RANGE UNBOUNDED PRECEDING) AS sid
              |      FROM o),
              |g AS (SELECT user_id, sid, count(*) AS ne, max(ms) - min(ms) AS dur
              |      FROM s GROUP BY user_id, sid)

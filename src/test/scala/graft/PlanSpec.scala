@@ -355,6 +355,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
   }
 
+  test("s09 IVF-PQ: centroids/probes/LUT broadcast, no nested-loop anywhere") {
+    // the composition's scale contract: every query-side structure
+    // (coarse centroids, probe lists, ADC LUT, re-rank query vectors)
+    // moves by broadcast; the corpus-side joins are equi-joins. A
+    // BroadcastNestedLoopJoin would mean a join lost its keys.
+    val plan = executedPlan(SparkEntry.queries("s09_ivf_pq_topk")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC/re-rank joins should be broadcast hash joins:\n$plan")
+    // the centroid scoring step is a DELIBERATE broadcast nested loop
+    // (corpus × ≤nlist broadcast centroids — n·nlist rows by contract);
+    // what must never appear is an unbroadcast cartesian product
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cross join in the IVF-PQ pipeline:\n$plan")
+  }
+
   test("g01 trianglesAuto selects the branch the skew certificate predicts, on both graph families") {
     import graft.operators.GraphOps
     // near-uniform graph (max/median ≈ 1): the id-ordered join — its

@@ -156,6 +156,28 @@ def main():
         if errs:
             print(f"seed {seed}: queries threw: {errs}")
             rc = 1
+        # GRAFT_FUZZ_SKIP_ORACLES: comma-separated query names to EXCLUDE
+        # from the DuckDB compare (the engine side above still ran them —
+        # errors.json is checked unfiltered). Exists for the sf0.1 hostile
+        # tier: the closure-family oracles (d08/d17/d18/d20/d23/d25/g07/
+        # g20) compute transitive closure as a recursive reach-pair CTE,
+        # which is CUBIC in clique size — a 2000-member mass-duplication
+        # clique at sf0.1 means ~10^10 intermediate rows per recursion
+        # step in DuckDB. That is the oracle form's cost, not the
+        # engine's (the Spark side is large-star/small-star, O(log n)
+        # rounds); those operators stay cross-engine-compared at the
+        # sf0.001 hostile tier and the sf0.01 fixture gate.
+        skip = {s.strip() for s in
+                os.environ.get("GRAFT_FUZZ_SKIP_ORACLES", "").split(",")
+                if s.strip()}
+        if skip:
+            opath = f"{verify_out}/oracle_sql.json"
+            oracle = json.load(open(opath))
+            dropped = sorted(skip & oracle.keys())
+            oracle = {k: v for k, v in oracle.items() if k not in skip}
+            json.dump(oracle, open(opath, "w"))
+            print(f"seed {seed}: oracle compare skips {len(dropped)}: "
+                  f"{', '.join(dropped)}", flush=True)
         r2 = subprocess.run(
             [sys.executable, f"{REPO}/tools/check_oracle.py", verify_out,
              corpus], capture_output=True, text=True)
