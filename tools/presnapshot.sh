@@ -82,7 +82,7 @@ if bad:
 # pinned idle-box floor is either a real regression or a contaminated
 # artifact (the r6 d05-at-53s class) — refuse to snapshot it either way.
 # Raise the floor deliberately (env) when the suite legitimately grows.
-floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "103.3"))
+floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "107"))
 if rec["value"] > 2 * floor:
     print(f"PRESNAPSHOT GATE: FAIL — bench total {rec['value']:.1f}s "
           f"> 2x pinned floor {floor}s", file=sys.stderr)
@@ -92,16 +92,20 @@ print(f"bench ok: {rec['value']:.1f}s over {len(rec['queries'])} queries "
 EOF
 
   echo "== [6/6] GraphBench 100k vs pinned floor =="
-  sbt -batch "runMain graft.GraphBench /root/reference/src/main/resources/100k.txt" \
+  # full default 5-file sequence, NOT 100k alone: the 0.78 s floor was
+  # measured with 100k last in the sequence (hot JVM/codegen); a cold
+  # single-file run measures JIT warm-up (~3.5 s), not the workload —
+  # this gate's own first run proved it.
+  sbt -batch "runMain graft.GraphBench" \
     > /tmp/presnapshot_graph.log 2>&1 \
     || fail "GraphBench exited nonzero (see /tmp/presnapshot_graph.log)"
   python3 - <<'EOF' || exit 1
 import json, os, sys
 rows = [json.loads(l) for l in open("/tmp/presnapshot_graph.log")
         if l.startswith("{")]
-base = [r for r in rows if "variant" not in r]
+base = [r for r in rows if "variant" not in r and "100k" in r.get("file", "")]
 if not base:
-    print("PRESNAPSHOT GATE: FAIL — no GraphBench JSON line found",
+    print("PRESNAPSHOT GATE: FAIL — no GraphBench 100k JSON line found",
           file=sys.stderr)
     sys.exit(1)
 r = base[0]
