@@ -139,6 +139,41 @@ object ScaleSmoke {
       timed(s"d23_capped_keeper_n${n}_cap$cap") {
         Dedup.clusterRepresentatives(assign, emb, cap = cap).count()
       }
+      // ---- d20 on the same hostile shape: exact-duplicate collapse ------
+      // 30% of vectors are LITERAL copies of vector 0 (not just
+      // co-clustered): without the round-8 collapse the band join forms a
+      // (0.3n)²/2-pair clique in EVERY bucket (~9·10¹⁰ pairs at 500k —
+      // unrunnable); with it the whole group enters the banding as one
+      // representative. Wall + shuffle + the candidate audit are the
+      // bound evidence.
+      val seedRow = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("semb"))
+      def hostileOf(src: DataFrame) = src.crossJoin(broadcast(seedRow))
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 < 3, col("semb"))
+            .otherwise(col("embedding")).as("embedding"))
+      // audit at full n (analytic — no pair materialization): the
+      // uncollapsed clique term alone would be (0.3n)²/2 × 8 tables;
+      // after the collapse it contributes ZERO (one representative)
+      val hostileFull = hostileOf(emb).persist(); hostileFull.count()
+      val vol = Dedup.bandedJoinVolume(hostileFull)
+      val dupGroup = n * 3 / 10
+      println(s"""{"step":"d20_hostile_collapse_profile","n":$n,""" +
+        s""""dup_group":$dupGroup,"clique_join_rows_uncollapsed":${dupGroup * dupGroup / 2 * 8},""" +
+        s""""banded_join_rows_after_collapse":$vol}""")
+      hostileFull.unpersist()
+      // timed clustering row at n/5: the residual join volume on random
+      // noise is ~(0.7n)²·tables/2^planes regardless of the collapse —
+      // that background cost scales the same for any banded LSH — so the
+      // smaller timing row isolates what the collapse changed (the
+      // clique term, which would dominate everything at any n)
+      val nSmall = n / 5
+      val hostileSmall = hostileOf(emb.filter(col("vec_id") < nSmall))
+        .persist(); hostileSmall.count()
+      timed(s"d20_collapsed_clusters_n$nSmall") {
+        Dedup.semanticClustersBanded(hostileSmall).count()
+      }
+      hostileSmall.unpersist()
       assign.unpersist(); emb.unpersist()
       spark.stop(); return
     }

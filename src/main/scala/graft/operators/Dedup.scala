@@ -338,14 +338,35 @@ object Dedup {
     * elsewhere (banded equi-join; one-shuffle-per-round label
     * propagation). */
   def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairs(docs)
+    // EXACT-DUPLICATE COLLAPSE before the band join (round 8, the
+    // semanticClustersBanded mechanism on the text side): exact copies
+    // share the fingerprint, the shingle set, the signature, and every
+    // band, and est_jaccard(copy, copy) = 1 ≥ any threshold — so a
+    // mass-duplicated group of g copies was always one cluster, but paid
+    // g²/2 candidate pairs per bucket to learn it. One representative
+    // (min doc_id) per fingerprint enters the LSH; members rejoin their
+    // representative's component afterwards. Shingle-LESS docs (< 2
+    // tokens) are excluded from the collapse: the banded form cannot see
+    // them, so they were always singletons — collapsing two empty docs
+    // would CHANGE the contract, not speed it up.
+    val fps = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
+        size(array_distinct(TextFns.wordBigrams(col("text")))).as("nsh"))
+      .filter(col("nsh") >= 1)
+      .select(col("doc_id"), col("fp"))
+    val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = minhashLshPairs(repDocs)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val comps = GraphOps.connectedComponents(pairs)
+    val viaRep = fps
+      .join(reps.withColumnRenamed("doc_id", "rep"), "fp")
+      .join(comps, col("rep") === comps("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("rep")).as("cl"))
     docs.select(col("doc_id"))
-      .join(comps, col("doc_id") === comps("node"), "left")
+      .join(viaRep, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        coalesce(col("cl"), col("doc_id")).as("cluster_id"))
   }
 
   /** Per-document duplicated-shingle rate: what fraction of a document's
@@ -840,8 +861,24 @@ object Dedup {
     val mask = (1L << planes) - 1
     // zero-norm vectors skip candidate generation (VectorFns.nonZero) but
     // keep their singleton row via the final left join over all of emb
-    val sig = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+    val vecs = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
       .filter(VectorFns.nonZero(col("e")))
+    // EXACT-DUPLICATE COLLAPSE before the band join (round 8): identical
+    // vectors share every band and sit at cosine 1, so a mass-duplicated
+    // group of g copies would otherwise form a g²/2-pair clique in every
+    // band bucket — the hostile-fuzz shape, and at 100 TB a stuck stage
+    // (the d23 lesson one operator upstream). One representative (min
+    // vec_id) per DISTINCT vector enters the banding; group members
+    // rejoin their representative's cluster afterwards. Output is
+    // IDENTICAL to the uncollapsed form: exact copies always satisfied
+    // cos ≥ θ against their group, so they were always in the
+    // representative's component, and cluster labels are min-id either
+    // way. The collapse aggregation combines duplicates map-side
+    // (min-agg), so the extra shuffle carries ~distinct vectors, and the
+    // member→rep join's hot key has a single-row build side — the shape
+    // AQE's skew split handles.
+    val reps = vecs.groupBy(col("e")).agg(min(col("vec_id")).as("vec_id"))
+    val sig = reps
       .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
       .withColumn("tb", explode(array((0 until tables).map { t =>
@@ -862,10 +899,14 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("v1").as("src"), col("v2").as("dst"))
     val comps = GraphOps.connectedComponents(pairs)
+    val viaRep = vecs
+      .join(reps.select(col("e"), col("vec_id").as("rep")), "e")
+      .join(comps, col("rep") === comps("node"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("rep")).as("cl"))
     emb.select(col("vec_id"))
-      .join(comps, col("vec_id") === comps("node"), "left")
+      .join(viaRep, Seq("vec_id"), "left")
       .select(col("vec_id"),
-        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+        coalesce(col("cl"), col("vec_id")).as("cluster_id"))
   }
 
   /** Embedding-space eval-set decontamination — [[decontaminate]]'s
@@ -989,12 +1030,16 @@ object Dedup {
   }
 
   /** Exposed for the ScaleSmoke candidate-count audit: the (v1, v2)
-    * in-bucket candidate pairs the banded form pays exact cosine for. */
+    * in-bucket candidate pairs the banded form pays exact cosine for —
+    * AFTER the exact-duplicate collapse, mirroring
+    * [[semanticClustersBanded]]'s actual join input. */
   private[graft] def bandedCandidateCount(emb: DataFrame, dim: Int = 64,
       planes: Int = 8, tables: Int = 8): Long = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val mask = (1L << planes) - 1
     val sig = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      .groupBy(col("e")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("e"))
       .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
       .withColumn("tb", explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"),
@@ -1004,6 +1049,28 @@ object Dedup {
     sig.toDF("v1", "t", "b").join(sig.toDF("v2", "t", "b"), Seq("t", "b"))
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2")).distinct().count()
+  }
+
+  /** Analytic in-bucket join volume of the collapsed banded form:
+    * Σ over (table, bucket) of C(occupancy, 2) — the rows the band
+    * self-join actually streams, WITHOUT materializing them (the
+    * distinct-pair audit above forms the pairs, which is itself the
+    * quadratic cost at smoke scale). Used by `ScaleSmoke --d23-only`. */
+  private[graft] def bandedJoinVolume(emb: DataFrame, dim: Int = 64,
+      planes: Int = 8, tables: Int = 8): Long = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val mask = (1L << planes) - 1
+    emb.select(VectorFns.toDouble(col("embedding")).as("e"))
+      .filter(VectorFns.nonZero(col("e")))
+      .groupBy(col("e")).agg(lit(1))
+      .select(Similarity.lshBucket(col("e"), dim, planes * tables).as("s"))
+      .select(explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          shiftright(col("s"), t * planes).bitwiseAND(lit(mask)).as("b"))
+      }: _*)).as("tb"))
+      .groupBy(col("tb.t"), col("tb.b")).agg(count(lit(1)).as("sz"))
+      .agg(coalesce(sum(col("sz") * (col("sz") - 1) / 2), lit(0L)).cast("long"))
+      .head().getLong(0)
   }
 
   // ---- oracle SQL generation (same constants as the Spark side) --------

@@ -376,6 +376,63 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (c, (rep, n, a)) => if (n == 1) assert(rep === c && a === 0L) }
   }
 
+  test("exact-duplicate collapse: banded clusters identical to the uncollapsed form on a mass-dup corpus") {
+    // 120 copies of one vector + near-dup pairs + a zero vector — the
+    // hostile-fuzz shape. The collapsed operator must return EXACTLY the
+    // uncollapsed pipeline's assignment (computed inline here as the
+    // reference), while paying ~1 representative instead of a 120-wide
+    // clique in every band bucket.
+    import graft.operators.Similarity
+    val base = Seq(
+      (1000L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1001L, Array(1.0f, 0.001f, 0.1f, 0.0f)),   // near-dup of 1000
+      (1002L, Array(0.0f, 1.0f, 0.0f, 0.2f)),
+      (1003L, Array(0.0f, 0.0f, 0.0f, 0.0f))      // zero vector
+    )
+    val dupes = (0 until 120).map(i => (i.toLong, Array(0.5f, -0.5f, 0.5f, -0.5f)))
+    val emb = (base ++ dupes).toDF("vec_id", "embedding")
+    val got = Dedup.semanticClustersBanded(emb, minCos = 0.4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // inline UNCOLLAPSED reference: the operator's EXACT banding
+    // (8 planes × 8 tables from one 64-bit signature) over every vector,
+    // duplicates included — the pipeline as it was before the collapse
+    val e = VectorFns.toDouble(col("embedding"))
+    val sig = emb.select(col("vec_id"), e.as("e"))
+      .filter(VectorFns.nonZero(col("e")))
+      .withColumn("nrm", VectorFns.norm(col("e")))
+      .withColumn("s", Similarity.lshBucket(col("e"), 4, 64))
+      .withColumn("tb", explode(array((0 until 8).map { t =>
+        struct(lit(t).as("t"),
+          shiftright(col("s"), t * 8).bitwiseAND(lit(255L)).as("b"))
+      }: _*)))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val pairs = sig.toDF("v1", "e1", "n1", "t", "b")
+      .join(sig.toDF("v2", "e2", "n2", "t", "b"), Seq("t", "b"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(graft.functions.VectorFns.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
+      .groupBy(col("v1"), col("v2")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("v1"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find closure in plain Scala
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val expected = (base ++ dupes).map(_._1).map(v => v -> find(v)).toMap
+    assert(got === expected)
+    assert(got(1003L) === 1003L, "zero vector stays a singleton")
+    assert(dupes.map(_._1).map(got).toSet.size === 1, "the dup group is one cluster")
+    assert(got(dupes.head._1) === 0L, "cluster label is the group's min id")
+    // and the audit counter really sees the collapsed join input
+    val cand = Dedup.bandedCandidateCount(emb, dim = 4)
+    assert(cand < 200, s"collapse should kill the 120-wide clique, got $cand candidates")
+  }
+
   test("clusterRepresentatives: capped probe rule matches brute force on a giant planted cluster") {
     // 300 members in ONE cluster (the hostile mass-duplication shape the
     // r7 verdict flagged) + 4-member groups; cap=16 forces the sampled
