@@ -349,10 +349,15 @@ object Dedup {
     // tokens) are excluded from the collapse: the banded form cannot see
     // them, so they were always singletons — collapsing two empty docs
     // would CHANGE the contract, not speed it up.
+    // (doc_id, fp) is referenced three times (reps derivation, the
+    // rep semi-join feed, member→rep reattachment) and each lazy
+    // reference would re-run the tokenize+md5 pass — materialized once,
+    // it is a two-column table
     val fps = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
         size(array_distinct(TextFns.wordBigrams(col("text")))).as("nsh"))
       .filter(col("nsh") >= 1)
       .select(col("doc_id"), col("fp"))
+      .localCheckpoint()
     val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = minhashLshPairs(repDocs)
@@ -877,7 +882,11 @@ object Dedup {
     // (min-agg), so the extra shuffle carries ~distinct vectors, and the
     // member→rep join's hot key has a single-row build side — the shape
     // AQE's skew split handles.
+    // reps feeds both the signature chain and the member→rep
+    // reattachment join; materialized once so the distinct-vector
+    // aggregation (a corpus shuffle) never runs twice
     val reps = vecs.groupBy(col("e")).agg(min(col("vec_id")).as("vec_id"))
+      .localCheckpoint()
     val sig = reps
       .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
