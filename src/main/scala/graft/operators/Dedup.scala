@@ -320,7 +320,8 @@ object Dedup {
         element_at(col("a.sig"), b * rows + r + 1) ===
           element_at(col("b.sig"), b * rows + r + 1)).reduce(_ && _)
     val firstBandOnly = (0 until bands - 1).map(b =>
-      col("a.band") <= b || !sliceEq(b)).reduce(_ && _)
+      col("a.band") <= b || !sliceEq(b))
+      .foldLeft(lit(true))(_ && _) // foldLeft: bands=1 has no earlier bands
     probe.as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .filter(firstBandOnly)
