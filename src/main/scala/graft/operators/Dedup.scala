@@ -354,10 +354,11 @@ object Dedup {
     // rep semi-join feed, member→rep reattachment) and each lazy
     // reference would re-run the tokenize+md5 pass — materialized once,
     // it is a two-column table
-    val fps = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
-        size(array_distinct(TextFns.wordBigrams(col("text")))).as("nsh"))
-      .filter(col("nsh") >= 1)
-      .select(col("doc_id"), col("fp"))
+    // shingled ⟺ ≥ 2 tokens (L tokens make L−1 bigrams) — the token
+    // count is the cheap equivalent of building the bigram arrays
+    val fps = docs
+      .filter(TextFns.tokenCount(col("text")) >= 2)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .localCheckpoint()
     val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
