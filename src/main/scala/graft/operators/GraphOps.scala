@@ -124,6 +124,44 @@ object GraphOps {
         greatest(col("s"), col("t1"), col("t2")).as("c"))
   }
 
+  /** Approximate triangle counting by deterministic edge sampling — the
+    * DOULION estimator (Tsourakakis et al., KDD 2009): keep each
+    * canonical edge with probability p = 1/`invP`, enumerate triangles on
+    * the sample, scale the count by invP³. Unbiased, with variance that
+    * vanishes as triangle mass grows — the standard answer when a graph
+    * is too large even for the degree-ordered EXACT enumeration
+    * ([[trianglesDegreeOrdered]]): the sample shrinks edge volume by p
+    * and wedge volume by p², so at invP = 5 the dominant join does 4%
+    * of the exact plan's work.
+    *
+    * The coin is a keyed content hash of the edge (PortableHash md5 —
+    * the d02/d06 convention), NOT `rand()`: re-runs and the DuckDB
+    * oracle reproduce the sample bit-for-bit, and the decision is a
+    * per-edge map-side filter — no shuffle added before the (much
+    * smaller) triangle join. A multiplicative-hash-mod-p coin is
+    * deliberately avoided: mod a small p it degenerates to a residue
+    * lattice (u + c·v ≡ 0), which keeps only triangles whose nodes all
+    * share a residue class — a correlated, biased sample, not a coin.
+    *
+    * Returns one row: exact `edges_total` / `edges_sampled`, the raw
+    * `tri_sampled`, and the `tri_est = tri_sampled · invP³` estimate. */
+  def sampledTriangles(edges: DataFrame, invP: Int = 5): DataFrame = {
+    require(invP >= 1, s"invP must be >= 1, got $invP")
+    val canon = canonicalEdges(edges)
+    val coin = graft.functions.PortableHash.baseHash(
+      concat(col("u").cast("string"), lit("|"), col("v").cast("string")))
+    // tiny by construction (p·|E|), and referenced three times by the
+    // triangle join — materialize once
+    val sampled = canon.filter(coin % invP === 0).localCheckpoint()
+    val scale = invP.toLong * invP * invP
+    canon.agg(count(lit(1)).as("edges_total"))
+      .crossJoin(sampled.agg(count(lit(1)).as("edges_sampled")))
+      .crossJoin(trianglesFromCanonical(sampled)
+        .agg(count(lit(1)).as("tri_sampled")))
+      .select(col("edges_total"), col("edges_sampled"), col("tri_sampled"),
+        (col("tri_sampled") * lit(scale)).as("tri_est"))
+  }
+
   /** Adjacency lists — the reference's first groupByKey stage
     * (`mapreducePredictionTwitter.java:45`, `adj(node, neighbors)`), as a
     * hash aggregation with the neighbor list kept sorted for determinism.
@@ -1269,6 +1307,28 @@ object GraphOps {
               |  greatest(s, t1, t2) AS c
               |FROM tri
               |ORDER BY a, b, c""".stripMargin)),
+
+    // ---- g24: DOULION sampled triangle estimate on the hub graph -------
+    // Registered on the SKEWED graph, where approximation earns its keep:
+    // when even g23's exact O(m^1.5) orientation is too big, the p=1/5
+    // hash-coin sample cuts wedge volume 25×. The oracle replays the
+    // identical md5 coin and triangle join, so the gate certifies the
+    // whole estimator (sample membership + count + scaling), not just a
+    // number; GraphOpsSpec measures the estimate against g18's exact
+    // count for the error story.
+    Q("g24_skew_sampled_triangles",
+      (s, dir) => sampledTriangles(skewedEdges(s, dir)),
+      Some(s"""$skewSql,
+              |samp AS (SELECT u, v FROM canon
+              |  WHERE ${graft.functions.PortableHash
+                  .baseHashSql("u::VARCHAR || '|' || v::VARCHAR")} % 5 = 0)
+              |SELECT (SELECT CAST(count(*) AS BIGINT) FROM canon) AS edges_total,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM samp) AS edges_sampled,
+              |  CAST(t.c AS BIGINT) AS tri_sampled,
+              |  CAST(t.c * 125 AS BIGINT) AS tri_est
+              |FROM (SELECT count(*) AS c
+              |      FROM samp t1 JOIN samp t2 ON t1.u = t2.u AND t1.v < t2.v
+              |      JOIN samp t3 ON t3.u = t1.v AND t3.v = t2.v) t""".stripMargin)),
 
     // ---- g21: the skew itself, oracle-certified ------------------------
     // One summary row: node count, max and exact-median distinct degree,

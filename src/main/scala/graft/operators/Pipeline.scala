@@ -142,6 +142,43 @@ object Pipeline {
       .withColumn("changed", (col("status_a") =!= col("status_b")).cast("int"))
   }
 
+  /** Deterministic global shuffle + balanced shard layout — the
+    * training-order shuffle every pretraining pipeline runs between corpus
+    * build and tokenization: give every document a pseudo-random position,
+    * then lay the permuted order out round-robin across `shards` so each
+    * shard is (a) exactly balanced in document count (sizes differ by at
+    * most one — hash-mod sharding, t10's shape, only balances in
+    * expectation) and (b) an unbiased uniform sample of the corpus, the
+    * property that makes any shard prefix a valid training subset.
+    *
+    * The permutation is a keyed hash, not a random(): `h = portableHash
+    * (salt‖doc_id)` ordered with a doc_id tie-break — re-runs reproduce
+    * the layout bit-for-bit, a different `salt` is a fresh epoch shuffle,
+    * and the DuckDB oracle replays the identical order.
+    *
+    * Scale shape: the naive form — `row_number() OVER (ORDER BY h)` — is
+    * a single-task global sort at any scale. This reuses
+    * [[Relational.distributionRanks]]' two-pass global-rank machinery
+    * (range-partition by (h, doc_id) → per-slice counts → broadcast
+    * prefix offsets + per-slice local rank), so max task load is
+    * n/parts regardless of corpus size and the only per-row movement is
+    * the one range exchange — the same shape d22/q51 already certify. */
+  def shuffleShards(docs: DataFrame, shards: Int = 16,
+      salt: String = "r0"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val base = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+      PortableHash.baseHash(
+        concat(lit(salt + "|"), col("doc_id").cast("string"))).as("__h"))
+    val rk = col("pr_num") // global rank - 1 from the two-pass rank shape
+    Relational.distributionRanks(base, Seq.empty,
+        Seq(col("__h"), col("doc_id")), ntiles = 1)
+      .select(col("doc_id"),
+        (rk % shards).cast("int").as("shard"),
+        ((rk - rk % shards) / shards).cast("long").as("shard_pos"),
+        col("n_tokens"))
+  }
+
   /** Day-2 incremental maintenance, certified in one result set — the
     * operations a 100 TB corpus actually runs when a new batch lands,
     * WITHOUT re-reading old data, each emitting a machine-checked row:
@@ -293,6 +330,25 @@ object Pipeline {
            |FROM sa JOIN sb USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // ---- e04: deterministic global shuffle → balanced shards -----------
+    // The oracle replays the identical keyed-hash permutation with a
+    // plain window row_number — the Spark side must reach the same
+    // global ranks through the two-pass distributed form, so the gate
+    // certifies the scalable machinery against the obvious spec.
+    Q("e04_shuffle_shard",
+      (s, dir) => shuffleShards(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH b AS (SELECT doc_id,
+              |        CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |        ${PortableHash.baseHashSql("'r0|' || doc_id::VARCHAR")} AS h
+              |      FROM documents),
+              |o AS (SELECT doc_id, n_tokens,
+              |        row_number() OVER (ORDER BY h, doc_id) - 1 AS rk
+              |      FROM b)
+              |SELECT doc_id, CAST(rk % 16 AS INT) AS shard,
+              |  CAST(rk // 16 AS BIGINT) AS shard_pos, n_tokens
+              |FROM o ORDER BY doc_id""".stripMargin)),
 
     // ---- e02: day-2 incremental maintenance, certified -----------------
     // The oracle recomputes the two countable metrics from scratch (full

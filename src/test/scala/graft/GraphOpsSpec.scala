@@ -323,4 +323,39 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(bound === 1, s"node $root: est $est vs exact $nExact out of bound")
     }
   }
+
+  // ---- g24: DOULION sampled triangle estimate --------------------------
+
+  private def sampledRow(es: Seq[(Long, Long)], invP: Int) = {
+    val r = GraphOps.sampledTriangles(edgesDF(es), invP).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("sampledTriangles: invP=1 recovers the exact count") {
+    val k8 = for (a <- 1L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val (eTot, eS, triS, est) = sampledRow(k8, 1)
+    assert(eTot === 28L && eS === 28L)
+    assert(triS === 56L && est === 56L) // C(8,3)
+  }
+
+  test("sampledTriangles: deterministic, and estimate lands near truth on K40") {
+    // K40: 780 edges, C(40,3) = 9880 triangles. At p = 1/5 the expected
+    // sample is 156 edges / ~79 triangles; the hash coin is one FIXED
+    // draw, so the run is repeatable and the spec pins both determinism
+    // and that this draw's estimate sits inside the estimator's working
+    // band (DOULION's relative error at this triangle mass is ~11%; the
+    // 35% assert leaves head-room without becoming vacuous).
+    val k40 = for (a <- 1L to 40L; b <- (a + 1) to 40L) yield (a, b)
+    val first = sampledRow(k40, 5)
+    assert(first === sampledRow(k40, 5), "hash-coin sample must be repeatable")
+    val (eTot, eS, _, est) = first
+    assert(eTot === 780L)
+    assert(math.abs(eS - 156L) <= 62L, s"edge sample $eS far from p*|E|=156")
+    assert(math.abs(est - 9880L) <= 9880L * 35 / 100,
+      s"estimate $est outside 35% of exact 9880")
+  }
+
+  test("sampledTriangles: empty graph yields an all-zero row") {
+    assert(sampledRow(Seq.empty, 5) === ((0L, 0L, 0L, 0L)))
+  }
 }

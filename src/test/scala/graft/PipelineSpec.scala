@@ -58,4 +58,50 @@ class PipelineSpec extends AnyFunSuite {
       assert(!(a == "duplicate" && b == "admitted"), s"keeper shift: $a -> $b")
     }
   }
+
+  // ---- e04: deterministic global shuffle → balanced shards -------------
+
+  private def corpus(n: Int) = (0 until n)
+    .map(i => (i.toLong, s"word$i text number $i of the corpus"))
+    .toDF("doc_id", "text")
+
+  test("shuffleShards: layout is a permutation with exactly balanced shards") {
+    val n = 101; val s = 8
+    val rows = Pipeline.shuffleShards(corpus(n), shards = s).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === n)
+    // (shard, pos) pairs are distinct and positions are contiguous per shard
+    assert(rows.map(r => (r._2, r._3)).toSet.size === n)
+    val perShard = rows.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    assert(perShard.keySet === (0 until s).toSet)
+    perShard.values.foreach(ps => assert(ps.toSeq === (0L until ps.length).toSeq))
+    // round-robin balance: shard sizes differ by at most one
+    val sizes = perShard.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $perShard")
+  }
+
+  test("shuffleShards: two-pass ranks equal the naive global window spec") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = corpus(257)
+    val got = Pipeline.shuffleShards(docs, shards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val h = graft.functions.PortableHash.baseHash(
+      concat(lit("r0|"), col("doc_id").cast("string")))
+    val naive = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("rk",
+        (row_number().over(Window.orderBy(col("h"), col("doc_id"))) - 1).cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> (((r.getLong(2) % 8).toInt, r.getLong(2) / 8)))
+      .toMap
+    assert(got === naive)
+  }
+
+  test("shuffleShards: deterministic per salt, re-keyed by a new salt") {
+    val docs = corpus(64)
+    def layout(salt: String) = Pipeline.shuffleShards(docs, 4, salt)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(layout("r0") === layout("r0"))
+    assert(layout("r0") !== layout("r1"), "epoch re-salt must move documents")
+  }
 }

@@ -59,6 +59,9 @@ class QueriesSpec extends AnyFunSuite {
     "g18_skew_triangles", "g19_skew_common_neighbors",
     "g20_skew_components", "g21_skew_degree_stats",
     "g22_skew_capped_neighbors", "g23_skew_triangles_ordered",
+    "g24_skew_sampled_triangles",
+    // e04's oracle uses `//` for the round-robin shard position
+    "e04_shuffle_shard",
     "q55_string_agg",
     "st13_sketch_registers",
     "q26_percentile", "q28_range_join", "q29_json_extract",
