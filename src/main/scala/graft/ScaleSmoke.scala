@@ -355,10 +355,11 @@ object ScaleSmoke {
       println(s"""{"step":"gen","edges":${e.count()},"docs":${d.count()},"top_degree":${
         e.groupBy("src").count().agg(max("count")).as[Long].head()}}""")
 
+      var triExact = -1L
       timed("g01_triangles") {
         val canon = GraphOps.canonicalEdges(e).persist()
-        val n = GraphOps.trianglesFromCanonical(canon).count()
-        canon.unpersist(); n
+        triExact = GraphOps.trianglesFromCanonical(canon).count()
+        canon.unpersist(); triExact
       }
 
       // g23: the exact hub mitigation on the same graph — identical
@@ -367,6 +368,19 @@ object ScaleSmoke {
       // bounds every node's wedge contribution by C(O(√m), 2)
       timed("g23_triangles_degree_ordered") {
         GraphOps.trianglesDegreeOrdered(e).count()
+      }
+
+      // g24: the DOULION sample against both exact plans on the same
+      // graph — the wall ratio is the p² wedge-volume claim measured,
+      // and the relative error against g01's exact count is the
+      // estimator's accuracy at real triangle mass (the spec's K40 band
+      // is fixture-scale; this is the one that matters)
+      timed("g24_sampled_triangles") {
+        val r = GraphOps.sampledTriangles(e).collect().head
+        val est = r.getLong(3)
+        val errPm = if (triExact > 0) math.abs(est - triExact) * 1000 / triExact else -1
+        println(s"""{"step":"g24_accuracy","tri_exact":$triExact,"tri_est":$est,"rel_err_permille":$errPm,"edges_sampled":${r.getLong(1)}}""")
+        est
       }
 
       // g03: the degree cap is the hub mitigation (output-explosion skew);
@@ -531,6 +545,22 @@ object ScaleSmoke {
       timed("g14_clustering_coeff_5M") {
         GraphOps.clusteringCoefficient(e).filter(col("cc_micro") > 0).count()
       }
+
+      // e04 shuffle-shard at 50k docs into 1024 shards: cost must be the
+      // one range exchange of the two-pass rank (plus the tiny offsets
+      // broadcast), and the round-robin balance invariant — max shard
+      // size minus min ≤ 1 — must hold at ANY scale, not just the spec's
+      // 101-doc fixture
+      var e04Skew = -1L
+      timed("e04_shuffle_shard_50k_1024shards") {
+        val out = graft.operators.Pipeline.shuffleShards(d, shards = 1024)
+          .persist()
+        val n = out.count()
+        e04Skew = out.groupBy("shard").count()
+          .agg(max("count") - min("count")).as[Long].head()
+        out.unpersist(); n
+      }
+      println(s"""{"step":"e04_balance","shards":1024,"max_minus_min":$e04Skew}""")
 
       // d15 duplicated-shingle rate at 50k docs: the df aggregation and
       // the join probe consume ONE repartition of the shingle stream
