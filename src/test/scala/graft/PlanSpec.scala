@@ -408,4 +408,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"),
       s"fact scan has no partition filters at all:\n$plan")
   }
+
+  test("e04 shuffle-shard ranks through the two-pass form, no global window") {
+    // the naive form is row_number() OVER (ORDER BY h) — a single-task
+    // global sort. The registered plan must carry the q36/q51 shape:
+    // a range partitioning pass, and every per-row row_number window
+    // keyed by __pid
+    val plan = executedPlan(SparkEntry.queries("e04_shuffle_shard")(spark, dir))
+    assert(plan.contains("rangepartitioning"),
+      s"expected the two-pass range partitioning:\n$plan")
+    val rowNumberWindows = plan.linesIterator
+      .filter(_.contains("row_number")).toList
+    assert(rowNumberWindows.nonEmpty, s"no row_number window in plan:\n$plan")
+    rowNumberWindows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"row_number window without __pid (single-task global sort):\n$w")
+    }
+  }
+
+  test("g24 sampled triangles: the coin filters EDGES before any join") {
+    // DOULION's whole point is that the p-filter runs map-side on the
+    // edge stream so the triangle join sees p|E| rows. The estimate arm
+    // must contain no unsampled triangle join: its joins consume the
+    // locally-checkpointed sampled RDD, and no cartesian/nested-loop
+    // appears anywhere
+    val plan = executedPlan(
+      SparkEntry.queries("g24_skew_sampled_triangles")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the sampled triangle plan:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"triangle join does not consume the materialized sample:\n$plan")
+  }
 }
