@@ -496,6 +496,29 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Contamination ATTRIBUTION — the pair-level drill-down behind d12's
+    * per-doc bit: which eval document leaked into which corpus document,
+    * and how many distinct n-grams they share. The report an eval-set
+    * owner actually reads before deciding whether a hit is a true leak
+    * (many shared shingles, one source) or stop-phrase noise (one
+    * shingle, many sources).
+    *
+    * Scale shape is d12's: eval shingles are tiny by contract and ride
+    * broadcast, so the corpus shingle stream is scanned once and NEVER
+    * shuffles for the join; the only shuffle is the (doc, eval_doc)
+    * rollup over hit rows — bounded by the leak volume, not the corpus.
+    * Both shingle sides are per-doc distinct ([[shinglesN]]), so each
+    * (doc, eval_doc, shingle) row is unique and the rollup is a plain
+    * count, no distinct aggregation. */
+  def contaminationPairs(docs: DataFrame, evalSet: DataFrame,
+      ngram: Int = 2, minShared: Long = 1): DataFrame =
+    shinglesN(docs, ngram)
+      .join(broadcast(shinglesN(evalSet, ngram)
+        .select(col("doc_id").as("eval_doc_id"), col("s"))), "s")
+      .groupBy(col("doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** 16-bit SimHash per document over whitespace tokens (with
     * multiplicity): bit k is the majority vote of bit k across token
     * hashes. */
@@ -1346,6 +1369,25 @@ object Dedup {
               |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
               |WHERE d.doc_id >= 20
               |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- d26: contamination attribution pairs --------------------------
+    // d12's drill-down: the oracle recomputes the same distinct-shingle
+    // pair rollup, so the green row certifies pair identity AND counts.
+    Q("d26_contamination_pairs",
+      (s, dir) => {
+        val all = Tables.load(s, dir, "documents")
+        contaminationPairs(all.filter(col("doc_id") >= 20),
+            all.filter(col("doc_id") < 20))
+          .orderBy(col("doc_id"), col("eval_doc_id"))
+      },
+      Some(s"""WITH ${shCte()},
+              |ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id < 20)
+              |SELECT sh.doc_id AS doc_id, ev.eval_doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM sh JOIN ev ON sh.s = ev.s
+              |WHERE sh.doc_id >= 20
+              |GROUP BY sh.doc_id, ev.eval_doc_id
+              |ORDER BY doc_id, eval_doc_id""".stripMargin)),
 
     // ---- d24: embedding-space decontamination --------------------------
     // d12's semantic sibling (the SemDeDup-paper eval-leak check): a

@@ -527,4 +527,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === expected)
     assert(lsh.nonEmpty)
   }
+
+  test("d26 contaminationPairs: planted leaks attribute to the right eval doc with exact counts") {
+    // E1 "alpha beta gamma delta" (bigrams: ab, bg, gd); E2 "omega psi chi"
+    // (om, ps). Corpus doc 20 copies E1's first three words (shares ab, bg);
+    // doc 21 shares exactly one bigram with EACH eval doc; doc 22 is clean.
+    val evalSet = Seq(
+      (0L, "alpha beta gamma delta", "en"),
+      (1L, "omega psi chi", "en")).toDF("doc_id", "text", "lang")
+    val corpus = Seq(
+      (20L, "alpha beta gamma zeta", "en"),
+      (21L, "alpha beta then omega psi", "en"),
+      (22L, "nothing shared here", "en")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.contaminationPairs(corpus, evalSet).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map(
+      (20L, 0L) -> 2L, // "alpha beta", "beta gamma"
+      (21L, 0L) -> 1L, // "alpha beta"
+      (21L, 1L) -> 1L  // "omega psi"
+    ))
+    // consistency with d12: the docs appearing in pairs are exactly the
+    // docs decontaminate flags
+    val flagged = Dedup.decontaminate(corpus, evalSet)
+      .filter(col("contaminated") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(pairs.keySet.map(_._1) === flagged)
+  }
 }

@@ -35,6 +35,7 @@ class QueriesSpec extends AnyFunSuite {
     "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
     "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
     "d14_incremental_dedup", "d15_dup_shingle_rate", "d16_containment",
+    "d26_contamination_pairs",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "s08_knn_join",
     "t14_perplexity_buckets", "t15_rag_chunks", "t16_bpe_pairs",
