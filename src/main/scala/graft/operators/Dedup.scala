@@ -22,10 +22,12 @@ object Dedup {
   /** Distinct word-bigram shingles per document: (doc_id, s).
     * Dedup happens inside the row (`array_distinct` before explode) — a
     * narrow transform — rather than a global `.distinct()`, which would
-    * shuffle every shingle row. */
+    * shuffle every shingle row. Tokenization runs in its own projection
+    * (the [[TextFns.ngramsOfTokens]] performance contract). */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.bigramsOfTokens(col("__t")))).as("s"))
 
   /** Deterministic content-hash sample: keep a document iff its content
     * hash lands under `percent`. Unlike `df.sample()`, the decision is a
@@ -274,8 +276,9 @@ object Dedup {
     * rows, matching the aggregated path. */
   private[graft] def bandRowsLocal(docs: DataFrame, bands: Int): DataFrame = {
     val rows = K / bands
-    val sh = array_distinct(TextFns.wordBigrams(col("text")))
+    val sh = array_distinct(TextFns.bigramsOfTokens(col("__t")))
     docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"), transform(sh, s => PortableHash.baseHash(s)).as("hs"))
       .filter(size(col("hs")) >= 1)
       .select(col("doc_id"), array((0 until K).map(k =>
@@ -430,8 +433,9 @@ object Dedup {
       .filter(col("df") >= 2)
       .select(col("s"))
     val pos = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
-        posexplode(TextFns.wordNgrams(col("text"), n)).as(Seq("p", "s")))
+        posexplode(TextFns.ngramsOfTokens(col("__t"), n)).as(Seq("p", "s")))
       .select(col("doc_id"), (col("p") + 1).as("s_start"),
         (col("p") + lit(n)).as("s_end"), col("s"))
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -483,8 +487,9 @@ object Dedup {
     * decontamination wants WIDE shingles — a 5..13-gram only collides on
     * genuinely copied spans, where bigrams collide on shared vocabulary). */
   def shinglesN(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(TextFns.wordNgrams(col("text"), n))).as("s"))
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.ngramsOfTokens(col("__t"), n))).as("s"))
 
   def decontaminate(docs: DataFrame, evalSet: DataFrame,
       ngram: Int = 2): DataFrame = {
@@ -556,8 +561,10 @@ object Dedup {
     * counts, per-doc set sizes. */
   private def shingleIntersections(docs: DataFrame,
       maxShingleDf: Long): DataFrame = {
-    val shAll = docs.select(col("doc_id"), col("lang"),
-        explode(array_distinct(TextFns.wordBigrams(col("text")))).as("s"))
+    val shAll = docs
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextFns.bigramsOfTokens(col("__t")))).as("s"))
     val sh =
       if (maxShingleDf == Long.MaxValue) shAll
       else {
@@ -670,8 +677,10 @@ object Dedup {
     // join on its runtime size. The round-3 plan instead materialized a
     // full shuffle of the exploded stream, which dominated its cost —
     // re-scanning the source is cheaper than shuffling its explosion.
-    val sh = docs.select(col("doc_id"), col("lang"),
-        explode(array_distinct(transform(TextFns.wordBigrams(col("text")),
+    val sh = docs
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(transform(TextFns.bigramsOfTokens(col("__t")),
           s => xxhash64(s)))).as("sid"))
     val dfreq = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
     // one per-doc aggregation carrying the WHOLE rarest-first ordering:
@@ -1373,20 +1382,29 @@ object Dedup {
     // ---- d26: contamination attribution pairs --------------------------
     // d12's drill-down: the oracle recomputes the same distinct-shingle
     // pair rollup, so the green row certifies pair identity AND counts.
+    // Registered at ngram=5, the e01 decontamination setting: a bigram
+    // probe pairs nearly every corpus doc with every eval doc through
+    // shared VOCABULARY ("of the"), which makes the report noise and the
+    // rollup ~|corpus|×|eval| rows (measured 3.3 s vs 0.3 s at sf0.1);
+    // a 5-gram only matches on copied spans — the leaks the report is for.
     Q("d26_contamination_pairs",
       (s, dir) => {
         val all = Tables.load(s, dir, "documents")
         contaminationPairs(all.filter(col("doc_id") >= 20),
-            all.filter(col("doc_id") < 20))
+            all.filter(col("doc_id") < 20), ngram = 5)
           .orderBy(col("doc_id"), col("eval_doc_id"))
       },
-      Some(s"""WITH ${shCte()},
-              |ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id < 20)
-              |SELECT sh.doc_id AS doc_id, ev.eval_doc_id,
+      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |sh5 AS (SELECT doc_id,
+              |    unnest(list_distinct(list_transform(range(1, len(t) - 3),
+              |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+              |  FROM tok),
+              |ev AS (SELECT doc_id AS eval_doc_id, s FROM sh5 WHERE doc_id < 20)
+              |SELECT sh5.doc_id AS doc_id, ev.eval_doc_id,
               |  CAST(count(*) AS BIGINT) AS n_shared
-              |FROM sh JOIN ev ON sh.s = ev.s
-              |WHERE sh.doc_id >= 20
-              |GROUP BY sh.doc_id, ev.eval_doc_id
+              |FROM sh5 JOIN ev ON sh5.s = ev.s
+              |WHERE sh5.doc_id >= 20
+              |GROUP BY sh5.doc_id, ev.eval_doc_id
               |ORDER BY doc_id, eval_doc_id""".stripMargin)),
 
     // ---- d24: embedding-space decontamination --------------------------

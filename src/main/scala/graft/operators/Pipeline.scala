@@ -79,8 +79,9 @@ object Pipeline {
   def streamIngestFrontEnd(docs: DataFrame, evalShingles: Seq[String],
       minQuality: Double = 0.7, decontamNgram: Int = 5): DataFrame =
     docs.filter(TextFns.qualityScore(col("text")) >= minQuality)
+      .withColumn("__t", TextFns.tokens(col("text")))
       .filter(!arrays_overlap(
-        TextFns.wordNgrams(col("text"), decontamNgram),
+        TextFns.ngramsOfTokens(col("__t"), decontamNgram),
         typedLit(evalShingles)))
       .withColumn("fp", TextFns.fingerprint(col("text")))
       .dropDuplicates("fp")

@@ -53,7 +53,8 @@ object TextOps {
     val uni = docs.select(explode(TextFns.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val big = docs.select(explode(TextFns.wordBigrams(col("text"))).as("bg"))
+    val big = docs.select(TextFns.tokens(col("text")).as("__t"))
+      .select(explode(TextFns.bigramsOfTokens(col("__t"))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= minSupport)
       .select(expr("split(bg, ' ')[0]").as("x"),
@@ -206,8 +207,9 @@ object TextOps {
     // one scan, zero shuffles, exact 4dp ratio portable to the oracle.
     Q("t09_repetition",
       (s, dir) => {
-        val bi = TextFns.wordBigrams(col("text"))
+        val bi = TextFns.bigramsOfTokens(col("__t"))
         Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
           .select(col("doc_id"),
             size(bi).cast("long").as("n_bigrams"),
             size(array_distinct(bi)).cast("long").as("n_distinct"))
