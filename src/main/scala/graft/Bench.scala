@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   *   - global warmup (JVM/codegen/parquet-footer caches), then per query
   *     one untimed warmup run + `SPARK_GRAFT_BENCH_RUNS` (default 3) timed
   *     runs; the reported seconds are the MEDIAN.
+  *   - FULL-OUTPUT evaluation ([[exec]]): each run materializes every
+  *     output column and any terminal sort, never a stacked `.count()`
+  *     that Catalyst can prune projections / eliminate joins / drop
+  *     sorts through — the number is what a real consumer of the
+  *     query's output pays.
   *   - quadratic CERTIFICATION arms (exact all-pairs / exact k-hop:
   *     d05, d18, g16) run against the sf0.01 cert tier
   *     (`SPARK_GRAFT_SF_DIR_CERT`): their O(n²) at sf0.1 predicts
@@ -68,6 +73,17 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Evaluate the query's FULL output, not `df.count()`: stacking a
+    * count aggregate on top lets Catalyst prune the final projections
+    * and eliminate unique-key left joins, so a `.count()`-based bench
+    * times less than any real consumer pays (d12's long-standing
+    * 0.155 s line never evaluated its shingle probe — the count of its
+    * terminal left join derives from the left side alone). Counting the
+    * exec RDD materializes every output column (UnsafeRow projection)
+    * while still never collecting rows to the driver. */
+  private def exec(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     graft.functions.PortableHash.pin(fast = false) // md5: the oracle protocol
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,18 +129,18 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val dir = if (certTierQueries(name)) certDir else sfDir
       try {
-        fn(spark, dir).count() // untimed warmup
+        exec(fn(spark, dir)) // untimed warmup
         val times = (1 to runs).map { i =>
           if (i == runs) {
             val (r0, w0) = totals.snapshotAfter()
             val t0 = System.nanoTime()
-            fn(spark, dir).count()
+            exec(fn(spark, dir))
             val sec = (System.nanoTime() - t0) / 1e9
             val (r1, w1) = totals.snapshotAfter()
             (sec, r1 - r0, w1 - w0)
           } else {
             val t0 = System.nanoTime()
-            fn(spark, dir).count()
+            exec(fn(spark, dir))
             ((System.nanoTime() - t0) / 1e9, 0L, 0L)
           }
         }
