@@ -544,11 +544,19 @@ object Relational {
     // engine-specific, so the checked output is the exact count plus a
     // derived invariant the oracle can assert: the rsd-0.01 estimate lands
     // within 5% of exact (ApproxSpec additionally bounds the error curve).
+    // PLAN NOTE: never put countDistinct and approx_count_distinct in the
+    // SAME aggregate — the distinct rewrite pushes the HLL's partial into
+    // the per-(key, distinct-value) pre-aggregation, materializing the
+    // 1,640-field sketch buffer once per DISTINCT VALUE (~1.5M × 13 KB of
+    // aggregation state here; measured 6.5 s). HLL is duplicate-
+    // insensitive, so aggregating it over the distinct stream is
+    // register-identical and keeps sketch state at |groups|: 0.33 s, 20×.
     Q("q25_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(lit(1)).as("exact_orders"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx") - col("exact_orders")) <=
             col("exact_orders") * lit(0.05)).cast("int").as("within_tol"))
