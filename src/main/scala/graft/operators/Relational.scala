@@ -648,6 +648,10 @@ object Relational {
     // output is the exact quantile plus a derived invariant: the
     // accuracy-10000 estimate lands within 1% of exact (rank error is
     // bounded by n/accuracy, a ~60-rank slack at sf0.1).
+    // PLAN NOTE: the exact `percentile` arms buffer each group's values
+    // in the final aggregate — q30 is a CERTIFICATION arm (like d05/q26),
+    // priced at the gate tier by contract; the scale paths for quantiles
+    // are q51's two-pass equi-depth ranks and p07's mergeable HDR sketch.
     Q("q30_approx_quantile",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -409,6 +409,26 @@ class PlanSpec extends AnyFunSuite {
       s"fact scan has no partition filters at all:\n$plan")
   }
 
+  test("q25 never materializes the HLL partial per distinct value") {
+    // mixing countDistinct with approx_count_distinct in ONE aggregate
+    // makes the distinct rewrite push the 1,640-field sketch partial
+    // into the per-(key, value) pre-aggregation — one 13 KB buffer per
+    // distinct orderkey (measured 6.45 s vs 2.17 s at sf0.1). The fixed
+    // shape aggregates the sketch over the pre-distincted stream, so
+    // every sketch-bearing HashAggregate is keyed by the GROUP alone.
+    val plan = executedPlan(
+      SparkEntry.queries("q25_approx_distinct")(spark, dir))
+    val sketchAggs = plan.linesIterator
+      .filter(_.contains("approx_count_distinct")).toList
+    assert(sketchAggs.nonEmpty, s"no HLL aggregate in plan:\n$plan")
+    sketchAggs.foreach { l =>
+      val keys = l.substring(l.indexOf("keys=[") + 6,
+        l.indexOf("]", l.indexOf("keys=[")))
+      assert(!keys.contains("l_orderkey"),
+        s"sketch partial keyed by the distinct value (per-value buffers):\n$l")
+    }
+  }
+
   test("e04 shuffle-shard ranks through the two-pass form, no global window") {
     // the naive form is row_number() OVER (ORDER BY h) — a single-task
     // global sort. The registered plan must carry the q36/q51 shape:
