@@ -99,24 +99,25 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration for graft's native expressions (idempotent:
-  * a session that already has `graft_dot` is left untouched, so per-query
+/** Session registration for graft's native expressions (idempotent per
+  * function: an already-registered name is left untouched, so per-query
   * re-registration is a no-op instead of a `SimpleFunctionRegistry`
   * "replaced a previously registered function" warning per call — the
   * r7 bench tail carried hundreds of them). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_lsh_sig", exprs => LshSignature(exprs.head, exprs(1), exprs(2)),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_sorted_intersect",
-        exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
-    }
+    // idempotence is PER FUNCTION, not keyed on the first name: a session
+    // where graft_dot exists but a later-added function does not must
+    // still register the missing one
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("graft_dot")(exprs => DotProduct(exprs.head, exprs(1)))
+    ensure("graft_lsh_sig")(exprs =>
+      LshSignature(exprs.head, exprs(1), exprs(2)))
+    ensure("graft_sorted_intersect")(exprs =>
+      SortedIntersectCount(exprs.head, exprs(1)))
   }
 }

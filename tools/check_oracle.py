@@ -37,7 +37,19 @@ def dfhash(df: pd.DataFrame) -> str:
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # optional --skip=a,b,c (used by fuzz_oracle.py for the closure-family
+    # oracles whose recursive CTE is cubic in clique size): names excluded
+    # from THIS compare only — the verify artifact is never rewritten, so
+    # a later unfiltered re-run sees the full oracle set.
+    skip = set()
+    for a in sys.argv[3:]:
+        if a.startswith("--skip="):
+            skip |= {s.strip() for s in a[len("--skip="):].split(",") if s.strip()}
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if skip:
+        dropped = sorted(skip & oracle.keys())
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
+        print(f"skipping {len(dropped)} oracles: {', '.join(dropped)}")
     con = duckdb.connect()
     for t in TABLES:
         try:
