@@ -114,8 +114,14 @@ object Dedup {
       .withColumn("__pid", spark_partition_id()).localCheckpoint()
     val slices = ranged.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__wsum"))
+    // partitionBy(lit(0)): the offsets table is bounded (one row per
+    // shuffle partition) and MUST run as one window partition; the
+    // explicit constant key states that, where an empty partitionSpec
+    // makes WindowExec log a scale warning per execution — dozens of
+    // which buried real warnings in the r8 bench tail (r8 verdict #1).
     val offsets = slices.select(col("__pid"),
-      coalesce(sum(col("__wsum")).over(Window.orderBy(col("__pid"))
+      coalesce(sum(col("__wsum")).over(Window.partitionBy(lit(0))
+        .orderBy(col("__pid"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -236,6 +242,32 @@ object Dedup {
         estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
       .distinct()
   }
+
+  /** The persisted LSH band index — [[bandTable]] as a FILESYSTEM artifact
+    * with a day-2 lifecycle: build once, append each admitted batch
+    * (band rows computed from the batch ALONE — old data never re-read),
+    * and compact the accumulating small files with
+    * [[graft.sources.Formats.compactParquet]]. Band rows are a pure
+    * per-document function (the MinHash signature sees only the doc's own
+    * shingles), so append(day1) ∪ append(day2) == rebuild(day1 ∪ day2)
+    * EXACTLY — and that is a cross-engine-certified property, not an
+    * assumption: the registered query d28 walks the whole lifecycle
+    * (build → append → compact → read back) while its oracle computes the
+    * full-corpus rebuild from scratch. At 100 TB a day's append costs one
+    * batch-sized signature pass + write, never a corpus re-read
+    * (ScaleSmoke --d28-only measures append shuffle ≈ batch-sized). */
+  def buildBandIndex(docs: DataFrame, path: String, bands: Int = 8): Unit =
+    bandTable(docs, bands).write.mode("overwrite").parquet(path)
+
+  /** Day-2 append — see [[buildBandIndex]]. Mode `append` adds the
+    * batch's files beside the existing artifact; run
+    * [[graft.sources.Formats.compactParquet]] when daily appends
+    * accumulate enough small files to matter. */
+  def appendBandIndex(newDocs: DataFrame, path: String, bands: Int = 8): Unit =
+    bandTable(newDocs, bands).write.mode("append").parquet(path)
+
+  def readBandIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Incremental dedup: candidate pairs where at least one side is in the
     * NEW batch — new-vs-corpus probes plus new-vs-new self-pairs, never
@@ -428,6 +460,27 @@ object Dedup {
     * highest-cardinality key in the corpus — no q36-style fat partition),
     * and the final rollup + token-count join share the doc_id shuffle. */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val covered = mergedSpans(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1)
+          .cast("bigint").as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_ppm",
+        expr("1000000 * dup_tokens div greatest(n_tokens, 1L)"))
+  }
+
+  /** The merged-span table itself: one (doc_id, span_start, span_end) row
+    * per maximal duplicated-passage token range (1-based, inclusive) —
+    * the shared core of [[dupSpans]] (measure) and [[substringRewrite]]
+    * (act). Shape notes live on [[dupSpans]]'s scaladoc; nothing here
+    * adds a shuffle class beyond them. */
+  private[graft] def mergedSpans(docs: DataFrame, n: Int): DataFrame = {
     val dupSh = shinglesN(docs, n)
       .groupBy(col("s")).agg(count(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -441,24 +494,62 @@ object Dedup {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s_start"))
     val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
-    val covered = pos.join(dupSh, "s")
+    pos.join(dupSh, "s")
       .withColumn("prev_end", max(col("s_end")).over(byDoc.rowsBetween(unb, -1)))
       .withColumn("brk",
         when(col("s_start") > coalesce(col("prev_end"), lit(0)), 1).otherwise(0))
       .withColumn("gid", sum(col("brk")).over(byDoc.rowsBetween(unb, 0)))
       .groupBy(col("doc_id"), col("gid"))
-      .agg((max(col("s_end")) - min(col("s_start")) + 1).as("ctoks"))
+      .agg(min(col("s_start")).as("span_start"),
+        max(col("s_end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Substring-level dedup that ACTS, not just measures (Lee et al.,
+    * ACL'22 — the removal pass, where [[dupSpans]] is the report): emit
+    * the REWRITTEN corpus with every cross-document duplicated passage
+    * (a maximal merged span of width-`n` shingles occurring in ≥ 2
+    * documents) excised, tokens outside the spans kept in order. After
+    * MinHash document dedup this is the most-shipped transform in a
+    * CommonCrawl-scale pretraining pipeline — boilerplate and quoted
+    * passages survive document-level dedup and must be cut positionally.
+    *
+    * `clean_text` is the kept tokens rejoined with single spaces — the
+    * tokenizer's normalization, applied to UNTOUCHED documents too, so
+    * "no spans" is the identity on the token stream (property-tested),
+    * and the whole output is a pure function of corpus content.
+    *
+    * Scale shape: [[mergedSpans]] keeps d19's inverted-df build (the
+    * duplicated-shingle list is corpus-bounded, never a per-group
+    * buffer); reassembly is per-document — spans collect into one
+    * in-row array (bounded by the document's own token count, the same
+    * bound every per-doc array here lives under) and a positional
+    * `filter` drops covered tokens row-locally. New shuffles beyond
+    * d19's: ONE doc_id rollup of the span table (tiny — spans, not
+    * tokens) and the doc_id join, the class d19 already pays. */
+  def substringRewrite(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spans = mergedSpans(docs, n)
       .groupBy(col("doc_id"))
-      .agg(sum(col("ctoks")).cast("bigint").as("dup_tokens"),
-        count(lit(1)).as("n_spans"))
-    docs.select(col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
-      .withColumn("dup_ppm",
-        expr("1000000 * dup_tokens div greatest(n_tokens, 1L)"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("spans"))
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__t"),
+        coalesce(col("spans"), array().cast(
+          "array<struct<span_start:int,span_end:int>>")).as("spans"))
+      // positional filter: token at 0-based i survives iff no span covers
+      // 1-based position i+1. `spans` is a row attribute by the time the
+      // lambda captures it (projected above), so the per-element cost is
+      // an attribute read + a bounded exists scan — not a re-evaluated
+      // expression (the r8 HOF-capture lesson).
+      .withColumn("__kept", filter(col("__t"), (t, i) =>
+        !exists(col("spans"), sp =>
+          i + 1 >= sp.getField("span_start") && i + 1 <= sp.getField("span_end"))))
+      .select(col("doc_id"),
+        size(col("__t")).cast("bigint").as("n_tokens"),
+        size(col("__kept")).cast("bigint").as("kept_tokens"),
+        size(col("spans")).cast("bigint").as("n_spans"),
+        array_join(col("__kept"), " ").as("clean_text"))
   }
 
   /** Near-dup-cluster-aware train/eval split: documents are assigned a
@@ -871,7 +962,8 @@ object Dedup {
        |pr AS (SELECT mem.cluster_id, mem.vec_id, mem.e
        |       FROM mem JOIN msz USING (cluster_id)
        |       WHERE m <= $cap
-       |          OR ${PortableHash.baseHashSql("CAST(mem.vec_id AS VARCHAR)")} * m < $thr),
+       |          OR CAST(${PortableHash.baseHashSql("CAST(mem.vec_id AS VARCHAR)")}
+       |                  AS HUGEINT) * m < $thr),
        |pa AS (SELECT a.cluster_id, a.vec_id,
        |        CAST(round(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT) AS cm
        |       FROM mem a JOIN pr b
@@ -1049,9 +1141,14 @@ object Dedup {
       .agg(count(lit(1)).as("m"))
     val probes = members.toDF("v2", "cluster_id", "e2", "n2")
       .join(sizes, "cluster_id")
+      // decimal(38,0) product: baseHash < 2³² times a BIGINT m can wrap
+      // Long for m ≥ ~2³¹ members — Spark would wrap silently (inverting
+      // the sample predicate) while DuckDB errors, a divergence exactly
+      // on the giant-cluster shape the cap exists for. The oracle side
+      // computes the same product in HUGEINT (d23KeeperSql).
       .filter(col("m") <= cap ||
-        PortableHash.baseHash(col("v2").cast("string")) * col("m") <
-          lit(cap.toLong << 32))
+        PortableHash.baseHash(col("v2").cast("string")).cast("decimal(20,0)") *
+          col("m").cast("decimal(20,0)") < lit(cap.toLong << 32))
       .select(col("cluster_id"), col("v2"), col("e2"), col("n2"))
     val aff = members.toDF("v1", "cluster_id", "e1", "n1")
       .join(probes, "cluster_id")
@@ -1081,6 +1178,10 @@ object Dedup {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val mask = (1L << planes) - 1
     val sig = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+      // same nonZero gate as the operator (and as bandedJoinVolume): a
+      // zero-vector representative would audit bucket pairs the real
+      // join never sees
+      .filter(VectorFns.nonZero(col("e")))
       .groupBy(col("e")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("e"))
       .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
@@ -1204,6 +1305,38 @@ object Dedup {
                 |JOIN sig sb ON sb.doc_id = d2
                 |WHERE d1 % 10 = 0 OR d2 % 10 = 0
                 |ORDER BY d1, d2""".stripMargin)
+      }),
+
+    // ---- d28: LSH band-index lifecycle (build → append → compact) ------
+    // The persisted-artifact arm of d14: day-1 index built from the
+    // corpus (doc_id % 10 != 0), the day-2 batch (doc_id % 10 == 0)
+    // APPENDED from the batch alone, the landing dir compacted, and the
+    // read-back artifact returned. The oracle rebuilds the band table of
+    // the FULL corpus from scratch — green == "append == rebuild",
+    // certified on the artifact that actually hits disk (bkey is the md5
+    // of the signature slice, so signature content is certified too).
+    Q("d28_band_index_lifecycle", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_band_index").toString
+        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idxDir)
+        appendBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 0), idxDir)
+        val compactDir = java.nio.file.Files
+          .createTempDirectory("graft_band_index_compact").toString
+        graft.sources.Formats.compactParquet(s, idxDir, compactDir)
+        readBandIndex(s, compactDir)
+          .select(col("doc_id"), col("band"), col("bkey"))
+          .orderBy(col("doc_id"), col("band"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects)
+                |SELECT doc_id, band, bkey FROM bands
+                |ORDER BY doc_id, band""".stripMargin)
       }),
 
     // ---- st14: streaming incremental dedup (registered batch form) -----
@@ -1586,6 +1719,49 @@ object Dedup {
               |  CAST(1000000 * coalesce(dup_tokens, 0)
               |       // greatest(len(l), 1) AS BIGINT) AS dup_ppm
               |FROM tok t LEFT JOIN agg USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d27: substring-dedup REWRITE (the acting form of d19) ---------
+    // Emits the cleaned corpus: d19's merged duplicated-passage spans
+    // excised, kept tokens rejoined. The oracle rebuilds the same spans
+    // (d19's lateral-unnest chain) and reassembles each document with a
+    // positional anti-join + ordered string_agg — hash parity certifies
+    // span detection, interval merge, AND the token-range excision.
+    Q("d27_substring_rewrite",
+      (s, dir) => substringRewrite(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS l FROM documents),
+              |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
+              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
+              |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
+              |dfq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
+              |        GROUP BY s HAVING count(*) >= 2),
+              |sp AS (SELECT doc_id, s_start, s_end FROM pos JOIN dfq USING (s)),
+              |isl AS (SELECT doc_id, s_start, s_end,
+              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
+              |          PARTITION BY doc_id ORDER BY s_start
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |        THEN 1 ELSE 0 END AS brk FROM sp),
+              |isl2 AS (SELECT doc_id, s_start, s_end,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
+              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
+              |spans AS (SELECT doc_id, min(s_start) AS a, max(s_end) AS b
+              |          FROM isl2 GROUP BY doc_id, gid),
+              |pos2 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM tok),
+              |kept AS (SELECT p.doc_id, p.j, p.l[p.j] AS tk FROM pos2 p
+              |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+              |           WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.a AND s.b)),
+              |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+              |       string_agg(tk, ' ' ORDER BY j) AS clean_text
+              |       FROM kept GROUP BY doc_id),
+              |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              |       FROM spans GROUP BY doc_id)
+              |SELECT t.doc_id AS doc_id,
+              |  CAST(len(l) AS BIGINT) AS n_tokens,
+              |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+              |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+              |  coalesce(clean_text, '') AS clean_text
+              |FROM tok t LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- d13: prefix-filtered exact Jaccard (the scale path) -----------

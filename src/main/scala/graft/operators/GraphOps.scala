@@ -192,14 +192,24 @@ object GraphOps {
     *
     * NOTE: building the plan runs the degree aggregate eagerly (the
     * knnJoin true-cardinality convention) — plan choice from measured
-    * statistics, never from a guess that flaps at scale. */
-  def trianglesAuto(edges: DataFrame, skewThreshold: Long = 10): DataFrame = {
-    val stats = degrees(edges)
-      .agg(max(col("degree")).cast("long").as("mx"),
-        percentile_approx(col("degree"), lit(0.5), lit(10000)).cast("long").as("md"))
-      .head()
-    val maxDeg = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val medDeg = math.max(1L, if (stats.isNullAt(1)) 1L else stats.getLong(1))
+    * statistics, never from a guess that flaps at scale. When the caller
+    * already knows the skew profile — composing over a not-yet-
+    * materialized edge set, or re-invoking on a graph whose degree stats
+    * are maintained as a pipeline artifact — pass
+    * `knownStats = Some((maxDeg, medianDeg))` and plan construction is
+    * lazy: no scan until the plan executes (the knnJoin `knownBytes`
+    * convention, r8 ADVICE applied here). */
+  def trianglesAuto(edges: DataFrame, skewThreshold: Long = 10,
+      knownStats: Option[(Long, Long)] = None): DataFrame = {
+    val (maxDeg, medDeg0) = knownStats.getOrElse {
+      val stats = degrees(edges)
+        .agg(max(col("degree")).cast("long").as("mx"),
+          percentile_approx(col("degree"), lit(0.5), lit(10000)).cast("long").as("md"))
+        .head()
+      (if (stats.isNullAt(0)) 0L else stats.getLong(0),
+        if (stats.isNullAt(1)) 1L else stats.getLong(1))
+    }
+    val medDeg = math.max(1L, medDeg0)
     if (maxDeg / medDeg >= skewThreshold) trianglesDegreeOrdered(edges)
     else triangles(edges)
   }

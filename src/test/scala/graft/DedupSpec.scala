@@ -215,6 +215,47 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) === ((6L, 0L, 0L, 0L)))       // unique doc: no spans
   }
 
+  test("substringRewrite: excises exactly the merged spans, identity elsewhere") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta one two three four five six " +
+        "eta theta iota kappa lambda mu", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "eta theta iota kappa lambda mu", "en"),
+      (3L, "nu xi omicron pi rho sigma", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.substringRewrite(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("n_spans"), r.getAs[String]("clean_text"))).toMap
+    // doc 0: both copied passages cut, the unique filler survives intact
+    assert(out(0L) === ((18L, 6L, 2L, "one two three four five six")))
+    // docs 1/2 ARE the shared passages — fully excised
+    assert(out(1L) === ((6L, 0L, 1L, "")))
+    assert(out(2L) === ((6L, 0L, 1L, "")))
+    // doc 3 untouched: identity on the token stream
+    assert(out(3L) === ((6L, 6L, 0L, "nu xi omicron pi rho sigma")))
+    // consistency with the measuring form: kept = n_tokens - dup_tokens
+    val measured = Dedup.dupSpans(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    out.foreach { case (id, (n, kept, _, _)) =>
+      assert(kept === n - measured(id), s"doc $id: kept != n_tokens - dup_tokens")
+    }
+  }
+
+  test("substringRewrite: no duplicated shingles => clean_text == normalized tokens") {
+    val unique = Seq(
+      (0L, "The quick  BROWN fox jumps over the lazy dog", "en"),
+      (1L, "completely different content about spark engines", "en")
+    ).toDF("doc_id", "text", "lang")
+    val expect = unique.select(col("doc_id"),
+        array_join(graft.functions.TextFns.tokens(col("text")), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Dedup.substringRewrite(unique).collect().foreach { r =>
+      assert(r.getAs[Long]("n_spans") === 0L)
+      assert(r.getAs[String]("clean_text") === expect(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("clusterSplit: no near-dup pair straddles the split, any train pct") {
     Seq(10, 50, 90).foreach { pct =>
       val side = Dedup.clusterSplit(docs, trainPct = pct).collect()
@@ -228,6 +269,28 @@ class DedupSpec extends AnyFunSuite {
         assert(side(d1) === side(d2), s"pair ($d1,$d2) straddles at pct=$pct")
       }
     }
+  }
+
+  test("band-index lifecycle: append == full rebuild, compaction row-identical") {
+    val many = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta content "), pmod(col("id"), lit(9)),
+        lit(" epsilon zeta "), pmod(col("id"), lit(4))).as("text"),
+      lit("en").as("lang"))
+    val corpus = many.filter(col("doc_id") % 10 =!= 0)
+    val batch = many.filter(col("doc_id") % 10 === 0)
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    val lifecycleDir = tmp(); val rebuildDir = tmp(); val compactDir = tmp()
+    Dedup.buildBandIndex(corpus, lifecycleDir)
+    Dedup.appendBandIndex(batch, lifecycleDir)
+    Dedup.buildBandIndex(many, rebuildDir)
+    def rows(dir: String) = Dedup.readBandIndex(spark, dir)
+      .select(col("doc_id"), col("band"), col("bkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val appended = rows(lifecycleDir)
+    assert(appended === rows(rebuildDir), "append != full rebuild")
+    val nFiles = graft.sources.Formats.compactParquet(spark, lifecycleDir, compactDir)
+    assert(rows(compactDir) === appended, "compaction changed the index")
+    assert(nFiles >= 1)
   }
 
   test("incremental LSH == full pair set minus old-old, for any batch split") {

@@ -398,6 +398,36 @@ class PlanSpec extends AnyFunSuite {
     assert(viaAuto === viaId)
   }
 
+  test("trianglesAuto knownStats: lazy construction (no job), same branch choice") {
+    import graft.operators.GraphOps
+    val uniform = spark.range(4000).selectExpr(
+      "id AS src", "(id * 37) % 4000 AS dst")
+    // a caller-supplied skew profile must make plan CONSTRUCTION lazy —
+    // count Spark jobs across the build (the knnJoin knownBytes contract)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // id-ordered branch: fully lazy — no degree aggregate, no barrier
+      val lazyPlan = GraphOps.trianglesAuto(uniform,
+        knownStats = Some((2L, 1L)))
+      Thread.sleep(1000) // let the async listener bus drain
+      assert(jobs.get() === 0,
+        "plan construction with knownStats must not run the degree aggregate")
+      assert(!lazyPlan.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+      // stated skew stats drive the same branch the measured path takes
+      // (the orientation itself materializes its oriented edges — that
+      // job is the branch's own barrier, not a stats scan)
+      val skewedPlan = GraphOps.trianglesAuto(uniform,
+        knownStats = Some((1000L, 1L)))
+      assert(skewedPlan.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q54 fact scan carries a dynamic partition pruning filter from the dim join") {
     // the fact is written partitioned by l_returnflag; joining through the
     // filtered dim must inject the dim's keys into the fact scan's

@@ -35,7 +35,8 @@ class QueriesSpec extends AnyFunSuite {
     "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
     "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
     "d14_incremental_dedup", "d15_dup_shingle_rate", "d16_containment",
-    "d26_contamination_pairs",
+    "d28_band_index_lifecycle",
+    "d26_contamination_pairs", "i01_tolerant_ingest",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "s08_knn_join",
     "t14_perplexity_buckets", "t15_rag_chunks", "t16_bpe_pairs",
@@ -43,11 +44,12 @@ class QueriesSpec extends AnyFunSuite {
     "g12_link_prediction", "g13_personalized_pagerank",
     "g14_clustering_coefficient", "g15_graph_stats",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
+    "m08_image_roundtrip",
     "m06_phash_neardup", "m07_interleave", "q44_keep_latest",
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
     "p12_sketch_overlap", "p13_mad_outliers", "p14_grouped_distinct",
-    "d19_dup_spans", "d20_semantic_clusters_banded",
+    "d19_dup_spans", "d27_substring_rewrite", "d20_semantic_clusters_banded",
     "d23_semantic_representatives", "d24_embedding_decontaminate",
     // r8 additions: recursive-CTE chain (d25), list_* + QUALIFY (s09),
     // DuckDB %-predicates in the band quadrant (st14)
