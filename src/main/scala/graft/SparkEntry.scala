@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Profile.queries ++
       operators.Pipeline.queries ++
-      streaming.EventStreams.queries
+      streaming.EventStreams.queries ++
+      sources.Formats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

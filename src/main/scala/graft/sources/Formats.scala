@@ -1,7 +1,9 @@
 package graft.sources
 
+import graft.Q
 import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType, TimestampType}
 
 /** Scan/sink layer: CSV / JSON / Parquet / ORC with the engine's defaults.
   *
@@ -36,6 +38,33 @@ object Formats {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Tolerant ingest with corrupt-record QUARANTINE — the third arm
+    * between FAILFAST (the reference's semantics — one malformed line in
+    * hour 1 of a 100 TB ingest kills the job) and plain PERMISSIVE
+    * (malformed fields silently null — data loss with no audit trail).
+    * Every input line comes back: parseable rows with their typed
+    * columns, malformed rows with the RAW LINE in `corruptCol` (null for
+    * good rows), so one scan routes good rows onward and quarantined
+    * rows to a badRecords output with counts — nothing dropped, nothing
+    * fatal. Malformed = wrong field count OR any field failing its cast
+    * (Spark's univocity semantics; i01's oracle re-derives the same
+    * classification from the raw lines in DuckDB).
+    *
+    * Caveat (Spark rule): a query referencing ONLY `corruptCol` over a
+    * raw CSV is disallowed by the analyzer — route/filter alongside at
+    * least one data column, or materialize first (a production ingest
+    * does anyway: one scan, two sinks). */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ",", header: Boolean = false,
+      corruptCol: String = "_corrupt"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, StringType))
+      .option("sep", delimiter)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
 
   /** Parquet sink; `partitionBy` produces a directory per key value so
     * later reads with a key predicate scan only matching directories. */
@@ -113,4 +142,60 @@ object Formats {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Planted fixture for i01: 11 CSV lines over an events-like schema,
+    * 5 well-formed and 6 malformed — one per corruption class (non-numeric
+    * BIGINT, too few fields, no delimiter at all, too many fields,
+    * non-numeric DOUBLE, invalid TIMESTAMP). Checked into the repo so both
+    * engines read the identical bytes. */
+  private[graft] val ingestFixturePath =
+    "/root/repo/src/main/resources/fixtures/ingest_corrupt.csv"
+
+  val queries: Seq[Q] = Seq(
+    // ---- i01: tolerant ingest — corrupt lines QUARANTINED, not dropped,
+    // not fatal. Per-line disposition: good rows carry their parsed typed
+    // columns; quarantined rows carry the raw line (parsed columns
+    // nulled on BOTH sides — Spark's partial field fill is parser
+    // detail, not contract). The oracle reclassifies the same raw lines
+    // in DuckDB (field count + per-field try_cast), so green certifies
+    // quarantined ≠ dropped ≠ job-failed AND the classification itself.
+    Q("i01_tolerant_ingest", { (s, _) =>
+        val schema = new StructType()
+          .add("event_id", LongType).add("ts", TimestampType)
+          .add("user_id", LongType).add("event_type", StringType)
+          .add("value", DoubleType)
+        val df = readCsvQuarantine(s, ingestFixturePath, schema)
+        val good = col("_corrupt").isNull
+        df.select(
+            when(good, lit("good")).otherwise(lit("quarantined")).as("status"),
+            when(good, col("event_id")).as("event_id"),
+            when(good, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("ts_s"),
+            when(good, col("user_id")).as("user_id"),
+            when(good, col("event_type")).as("event_type"),
+            when(good, col("value")).as("value"),
+            col("_corrupt").as("raw"))
+          .orderBy(col("status"), coalesce(col("event_id"), lit(-1L)),
+            coalesce(col("raw"), lit("")))
+      },
+      Some(s"""WITH raw AS (SELECT line FROM read_csv('$ingestFixturePath',
+              |        columns={'line': 'VARCHAR'}, delim='|', quote='',
+              |        header=false)),
+              |p AS (SELECT line, str_split(line, ',') AS f FROM raw),
+              |c AS (SELECT line, f,
+              |  (len(f) = 5
+              |   AND try_cast(f[1] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[2] AS TIMESTAMP) IS NOT NULL
+              |   AND try_cast(f[3] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[5] AS DOUBLE) IS NOT NULL) AS ok FROM p)
+              |SELECT CASE WHEN ok THEN 'good' ELSE 'quarantined' END AS status,
+              |  CASE WHEN ok THEN try_cast(f[1] AS BIGINT) END AS event_id,
+              |  CASE WHEN ok THEN strftime(try_cast(f[2] AS TIMESTAMP),
+              |       '%Y-%m-%d %H:%M:%S') END AS ts_s,
+              |  CASE WHEN ok THEN try_cast(f[3] AS BIGINT) END AS user_id,
+              |  CASE WHEN ok THEN f[4] END AS event_type,
+              |  CASE WHEN ok THEN try_cast(f[5] AS DOUBLE) END AS value,
+              |  CASE WHEN NOT ok THEN line END AS raw
+              |FROM c
+              |ORDER BY status, coalesce(event_id, -1), coalesce(raw, '')""".stripMargin)),
+  )
 }

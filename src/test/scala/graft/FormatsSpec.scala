@@ -125,4 +125,32 @@ class FormatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
     assert(salted === direct)
   }
+
+  test("readCsvQuarantine: every corruption class quarantined, nothing dropped, nothing fatal") {
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType)
+    val df = Formats.readCsvQuarantine(spark,
+      Formats.ingestFixturePath, schema).cache()
+    val total = df.count()
+    val bad = df.filter($"_corrupt".isNotNull)
+    val good = df.filter($"_corrupt".isNull)
+    // quarantined != dropped != job-failed: all 11 planted lines land
+    assert(total === 11)
+    assert(bad.count() === 6)
+    assert(good.count() === 5)
+    // quarantine keeps the raw line byte-for-byte (re-ingestable later)
+    val rawLines = bad.select($"_corrupt").as[String].collect().toSet
+    assert(rawLines.contains("garbage line without any delimiter structure"))
+    assert(rawLines.contains("4,2024-01-01 00:20:00")) // too few fields
+    assert(rawLines.exists(_.endsWith("extracolumn")))  // too many fields
+    assert(rawLines.exists(_.startsWith("notanumber"))) // bad BIGINT
+    assert(rawLines.exists(_.endsWith("notadouble")))   // bad DOUBLE
+    assert(rawLines.exists(_.contains("2024-13-45")))   // bad TIMESTAMP
+    // good rows parsed fully typed
+    assert(good.select($"event_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 7L, 9L))
+    df.unpersist()
+  }
 }
