@@ -46,7 +46,7 @@ object Multimodal {
     * this deterministic fake emits an 8-bin byte histogram, L1-normalized.
     * The *shape* (bytes → fixed-dim float vector, computed per partition
     * with no driver round-trip) is exactly what the real decoder needs. */
-  private[operators] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+  private[graft] def fakeDecode(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](8)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) >> 5) += 1f; i += 1 }
@@ -56,16 +56,117 @@ object Multimodal {
     hist
   }
 
-  /** Batched per-partition decode/feature-extract. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** REAL image decode — JDK-built-in `javax.imageio` (PNG/BMP/GIF ship
+    * with the JDK; no external libraries, headless-safe): payload →
+    * BufferedImage → 8-bin LUMINANCE histogram (integer BT.601 weights
+    * 299/587/114 over /1000, so a gray pixel (l,l,l) maps to exactly l),
+    * L1-normalized — the same `bytes → fixed-dim float vector` contract
+    * as [[fakeDecode]], so the two arms swap behind a flag without
+    * touching any distribution logic. None when the payload is not a
+    * decodable image (ImageIO returns null). */
+  private[operators] def imageIoDecode(payload: Array[Byte]): Option[Array[Float]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+      var k = 0
+      while (k < 8) { hist(k) /= n; k += 1 }
+      Some(hist)
+    }
+  }
+
+  /** Batched per-partition decode/feature-extract. With
+    * `useRealCodec = true`, image payloads go through the REAL
+    * [[imageIoDecode]] (JDK ImageIO), falling back to the stub for
+    * payloads ImageIO can't parse (the fixture corpus synthesizes
+    * payloads from text bytes, which aren't PNGs — MultimodalSpec feeds
+    * the real arm genuine PNGs); audio/video stay on the stub either
+    * way (no JDK-built-in codec). Default is the stub: deterministic,
+    * oracle-checkable (m02). */
+  def extractFeatures(media: Dataset[MediaRow],
+      useRealCodec: Boolean = false): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // partition = one batch; a real codec would allocate its native
       // context once here and reuse it across the iterator
       rows.map { r =>
-        MediaFeatures(r.doc_id, r.kind, r.payload.length, fakeDecode(r.payload))
+        val feats =
+          if (useRealCodec && r.kind == "image")
+            imageIoDecode(r.payload).getOrElse(fakeDecode(r.payload))
+          else fakeDecode(r.payload)
+        MediaFeatures(r.doc_id, r.kind, r.payload.length, feats)
       }
     }
+  }
+
+  /** The real-codec certification arm (m08): synthesize a deterministic
+    * grayscale image per document (pixel luminance
+    * `(doc_id·31 + x·7 + y·13) mod 256`), ENCODE it to real PNG bytes
+    * with ImageIO, DECODE those bytes back with [[imageIoDecode]]'s
+    * machinery, and emit the per-bin luminance histogram as exact
+    * integer counts. PNG is lossless on TYPE_INT_RGB, so
+    * decode(encode(pixels)) == pixels — which the oracle certifies
+    * ANALYTICALLY: DuckDB recomputes the histogram from the same pixel
+    * formula without ever touching a PNG. Green == the real codec path
+    * round-trips bit-exactly; a decoder that cropped, re-gamma'd, or
+    * mis-sampled would shift bins and break the hash.
+    *
+    * Scale shape: one narrow mapPartitions pass, no shuffle at all —
+    * codec work pipelines with the scan exactly like [[extractFeatures]]. */
+  def imageRoundTrip(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 8 + 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val l = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (l << 16) | (l << 8) | l)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val png = baos.toByteArray
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        val hist = new Array[Long](8)
+        var yy = 0
+        while (yy < back.getHeight) {
+          var xx = 0
+          while (xx < back.getWidth) {
+            val rgb = back.getRGB(xx, yy)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1L
+            xx += 1
+          }
+          yy += 1
+        }
+        (id, w, h, if (png.nonEmpty && back != null) 1 else 0,
+          hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+      }
+    }.toDF("doc_id", "width", "height", "png_valid",
+      "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
   }
 
   /** Deterministic frame sampling for "video" payloads: every `stride`-th
@@ -331,6 +432,34 @@ object Multimodal {
               |                       WHEN 'audio' THEN 1 ELSE 2 END) AS BIGINT) AS slot
               |FROM r
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- m08: REAL PNG encode→decode round-trip, analytically gated ----
+    // The Spark side runs genuine ImageIO codec work per row (PNG encode
+    // then decode of a deterministic grayscale image); the oracle
+    // recomputes the expected luminance histogram from the pixel formula
+    // alone. Lossless PNG means the two must agree exactly — the real
+    // codec path under the same cross-engine gate as every stub.
+    Q("m08_image_roundtrip",
+      (s, dir) => imageRoundTrip(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+             |           FROM documents),
+             |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+             |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+             |b AS (SELECT doc_id, w, h,
+             |        ((doc_id * 31 + x * 7 + y * 13) % 256) // 32 AS bin FROM px)
+             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  1 AS png_valid,
+             |  CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             |  CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             |  CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             |  CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+             |  CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+             |  CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+             |  CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+             |  CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+             |FROM b GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- m05: byte-exact payload dedup ---------------------------------
     // Unlike d01 (normalized-text fingerprints), payload dedup is over

@@ -59,6 +59,52 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real codec arm: a genuine PNG decodes to its exact luminance histogram") {
+    // 4×2 grayscale PNG with known luminances: 0,64,128,255 twice over —
+    // bins 0,2,4,7 get 2/8 = 0.25 each, everything else 0
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val lums = Array(0, 64, 128, 255)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val l = lums(x)
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "image", png, 4, 2, 0),
+      Multimodal.MediaRow(1L, "audio", png, 0, 0, 16000))) // audio: stub arm
+    val out = Multimodal.extractFeatures(ds, useRealCodec = true).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    assert(out(0L).toSeq === Seq(0.25f, 0f, 0.25f, 0f, 0.25f, 0f, 0f, 0.25f))
+    // non-image rows stay on the byte-histogram stub regardless of flag
+    assert(out(1L).toSeq === Multimodal.fakeDecode(png).toSeq)
+    // a non-decodable payload falls back to the stub, not a crash
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRow(2L, "image", bytes("not a png"), 1, 1, 0)))
+    val fb = Multimodal.extractFeatures(junk, useRealCodec = true).collect().head
+    assert(fb.features.toSeq === Multimodal.fakeDecode(bytes("not a png")).toSeq)
+  }
+
+  test("imageRoundTrip: PNG encode→decode reproduces the analytic histogram") {
+    import spark.implicits._
+    val docs = spark.range(8).select(org.apache.spark.sql.functions.col("id").as("doc_id"))
+    Multimodal.imageRoundTrip(docs).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = (id % 16 + 8).toInt; val h = (id % 8 + 8).toInt
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Int]("png_valid") === 1)
+      val expect = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w)
+        expect(((id * 31 + x * 7 + y * 13) % 256).toInt >> 5) += 1L
+      val got = (0 until 8).map(b => r.getAs[Long](s"b$b"))
+      assert(got === expect.toSeq, s"doc $id histogram mismatch")
+    }
+  }
+
   test("banded near-dup join == brute-force hamming<=1 scan") {
     import spark.implicits._
     val media = (0L until 60L).map { id =>
