@@ -204,6 +204,67 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--d27-only")) {
+      // substring-dedup at 50k docs: the measuring pass (d19) and the
+      // ACTING pass (d27) on the same corpus — the rewrite must stay in
+      // d19's cost class (its only additions are a span-table doc_id
+      // rollup and the per-doc positional filter, both bounded by the
+      // corpus token stream). The reconciliation row proves the rewrite
+      // removes EXACTLY the token mass d19 measures, at scale.
+      val d = docs(spark, nDocs).persist(); d.count()
+      timed(s"d19_dup_spans_${nDocs}") { Dedup.dupSpans(d).count() }
+      timed(s"d27_substring_rewrite_${nDocs}") {
+        Dedup.substringRewrite(d).count()
+      }
+      val rec = Dedup.substringRewrite(d)
+        .agg(sum(col("n_tokens")).as("nt"), sum(col("kept_tokens")).as("kt"))
+        .head()
+      val measured = Dedup.dupSpans(d)
+        .agg(sum(col("dup_tokens"))).head().getLong(0)
+      val removed = rec.getLong(0) - rec.getLong(1)
+      println(s"""{"step":"d27_reconciliation","total_tokens":${rec.getLong(0)},""" +
+        s""""removed_tokens":$removed,"d19_dup_tokens":$measured,""" +
+        s""""rewrite_eq_measure":${removed == measured}}""")
+      spark.stop(); return
+    }
+
+    if (args.contains("--d28-only")) {
+      // band-index lifecycle at 50k docs: day-1 build over 99% of the
+      // corpus vs the 1% DAY-2 APPEND — the append's shuffle must be
+      // batch-sized (one batch signature pass), never corpus-sized, and
+      // the appended artifact must equal the full rebuild row-for-row.
+      val d = docs(spark, nDocs).persist(); d.count()
+      val corpus = d.filter(col("doc_id") % 100 =!= 0)
+      val batch = d.filter(col("doc_id") % 100 === 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_idx").toString
+      timed(s"d28_build_index_99pct_${nDocs}") {
+        Dedup.buildBandIndex(corpus, idxDir)
+        spark.read.parquet(idxDir).count()
+      }
+      timed(s"d28_append_index_1pct_${nDocs}") {
+        Dedup.appendBandIndex(batch, idxDir)
+        batch.count()
+      }
+      val compactDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_idx_c").toString
+      timed(s"d28_compact_${nDocs}") {
+        graft.sources.Formats.compactParquet(spark, idxDir, compactDir).toLong
+      }
+      val rebuildDir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_idx_r").toString
+      Dedup.buildBandIndex(d, rebuildDir)
+      val appended = spark.read.parquet(compactDir)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val rebuilt = spark.read.parquet(rebuildDir)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val diff = appended.exceptAll(rebuilt).count() +
+        rebuilt.exceptAll(appended).count()
+      println(s"""{"step":"d28_append_eq_rebuild","index_rows":${rebuilt.count()},""" +
+        s""""row_diff":$diff,"append_eq_rebuild":${diff == 0L}}""")
+      spark.stop(); return
+    }
+
     if (recallOnly) {
       // ---- the ANN recall/cost curve at 500k × 64-dim -------------------
       // What a real deployment tunes: recall@10 against the exact scan,

@@ -22,8 +22,16 @@ import java.nio.file.Files
   * contract StreamingSpec proves at sf0.001, re-proven here at replay
   * scale as a row-count match.
   *
-  * Usage: `runMain graft.StreamBench [sfDir] [nFiles]` (defaults
-  * /root/testdata/sf0.1, 20 files).
+  * Usage: `runMain graft.StreamBench [sfDir] [nFiles] [xFactor]` (defaults
+  * /root/testdata/sf0.1, 20 files, 1×). `xFactor` replays the corpus at a
+  * MULTIPLIED offered rate: the events table is replicated xFactor times
+  * with disjoint (event_id, user_id) ranges — independent user
+  * populations, so per-key state and join output scale linearly with the
+  * rate, exactly like real added traffic (duplicating ids instead would
+  * square the per-user join volume and measure a different query). Same
+  * nFiles ⇒ each trigger ingests xFactor× the rows; at sfDir=sf0.1 and
+  * xFactor=10 that is the 1M-event tier (the streaming analogue of
+  * ScaleSmoke's 10–50× batch tier, BASELINE_SELF.md records it).
   */
 object StreamBench {
 
@@ -34,11 +42,19 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val nFiles = args.lift(1).map(_.toInt).getOrElse(20)
+    val xFactor = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = GraftSession.get(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
 
     // stage the replay: nFiles roughly equal parquet chunks
-    val ev = Tables.load(spark, sfDir, "events")
+    val evBase = Tables.load(spark, sfDir, "events")
+    val ev =
+      if (xFactor <= 1) evBase
+      else (0 until xFactor).map { r =>
+        evBase.select((col("event_id") + lit(r * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r * 1000000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
     val nRows = ev.count()
     val staging = Files.createTempDirectory("graft_stream_replay").toString
     ev.repartition(nFiles).write.mode("overwrite").parquet(staging)
@@ -52,7 +68,7 @@ object StreamBench {
       val lats = trig.map(_._2).filter(_ >= 0)
       val rows = trig.map(_._1).sum
       val totalSec = lats.sum / 1000.0
-      println(s"""{"query":"$name","batches":${lats.size},"rows":$rows,""" +
+      println(s"""{"query":"$name","x_factor":$xFactor,"batches":${lats.size},"rows":$rows,""" +
         s""""median_trigger_ms":${quantile(lats, 0.5)},""" +
         s""""p95_trigger_ms":${quantile(lats, 0.95)},""" +
         s""""max_trigger_ms":${lats.max},""" +
@@ -105,9 +121,17 @@ object StreamBench {
       val arr = unix_micros(col("ts")) +
         pmod(graft.functions.PortableHash.baseHash(col("event_id").cast("string")),
           lit(3600L)) * 1000000L
+      // chunk assignment by RANGE PARTITIONING on the arrival key, not
+      // `ntile() OVER (ORDER BY …)`: the global window would single-task-
+      // sort the whole corpus inside the HARNESS while measuring the
+      // engine (r8 verdict #3). Partition i holds arrival keys strictly
+      // below partition i+1's, which is all the replay needs — chunk
+      // sizes are approximately (not exactly) equal, irrelevant to the
+      // stream==batch check. persist() pins the sampled range boundaries
+      // so the per-chunk filters below all see ONE assignment.
       val ordered = spark.read.parquet(staging)
-        .withColumn("_b", ntile(nFiles).over(
-          Window.orderBy(arr, col("event_id"))))
+        .repartitionByRange(nFiles, arr, col("event_id"))
+        .withColumn("_b", spark_partition_id() + 1)
         .persist()
       for (i <- 1 to nFiles) {
         val tmp = Files.createTempDirectory("graft_replay_chunk").toString
@@ -172,9 +196,10 @@ object StreamBench {
           (-2L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L,
             "purchase", 0.0, "{}")))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // range-partitioned chunk staging, same rationale as st10's
       val ordered = spark.read.parquet(staging)
-        .withColumn("_b", ntile(nFiles).over(
-          Window.orderBy(col("ts"), col("event_id"))))
+        .repartitionByRange(nFiles, col("ts"), col("event_id"))
+        .withColumn("_b", spark_partition_id() + 1)
         .persist()
       for (i <- 1 to nFiles) {
         val tmp = Files.createTempDirectory("graft_attr_chunk").toString
