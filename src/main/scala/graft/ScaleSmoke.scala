@@ -80,6 +80,14 @@ object ScaleSmoke {
     val totals = ShuffleTotals.install(spark)
     import spark.implicits._
 
+    // full-output evaluation (Bench.exec's protocol): materialize every
+    // output column via the exec RDD — a stacked .count() lets Catalyst
+    // prune projections and ELIMINATE unique-keyed left joins, silently
+    // measuring a fraction of the operator (found twice now: Bench r8,
+    // then the first d19/d27 smoke rows here)
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     def timed(name: String)(body: => Long): Unit = {
       val (r0, w0) = totals.snapshotAfter()
       val t0 = System.nanoTime()
@@ -211,10 +219,25 @@ object ScaleSmoke {
       // rollup and the per-doc positional filter, both bounded by the
       // corpus token stream). The reconciliation row proves the rewrite
       // removes EXACTLY the token mass d19 measures, at scale.
-      val d = docs(spark, nDocs).persist(); d.count()
-      timed(s"d19_dup_spans_${nDocs}") { Dedup.dupSpans(d).count() }
+      //
+      // Two measurement-protocol rules, both learned the hard way:
+      // (a) evaluate FULL output (exec) — both operators end in a LEFT
+      //     join whose right side is a groupBy(doc_id) aggregate, which
+      //     is provably unique-keyed, so a stacked .count() JOIN-
+      //     ELIMINATES the entire span machinery (the r8 Bench.exec
+      //     lesson, resurfacing in the smoke harness);
+      // (b) break the range-source partitioning gift — spark.range
+      //     reports RangePartitioning(id), which narrow transforms
+      //     preserve, so doc_id-keyed windows/aggregates on the raw
+      //     generated corpus shuffle NOTHING; a real parquet corpus has
+      //     no such gift. One round-robin repartition before persist
+      //     restores the honest shape.
+      val d = docs(spark, nDocs)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .persist(); d.count()
+      timed(s"d19_dup_spans_${nDocs}") { exec(Dedup.dupSpans(d)) }
       timed(s"d27_substring_rewrite_${nDocs}") {
-        Dedup.substringRewrite(d).count()
+        exec(Dedup.substringRewrite(d))
       }
       val rec = Dedup.substringRewrite(d)
         .agg(sum(col("n_tokens")).as("nt"), sum(col("kept_tokens")).as("kt"))
@@ -233,7 +256,12 @@ object ScaleSmoke {
       // corpus vs the 1% DAY-2 APPEND — the append's shuffle must be
       // batch-sized (one batch signature pass), never corpus-sized, and
       // the appended artifact must equal the full rebuild row-for-row.
-      val d = docs(spark, nDocs).persist(); d.count()
+      // repartition: break spark.range's RangePartitioning gift so the
+      // signature aggregation pays its real doc_id exchange (see the
+      // --d27-only protocol note).
+      val d = docs(spark, nDocs)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .persist(); d.count()
       val corpus = d.filter(col("doc_id") % 100 =!= 0)
       val batch = d.filter(col("doc_id") % 100 === 0)
       val idxDir = java.nio.file.Files
