@@ -513,6 +513,10 @@ object Dedup {
     * MinHash document dedup this is the most-shipped transform in a
     * CommonCrawl-scale pretraining pipeline — boilerplate and quoted
     * passages survive document-level dedup and must be cut positionally.
+    * Removal semantics follow the paper's released ExactSubstr tool:
+    * the duplicated passage is removed from EVERY document carrying it
+    * (the paper's own simplification over keep-one-copy — symmetric, so
+    * the output is order- and engine-independent).
     *
     * `clean_text` is the kept tokens rejoined with single spaces — the
     * tokenizer's normalization, applied to UNTOUCHED documents too, so
