@@ -66,6 +66,18 @@ object Formats {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
 
+  /** JSON sibling of [[readCsvQuarantine]]: malformed JSON lines (parse
+    * failures, type mismatches against the schema) come back with the raw
+    * line in `corruptCol`, null for good rows — same routing contract,
+    * same analyzer caveat. */
+  def readJsonQuarantine(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** Parquet sink; `partitionBy` produces a directory per key value so
     * later reads with a key predicate scan only matching directories. */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
@@ -149,7 +161,8 @@ object Formats {
     * non-numeric DOUBLE, invalid TIMESTAMP). Checked into the repo so both
     * engines read the identical bytes. */
   private[graft] val ingestFixturePath =
-    "/root/repo/src/main/resources/fixtures/ingest_corrupt.csv"
+    sys.env.getOrElse("GRAFT_REPO", "/root/repo") +
+      "/src/main/resources/fixtures/ingest_corrupt.csv"
 
   val queries: Seq[Q] = Seq(
     // ---- i01: tolerant ingest — corrupt lines QUARANTINED, not dropped,

@@ -153,4 +153,25 @@ class FormatsSpec extends AnyFunSuite {
       === Array(1L, 2L, 3L, 7L, 9L))
     df.unpersist()
   }
+
+  test("readJsonQuarantine: malformed and mistyped JSON lines routed, good lines parsed") {
+    val tmp = Files.createTempDirectory("graft-json-q")
+    val lines = Seq(
+      """{"id": 1, "v": 1.5}""",
+      """{"id": 2, "v": 2.0}""",
+      """{"id": "notanumber", "v": 3.0}""", // type mismatch
+      """{broken json""",                   // parse failure
+      """{"id": 4, "v": 0.25}""")
+    java.nio.file.Files.write(tmp.resolve("data.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = new StructType().add("id", LongType).add("v", DoubleType)
+    val df = Formats.readJsonQuarantine(spark, tmp.toString, schema).cache()
+    assert(df.count() === 5)
+    val bad = df.filter($"_corrupt".isNotNull).select($"_corrupt").as[String]
+      .collect().toSet
+    assert(bad === Set("""{"id": "notanumber", "v": 3.0}""", """{broken json"""))
+    assert(df.filter($"_corrupt".isNull).select($"id").as[Long].collect().sorted
+      === Array(1L, 2L, 4L))
+    df.unpersist()
+  }
 }
