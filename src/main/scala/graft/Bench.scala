@@ -116,6 +116,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AFTER setLogLevel: Spark's level reset wipes per-logger overrides
+    GraftSession.silenceBoundedWindowWarning()
     val totals = ShuffleTotals.install(spark)
 
     try {

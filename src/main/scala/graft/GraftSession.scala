@@ -29,6 +29,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceBoundedWindowWarning()
     graft.plans.GraftFunctions.register(spark)
     installRules(spark)
     spark
@@ -38,10 +39,33 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    silenceBoundedWindowWarning()
     graft.plans.GraftFunctions.register(spark)
     installRules(spark)
     spark
   }
+
+  /** Silence WindowExec's "No Partition Defined" scale warning.
+    *
+    * Adjudicated (r8 verdict #1): every unpartitioned window in this
+    * engine is a DELIBERATE global running sum over a table bounded by
+    * construction — budgetSelect's per-shuffle-partition offsets (≤
+    * `parts` rows), distributionRanks' group offsets with no group
+    * columns (same bound), and the HDR cumulative counts (≤ MaxBuckets
+    * rows). Single-partition execution there is the design; the
+    * per-execution warning flood (dozens per bench run) buried real
+    * warnings in the artifact tail. A constant `partitionBy(lit(0))` key
+    * does NOT suppress it — Catalyst constant-folds foldable partition
+    * expressions out of the spec and the executed Window is unpartitioned
+    * again (measured) — so the logger is scoped down instead: exactly
+    * this one class, everything else stays at WARN. An ACCIDENTAL
+    * corpus-sized global window would still be caught — PlanSpec pins
+    * the two-pass ranked shapes on q36/q51/d22/e04 and t13 asserts the
+    * windowless threshold select. */
+  private[graft] def silenceBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** Install graft optimizer rules on a LIVE session (new sessions can use
     * `spark.sql.extensions=graft.plans.GraftExtensions` instead). */

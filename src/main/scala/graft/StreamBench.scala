@@ -45,6 +45,7 @@ object StreamBench {
     val xFactor = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = GraftSession.get(appName = "graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceBoundedWindowWarning() // after the level reset
 
     // stage the replay: nFiles roughly equal parquet chunks
     val evBase = Tables.load(spark, sfDir, "events")

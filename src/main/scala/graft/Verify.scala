@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceBoundedWindowWarning() // after the level reset
     new java.io.File(outDir).mkdirs()
     // Closed-over-the-registry dump: a query that throws still writes a
     // one-row sentinel parquet (schema: verify_error STRING), so the

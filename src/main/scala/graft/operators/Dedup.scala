@@ -114,14 +114,15 @@ object Dedup {
       .withColumn("__pid", spark_partition_id()).localCheckpoint()
     val slices = ranged.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__wsum"))
-    // partitionBy(lit(0)): the offsets table is bounded (one row per
-    // shuffle partition) and MUST run as one window partition; the
-    // explicit constant key states that, where an empty partitionSpec
-    // makes WindowExec log a scale warning per execution — dozens of
-    // which buried real warnings in the r8 bench tail (r8 verdict #1).
+    // deliberately GLOBAL window: the offsets table is bounded at one row
+    // per shuffle partition, so single-partition execution is the design,
+    // not an accident. WindowExec's per-execution scale warning for this
+    // shape is silenced at the logger (GraftSession) — a constant
+    // partitionBy key does NOT work, Catalyst folds foldable partition
+    // expressions out of the spec (measured: the executed Window is
+    // unpartitioned again).
     val offsets = slices.select(col("__pid"),
-      coalesce(sum(col("__wsum")).over(Window.partitionBy(lit(0))
-        .orderBy(col("__pid"))
+      coalesce(sum(col("__wsum")).over(Window.orderBy(col("__pid"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -218,12 +218,12 @@ object Profile {
       .agg(min(when(col("cnt") === col("cnt2"), 1).otherwise(0)).as("merge_ok"))
     val nDf = cents.agg(count(lit(1)).as("n"))
     // constant-size tables from here down (≤ MaxBuckets rows)
-    // partitionBy(lit(0)): bounded table (≤ MaxBuckets rows) that must
-    // be one window partition — the explicit constant key avoids the
-    // per-execution WindowExec "no partition defined" warning flood
-    // that buried real warnings in the r8 bench tail (r8 verdict #1)
+    // deliberately GLOBAL window over a bounded table (≤ MaxBuckets
+    // rows) — single-partition execution is the design; the WindowExec
+    // scale warning for this shape is logger-silenced in GraftSession
+    // (a constant partitionBy key gets constant-folded out of the spec)
     val cum = merged.withColumn("cum",
-      sum(col("cnt")).over(Window.partitionBy(lit(0)).orderBy(col("bucket"))))
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
     val ranks = ps.toDF("p").crossJoin(nDf)
       .withColumn("rank", ceil(col("p") * col("n") / 100.0).cast("long"))
       .select(col("p"), col("rank"))

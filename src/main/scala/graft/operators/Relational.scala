@@ -72,12 +72,11 @@ object Relational {
       .withColumn("__pid", spark_partition_id()).localCheckpoint()
     val counts = ranged.groupBy(col("__pid") +: g: _*)
       .agg(count(lit(1)).as("__c"))
-    // with no group columns the offsets window is GLOBAL over the bounded
-    // `parts`-row counts table — partition on a constant instead of an
-    // empty spec so WindowExec doesn't log its per-execution scale
-    // warning (the r8 bench-tail flood, r8 verdict #1)
-    val perGroup =
-      if (g.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(g: _*)
+    // with no group columns the offsets window is deliberately GLOBAL
+    // over the bounded `parts`-row counts table (WindowExec's scale
+    // warning for it is logger-silenced in GraftSession — a constant
+    // partition key gets constant-folded out of the spec)
+    val perGroup = Window.partitionBy(g: _*)
     val offsets = counts.select(col("__pid") +: g :+
       coalesce(sum(col("__c")).over(perGroup.orderBy(col("__pid"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off") :+
