@@ -61,11 +61,23 @@ object GraftSession {
     * this one class, everything else stays at WARN. An ACCIDENTAL
     * corpus-sized global window would still be caught — PlanSpec pins
     * the two-pass ranked shapes on q36/q51/d22/e04 and t13 asserts the
-    * windowless threshold select. */
-  private[graft] def silenceBoundedWindowWarning(): Unit =
+    * windowless threshold select.
+    *
+    * Also scoped down: MapPartitionsRDD's "locally checkpointed …
+    * cannot be recomputed after unpersisting" note, emitted by the
+    * ContextCleaner when it GCs a localCheckpointed table. Every
+    * localCheckpoint here is a deliberate materialization barrier whose
+    * blocks are never needed after the queries that read them complete
+    * (each call site documents why) — 76 identical copies of that note
+    * per bench run were the other half of the tail flood. */
+  private[graft] def silenceBoundedWindowWarning(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+  }
 
   /** Install graft optimizer rules on a LIVE session (new sessions can use
     * `spark.sql.extensions=graft.plans.GraftExtensions` instead). */

@@ -587,15 +587,21 @@ object GraphOps {
     // unrolled plan). The checkpoint materializes the edge table once
     // and every iteration reads the blocks.
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // the degree key gets its OWN name: deg derives from sym, so an
+    // unaliased deg("src") carries sym's attribute id and the join
+    // predicate is literally src == src — Spark resolves it through its
+    // self-join disambiguation heuristic (correct here, but warned per
+    // construction and one analyzer change away from ambiguous)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .toDF("dnode", "deg").localCheckpoint()
     val n = deg.count()
     // empty graph: no nodes to rank (and SCALE/n would divide by zero)
     if (n == 0)
-      return deg.select(col("src").as("node"), lit(0L).as("rank_ppb")).limit(0)
-    var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
+      return deg.select(col("dnode").as("node"), lit(0L).as("rank_ppb")).limit(0)
+    var ranks = deg.select(col("dnode").as("node"), lit(SCALE / n).as("r"))
     for (_ <- 1 to iters) {
       val contrib = sym.join(ranks, sym("src") === ranks("node"))
-        .join(deg, sym("src") === deg("src"))
+        .join(deg, sym("src") === col("dnode"))
         .select(sym("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
       // every node of the symmetrized graph has in-edges, so no dangling
@@ -628,8 +634,10 @@ object GraphOps {
     // returned plan must read materialized blocks, not recompute the
     // edge derivation per iteration per reference
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val seeds = deg.select(col("src").as("node"))
+    // dnode rename: same src==src self-join hazard as [[pageRankPpb]]
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .toDF("dnode", "deg").localCheckpoint()
+    val seeds = deg.select(col("dnode").as("node"))
       .filter(pmod(col("node"), lit(seedMod)) === 0).localCheckpoint()
     val nSeeds = seeds.count()
     // no seeds (empty graph, or no node ≡ 0 mod seedMod): no proximity
@@ -639,7 +647,7 @@ object GraphOps {
     var ranks = seeds.select(col("node"), lit(SCALE / nSeeds).as("r"))
     for (_ <- 1 to iters) {
       val contrib = sym.join(ranks, sym("src") === ranks("node"))
-        .join(deg, sym("src") === deg("src"))
+        .join(deg, sym("src") === col("dnode"))
         .select(sym("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
       val tele = seeds.select(col("node"), lit(SCALE * 15 / 100 / nSeeds).as("t"))
