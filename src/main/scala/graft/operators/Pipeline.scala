@@ -252,7 +252,64 @@ object Pipeline {
   private val normSql = TextFns.normalizeSql("text")
   private val toksSql = TextFns.tokensSql("text")
 
+  /** Corpus snapshot diff — the audit between two corpus VERSIONS a lake
+    * pipeline runs after every rebuild/backfill before promoting it:
+    * per-document status (`added` / `removed` / `changed` / `unchanged`)
+    * from the content fingerprint, never the bytes-on-disk layout. The
+    * report that answers "what did yesterday's pipeline change actually
+    * touch" — and the precondition for safe incremental consumers (a
+    * downstream index re-embeds exactly the `added` + `changed` rows).
+    *
+    * Scale shape: one full outer equi-join on the corpus key; both sides
+    * project to (key, 16-byte fingerprint) before the join, so the wide
+    * text column never shuffles. At 100 TB both snapshot fingerprint
+    * tables are the natural [[graft.sources.Formats.writeBucketed]]
+    * artifacts — co-bucketed on doc_id, the join needs no exchange at
+    * all. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      TextFns.fingerprint(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"),
+      TextFns.fingerprint(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("old_fp"), col("new_fp"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // ---- e05: corpus snapshot diff --------------------------------------
+    // Old = docs with doc_id % 7 != 0; new = docs with doc_id % 5 != 0,
+    // texts of doc_id % 11 == 0 edited — all four statuses exercised on
+    // the fixture. Oracle = the same fingerprint full join in DuckDB.
+    Q("e05_corpus_diff", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val oldV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val newV = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        corpusDiff(oldV, newV).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH o AS (SELECT doc_id,
+              |        md5(${TextFns.normalizeSql("text")}) AS old_fp
+              |        FROM documents WHERE doc_id % 7 <> 0),
+              |nw AS (SELECT doc_id,
+              |        md5(${TextFns.normalizeSql(
+                "CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END")}) AS new_fp
+              |        FROM documents WHERE doc_id % 5 <> 0)
+              |SELECT doc_id, old_fp, new_fp,
+              |  CASE WHEN old_fp IS NULL THEN 'added'
+              |       WHEN new_fp IS NULL THEN 'removed'
+              |       WHEN old_fp = new_fp THEN 'unchanged'
+              |       ELSE 'changed' END AS status
+              |FROM o FULL JOIN nw USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- e01: the composed corpus build --------------------------------
     // Output = t10's per-document packing layout, but over only the
     // documents that survive quality + decontamination + dedup. The

@@ -14,6 +14,88 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Gopher-style repetition filters (Rae et al. 2021, Table A1) —
+    * INTRA-document duplication, the quality gate d19/d27's cross-document
+    * machinery deliberately does not cover: a document that repeats its
+    * own content (keyword stuffing, degenerate generations, boilerplate
+    * loops) is low-quality even if nothing else in the corpus shares it.
+    * Two of the paper's rule family, in exact integer basis points on a
+    * TOKEN basis (the paper uses characters; tokens are tokenizer-stable
+    * and engine-portable — same spirit, same thresholds):
+    *
+    *  - `top_bigram_frac_bp`: token mass of the most frequent bigram
+    *    (count × 2 / n_tokens; overlapping occurrences each counted, as
+    *    the paper does — a pathological "x x x …" doc can exceed 10000);
+    *  - `dup5_frac_bp`: fraction of tokens covered by width-`dupN`
+    *    n-grams occurring ≥ 2 times WITHIN the document, overlapping
+    *    hits merged (d19's islands semantics, intra-doc);
+    *  - `flagged`: the paper's drop rule — top-2-gram fraction > 0.20 or
+    *    duplicate-5-gram fraction > 0.15 — gated on the paper's own
+    *    ≥ 50-word minimum-length rule, because the fraction thresholds
+    *    are meaningless below it (a 7-token doc's single most common
+    *    bigram is already 29% of it; ungated, every short doc flags).
+    *
+    * Scale shape: everything is ROW-LOCAL — duplicate n-grams are found
+    * by sorting the in-row n-gram array and scanning adjacent equals,
+    * the longest-run fold gives the top-bigram count, and the coverage
+    * merge is a left fold over ascending hit positions — so the whole
+    * operator is one scan with ZERO shuffles (d19 needs the corpus-wide
+    * inverted df; this needs nothing outside the row). Every array the
+    * lambdas capture is projected to an attribute first (the
+    * [[TextFns.ngramsOfTokens]] performance contract). */
+  def gopherRepetition(docs: org.apache.spark.sql.DataFrame,
+      dupN: Int = 5): org.apache.spark.sql.DataFrame = {
+    val w = dupN - 1
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+        TextFns.ngramsOfTokens(col("__t"), dupN).as("__g"),
+        array_sort(TextFns.bigramsOfTokens(col("__t"))).as("__sb"))
+      .withColumn("__sg", array_sort(col("__g")))
+      // duplicated n-grams: adjacent equals in the sorted array (i is the
+      // 0-based element index, so element_at(__sg, i) is the PREVIOUS
+      // element in 1-based element_at terms; the when() keeps i=0 from
+      // ever evaluating the out-of-range access)
+      .withColumn("__dups", array_distinct(filter(col("__sg"), (x, i) =>
+        when(i > 0, element_at(col("__sg"), i) === x).otherwise(lit(false)))))
+      // most-frequent-bigram count == longest equal run in the sorted
+      // bigram array: one fold, no per-doc grouping
+      .withColumn("__top",
+        when(size(col("__sb")) <= 1, size(col("__sb")).cast("long"))
+          .otherwise(aggregate(sequence(lit(2), size(col("__sb"))),
+            struct(lit(1L).as("run"), lit(1L).as("best")),
+            (acc, i) => {
+              val same = element_at(col("__sb"), i) === element_at(col("__sb"), i - 1)
+              when(same, struct((acc.getField("run") + 1L).as("run"),
+                  greatest(acc.getField("best"), acc.getField("run") + 1L).as("best")))
+                .otherwise(struct(lit(1L).as("run"), acc.getField("best").as("best")))
+            },
+            acc => acc.getField("best"))))
+      // merged coverage of duplicated n-grams: fold over ascending hit
+      // positions, each hit covering tokens [i, i+w]; the running `end`
+      // merges overlaps exactly like d19's gaps-and-islands
+      .withColumn("__dup_tokens",
+        when(size(col("__g")) === 0, lit(0L))
+          .otherwise(aggregate(
+            filter(sequence(lit(1), size(col("__g"))), i =>
+              array_contains(col("__dups"), element_at(col("__g"), i))),
+            struct(lit(0L).as("cov"), lit(0L).as("end")),
+            (acc, i) => struct(
+              (acc.getField("cov") + (i.cast("long") + w -
+                greatest(acc.getField("end"), i.cast("long") - 1))).as("cov"),
+              (i.cast("long") + w).as("end")),
+            acc => acc.getField("cov"))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("__top").as("top_bigram_cnt"),
+        expr("10000 * __top * 2 div greatest(n_tokens, CAST(1 AS BIGINT))")
+          .as("top_bigram_frac_bp"),
+        col("__dup_tokens").as("dup5_tokens"),
+        expr("10000 * __dup_tokens div greatest(n_tokens, CAST(1 AS BIGINT))")
+          .as("dup5_frac_bp"))
+      .withColumn("flagged", (col("n_tokens") >= 50 &&
+        (col("top_bigram_frac_bp") > 2000 ||
+          col("dup5_frac_bp") > 1500)).cast("int"))
+  }
+
   /** Sequence packing for pretraining: concatenate documents in a
     * deterministic order and cut the stream every `budgetTokens` tokens,
     * GPT-style (documents may straddle a cut — the tokenizer inserts the
@@ -233,6 +315,57 @@ object TextOps {
               |       ELSE round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
               |  END AS repetition
               |FROM b
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- t17: Gopher intra-doc repetition filters ----------------------
+    // The oracle recomputes the top-bigram count by grouped frequency
+    // (the Spark side uses a sorted-array longest-run fold — different
+    // algorithm, same integer) and rebuilds the duplicated-5-gram
+    // coverage with d19's positional islands CTE restricted to IN-DOC
+    // duplicates. Hash parity certifies both rules and the drop flag.
+    Q("t17_gopher_repetition",
+      (s, dir) => gopherRepetition(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d),
+              |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |          i -> t[i] || ' ' || t[i+1])) AS g FROM d),
+              |topb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt FROM
+              |         (SELECT doc_id, g, count(*) AS c FROM bge
+              |          GROUP BY doc_id, g) GROUP BY doc_id),
+              |ex AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM d),
+              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
+              |        array_to_string(t[i:i+4], ' ') AS s FROM ex),
+              |dupg AS (SELECT doc_id, s FROM pos GROUP BY doc_id, s
+              |         HAVING count(*) >= 2),
+              |sp AS (SELECT p.doc_id, p.s_start, p.s_end
+              |       FROM pos p JOIN dupg USING (doc_id, s)),
+              |isl AS (SELECT doc_id, s_start, s_end,
+              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
+              |          PARTITION BY doc_id ORDER BY s_start
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |        THEN 1 ELSE 0 END AS brk FROM sp),
+              |isl2 AS (SELECT doc_id, s_start, s_end,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
+              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
+              |cov AS (SELECT doc_id, max(s_end) - min(s_start) + 1 AS ctoks
+              |        FROM isl2 GROUP BY doc_id, gid),
+              |agg AS (SELECT doc_id, CAST(sum(ctoks) AS BIGINT) AS dup_tokens
+              |        FROM cov GROUP BY doc_id)
+              |SELECT n.doc_id AS doc_id, n_tokens,
+              |  CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+              |  CAST(10000 * coalesce(top_cnt, 0) * 2
+              |       // greatest(n_tokens, 1) AS BIGINT) AS top_bigram_frac_bp,
+              |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup5_tokens,
+              |  CAST(10000 * coalesce(dup_tokens, 0)
+              |       // greatest(n_tokens, 1) AS BIGINT) AS dup5_frac_bp,
+              |  CAST(CASE WHEN n_tokens >= 50
+              |             AND (10000 * coalesce(top_cnt, 0) * 2
+              |                    // greatest(n_tokens, 1) > 2000
+              |                  OR 10000 * coalesce(dup_tokens, 0)
+              |                    // greatest(n_tokens, 1) > 1500)
+              |       THEN 1 ELSE 0 END AS INT) AS flagged
+              |FROM n LEFT JOIN topb USING (doc_id) LEFT JOIN agg USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- t10: sequence packing -----------------------------------------

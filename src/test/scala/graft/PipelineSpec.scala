@@ -104,4 +104,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(layout("r0") === layout("r0"))
     assert(layout("r0") !== layout("r1"), "epoch re-salt must move documents")
   }
+
+  test("corpusDiff: all four statuses, keyed by content not layout") {
+    import spark.implicits._
+    val oldV = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    // doc 2 edited, doc 3 removed, doc 4 added; doc 1's text is byte-
+    // different but normalizes identically -> unchanged (content diff,
+    // not bytes diff)
+    val newV = Seq((1L, "  ALPHA "), (2L, "beta edited"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val statuses = Pipeline.corpusDiff(oldV, newV).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }

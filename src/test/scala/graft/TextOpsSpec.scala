@@ -121,4 +121,42 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gopherRepetition: hand-computed rules on planted repetition shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      // 0: "x x x x x" — 4 bigrams all "x x": top_cnt 4, frac 8000 bp
+      //    (4·2/5·10000 = 16000? no: 10000·4·2 div 5 = 16000) → flagged;
+      //    5-grams: one "x x x x x", count 1 → no intra-doc dup
+      (0L, "x x x x x"),
+      // 1: a 6-token passage repeated twice with a separator — the
+      //    5-grams of each copy repeat, covering both copies
+      (1L, "a b c d e f sep a b c d e f"),
+      // 2: no repetition at all
+      (2L, "one two three four five six seven"),
+      // 3: empty and single-token degenerates
+      (3L, ""),
+      (4L, "word"),
+      // 5: 60 tokens of "y z" loops — past the 50-word gate, both rules fire
+      (5L, Seq.fill(30)("y z").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = TextOps.gopherRepetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("top_bigram_cnt"),
+          r.getAs[Long]("top_bigram_frac_bp"), r.getAs[Long]("dup5_tokens"),
+          r.getAs[Long]("dup5_frac_bp"), r.getAs[Int]("flagged"))).toMap
+    // below the 50-word gate nothing flags, however repetitive
+    assert(out(0L) === ((5L, 4L, 16000L, 0L, 0L, 0)))
+    // doc 1: 13 tokens; dup 5-grams are "a b c d e" and "b c d e f",
+    // each at positions {1,8} and {2,9} — merged spans [1,6] and [8,13],
+    // 12 covered tokens; top bigram count 2, frac 3076 bp
+    assert(out(1L) === ((13L, 2L, 3076L, 12L, 9230L, 0)))
+    assert(out(2L) === ((7L, 1L, 2857L, 0L, 0L, 0)))
+    // degenerate docs: the empty doc normalizes to one empty token
+    assert(out(3L)._4 === 0L); assert(out(4L)._4 === 0L)
+    assert(out(4L)._2 === 0L) // single token: no bigrams
+    // doc 5: 60 tokens, "y z" bigram ×30 → top frac 10000 bp; every
+    // 5-gram repeats → full coverage; past the length gate → flagged
+    assert(out(5L) === ((60L, 30L, 10000L, 60L, 10000L, 1)))
+  }
 }
