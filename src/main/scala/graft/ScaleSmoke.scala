@@ -239,6 +239,12 @@ object ScaleSmoke {
       timed(s"d27_substring_rewrite_${nDocs}") {
         exec(Dedup.substringRewrite(d))
       }
+      // t17 rides the same corpus: intra-doc rules are ROW-LOCAL, so its
+      // shuffle must be ~zero where d19/d27 pay the corpus-wide inverted
+      // df — the measured contrast IS the scale story
+      timed(s"t17_gopher_repetition_${nDocs}") {
+        exec(graft.operators.TextOps.gopherRepetition(d))
+      }
       val rec = Dedup.substringRewrite(d)
         .agg(sum(col("n_tokens")).as("nt"), sum(col("kept_tokens")).as("kt"))
         .head()

@@ -532,8 +532,14 @@ object Dedup {
     * `filter` drops covered tokens row-locally. New shuffles beyond
     * d19's: ONE doc_id rollup of the span table (tiny — spans, not
     * tokens) and the doc_id join, the class d19 already pays. */
-  def substringRewrite(docs: DataFrame, n: Int = 5): DataFrame = {
+  def substringRewrite(docs: DataFrame, n: Int = 5,
+      minSpanTokens: Int = 1): DataFrame = {
+    // minSpanTokens: excise only merged spans at least this long — the
+    // paper's deployments cut matches of >= 50 tokens, leaving short
+    // coincidental overlaps (idioms, citations) in place; the default
+    // keeps every detected span (the d27 registered semantics)
     val spans = mergedSpans(docs, n)
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
         struct(col("span_start"), col("span_end")))).as("spans"))

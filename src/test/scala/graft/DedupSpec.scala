@@ -242,6 +242,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substringRewrite: minSpanTokens leaves short overlaps in place") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta one two three four five six " +
+        "eta theta iota kappa lambda mu", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "eta theta iota kappa lambda mu", "en")
+    ).toDF("doc_id", "text", "lang")
+    // both merged spans are 6 tokens; a 7-token minimum keeps everything
+    val out = Dedup.substringRewrite(corpus, minSpanTokens = 7).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_spans"))).toMap
+    assert(out(0L) === ((18L, 0L)))
+    assert(out(1L) === ((6L, 0L)))
+    // and a 6-token minimum excises them again
+    val cut = Dedup.substringRewrite(corpus, minSpanTokens = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_tokens")).toMap
+    assert(cut(0L) === 6L && cut(1L) === 0L && cut(2L) === 0L)
+  }
+
   test("substringRewrite: no duplicated shingles => clean_text == normalized tokens") {
     val unique = Seq(
       (0L, "The quick  BROWN fox jumps over the lazy dog", "en"),
