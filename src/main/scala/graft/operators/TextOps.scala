@@ -42,14 +42,20 @@ object TextOps {
     * operator is one scan with ZERO shuffles (d19 needs the corpus-wide
     * inverted df; this needs nothing outside the row). Every array the
     * lambdas capture is projected to an attribute first (the
-    * [[TextFns.ngramsOfTokens]] performance contract). */
+    * [[TextFns.ngramsOfTokens]] performance contract), and the rules run
+    * over xxhash64-HASHED n-grams: equality is all they need, the hashes
+    * never leave the operator (counts and coverage do), and interpreted
+    * long comparisons beat interpreted string comparisons ~3× on the
+    * sf0.1 corpus (a 64-bit in-doc collision is ~L²/2⁶⁴ ≈ 10⁻¹⁵). */
   def gopherRepetition(docs: org.apache.spark.sql.DataFrame,
       dupN: Int = 5): org.apache.spark.sql.DataFrame = {
     val w = dupN - 1
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
-        TextFns.ngramsOfTokens(col("__t"), dupN).as("__g"),
-        array_sort(TextFns.bigramsOfTokens(col("__t"))).as("__sb"))
+        transform(TextFns.ngramsOfTokens(col("__t"), dupN),
+          g => xxhash64(g)).as("__g"),
+        array_sort(transform(TextFns.bigramsOfTokens(col("__t")),
+          b => xxhash64(b))).as("__sb"))
       .withColumn("__sg", array_sort(col("__g")))
       // duplicated n-grams: adjacent equals in the sorted array (i is the
       // 0-based element index, so element_at(__sg, i) is the PREVIOUS
@@ -72,9 +78,15 @@ object TextOps {
             acc => acc.getField("best"))))
       // merged coverage of duplicated n-grams: fold over ascending hit
       // positions, each hit covering tokens [i, i+w]; the running `end`
-      // merges overlaps exactly like d19's gaps-and-islands
+      // merges overlaps exactly like d19's gaps-and-islands.
+      // The size(__dups) short-circuit is ALSO a reference-count device:
+      // with a single downstream use CollapseProject inlines __dups'
+      // whole sort+distinct chain INTO the lambda capture (verified on
+      // the optimized plan), re-evaluating it per element — O(L² log L)
+      // per doc: 2× warm cost at the fixture's ~54-token docs, and
+      // growing quadratically with document length.
       .withColumn("__dup_tokens",
-        when(size(col("__g")) === 0, lit(0L))
+        when(size(col("__g")) === 0 || size(col("__dups")) === 0, lit(0L))
           .otherwise(aggregate(
             filter(sequence(lit(1), size(col("__g"))), i =>
               array_contains(col("__dups"), element_at(col("__g"), i))),
