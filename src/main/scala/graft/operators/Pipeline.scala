@@ -279,7 +279,73 @@ object Pipeline {
           .otherwise("changed").as("status"))
   }
 
+  /** Per-language corpus DATASHEET — the one-page report card shipped
+    * beside a released corpus (Datasheets for Datasets; Dolma/RefinedWeb
+    * publish exactly these tables): document and token volumes, length
+    * range, mean quality, and the exact-duplicate rate, one row per
+    * language. All exact integers (quality in centipoints — the 2dp
+    * score ×100 — and rates in basis points), so the whole datasheet is
+    * hash-gated cross-engine rather than eyeballed.
+    *
+    * Scale shape: one scan projects (lang, tokens, quality, fingerprint);
+    * the exact-dup bit reuses d01's shared-exchange keeper shape (the
+    * repartition feeds both the keeper aggregate and the join probe);
+    * the final rollup groups on `lang` — a tiny key set, and the only
+    * state per group is a handful of counters. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFns.qualityScore(col("text")) * 100).cast("long").as("q_cp"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .repartition(col("fp"))
+    val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+    base.join(keepers, "fp")
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("q_cp")).as("q_sum"),
+        sum(col("is_dup")).as("dup_docs"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        expr("total_tokens div n_docs").as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        expr("q_sum div n_docs").as("mean_quality_cp"),
+        col("dup_docs"),
+        expr("10000 * dup_docs div n_docs").as("dup_rate_bp"))
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // ---- e06: per-language corpus datasheet -----------------------------
+    // The release report card, hash-gated: the oracle recomputes volumes,
+    // the shared quality formula (TextOps.qualitySql — the same text t02
+    // and e01 gate), and the exact-dup rate from first principles.
+    Q("e06_corpus_datasheet",
+      (s, dir) => corpusDatasheet(Tables.load(s, dir, "documents"))
+        .orderBy(col("lang")),
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |        ${TextFns.normalizeSql("text")} AS n,
+              |        ${TextFns.tokensSql("text")} AS t FROM documents),
+              |b AS (SELECT doc_id, lang,
+              |        CAST(len(t) AS BIGINT) AS n_tokens,
+              |        CAST(round((${TextOps.qualitySql}) * 100) AS BIGINT) AS q_cp,
+              |        md5(n) AS fp FROM d),
+              |k AS (SELECT fp, min(doc_id) AS keeper FROM b GROUP BY fp),
+              |j AS (SELECT b.*, CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END
+              |        AS is_dup FROM b JOIN k USING (fp))
+              |SELECT lang,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+              |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+              |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+              |  CAST(sum(q_cp) // count(*) AS BIGINT) AS mean_quality_cp,
+              |  CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+              |  CAST(10000 * sum(is_dup) // count(*) AS BIGINT) AS dup_rate_bp
+              |FROM j GROUP BY lang
+              |ORDER BY lang""".stripMargin)),
 
     // ---- e05: corpus snapshot diff --------------------------------------
     // Old = docs with doc_id % 7 != 0; new = docs with doc_id % 5 != 0,

@@ -38,8 +38,8 @@ class QueriesSpec extends AnyFunSuite {
     "d28_band_index_lifecycle",
     "d26_contamination_pairs", "i01_tolerant_ingest",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
-    "e02_day_two", "e03_admission_diff", "e05_corpus_diff", "s08_knn_join",
-    "t17_gopher_repetition",
+    "e02_day_two", "e03_admission_diff", "e05_corpus_diff",
+    "e06_corpus_datasheet", "s08_knn_join", "t17_gopher_repetition",
     "t14_perplexity_buckets", "t15_rag_chunks", "t16_bpe_pairs",
     "g05_adjacency", "g06_pagerank", "g07_components", "g11_kcore",
     "g12_link_prediction", "g13_personalized_pagerank",
