@@ -538,8 +538,17 @@ object Dedup {
     // paper's deployments cut matches of >= 50 tokens, leaving short
     // coincidental overlaps (idioms, citations) in place; the default
     // keeps every detected span (the d27 registered semantics)
-    val spans = mergedSpans(docs, n)
-      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+    exciseSpans(docs,
+      mergedSpans(docs, n)
+        .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens))
+  }
+
+  /** The excision step shared by [[substringRewrite]] (remove-every-copy)
+    * and [[substringRewriteKeepOne]]: collect each doc's spans in-row
+    * (bounded by the doc's own token count) and drop covered tokens with
+    * a positional filter. */
+  private def exciseSpans(docs: DataFrame, spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
         struct(col("span_start"), col("span_end")))).as("spans"))
@@ -561,6 +570,51 @@ object Dedup {
         size(col("__kept")).cast("bigint").as("kept_tokens"),
         size(col("spans")).cast("bigint").as("n_spans"),
         array_join(col("__kept"), " ").as("clean_text"))
+  }
+
+  /** The KEEP-ONE-COPY arm of substring dedup — the removal semantics the
+    * paper discusses but its released tool simplifies away: each
+    * duplicated width-`n` shingle stays in the MINIMUM-doc_id document
+    * carrying it (that doc keeps all its occurrences) and is excised
+    * everywhere else, so no passage is lost from the corpus entirely —
+    * the property replay-sensitive corpora (code, references, legal
+    * boilerplate that must survive somewhere) want, where [[
+    * substringRewrite]]'s remove-everywhere arm maximizes dedup.
+    * Keeper identity is per SHINGLE (min doc_id over carriers), so the
+    * decision is a pure corpus-content function both engines compute
+    * identically; a non-keeper doc's hits merge into spans exactly as in
+    * d19/d27.
+    *
+    * Scale shape: identical to [[substringRewrite]] — the keeper column
+    * rides the same inverted-df aggregate ([[mergedSpans]]'s dupSh with
+    * one extra `min`), the positional join now also filters doc ≠ keeper,
+    * and excision is the shared per-doc step. No new shuffle class. */
+  def substringRewriteKeepOne(docs: DataFrame, n: Int = 5): DataFrame = {
+    val dupSh = shinglesN(docs, n)
+      .groupBy(col("s")).agg(count(col("doc_id")).as("df"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+      .select(col("s"), col("keeper"))
+    val pos = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        posexplode(TextFns.ngramsOfTokens(col("__t"), n)).as(Seq("p", "s")))
+      .select(col("doc_id"), (col("p") + 1).as("s_start"),
+        (col("p") + lit(n)).as("s_end"), col("s"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s_start"))
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val spans = pos.join(dupSh, "s")
+      .filter(col("doc_id") =!= col("keeper"))
+      .withColumn("prev_end", max(col("s_end")).over(byDoc.rowsBetween(unb, -1)))
+      .withColumn("brk",
+        when(col("s_start") > coalesce(col("prev_end"), lit(0)), 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(byDoc.rowsBetween(unb, 0)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s_start")).as("span_start"),
+        max(col("s_end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    exciseSpans(docs, spans)
   }
 
   /** Near-dup-cluster-aware train/eval split: documents are assigned a
@@ -1748,6 +1802,50 @@ object Dedup {
               |dfq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
               |        GROUP BY s HAVING count(*) >= 2),
               |sp AS (SELECT doc_id, s_start, s_end FROM pos JOIN dfq USING (s)),
+              |isl AS (SELECT doc_id, s_start, s_end,
+              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
+              |          PARTITION BY doc_id ORDER BY s_start
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |        THEN 1 ELSE 0 END AS brk FROM sp),
+              |isl2 AS (SELECT doc_id, s_start, s_end,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
+              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
+              |spans AS (SELECT doc_id, min(s_start) AS a, max(s_end) AS b
+              |          FROM isl2 GROUP BY doc_id, gid),
+              |pos2 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM tok),
+              |kept AS (SELECT p.doc_id, p.j, p.l[p.j] AS tk FROM pos2 p
+              |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+              |           WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.a AND s.b)),
+              |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+              |       string_agg(tk, ' ' ORDER BY j) AS clean_text
+              |       FROM kept GROUP BY doc_id),
+              |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              |       FROM spans GROUP BY doc_id)
+              |SELECT t.doc_id AS doc_id,
+              |  CAST(len(l) AS BIGINT) AS n_tokens,
+              |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+              |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+              |  coalesce(clean_text, '') AS clean_text
+              |FROM tok t LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- d29: substring-dedup rewrite, KEEP-ONE-COPY arm ----------------
+    // d27 with per-shingle keeper semantics: the minimum-doc_id carrier
+    // keeps the passage, everyone else excises. Oracle = d27's chain with
+    // `min(doc_id) AS keeper` on the duplicated-shingle list and a
+    // doc <> keeper filter before the islands merge.
+    Q("d29_substring_rewrite_keep_one",
+      (s, dir) => substringRewriteKeepOne(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS l FROM documents),
+              |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
+              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
+              |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
+              |dfq AS (SELECT s, min(doc_id) AS keeper
+              |        FROM (SELECT DISTINCT doc_id, s FROM pos)
+              |        GROUP BY s HAVING count(*) >= 2),
+              |sp AS (SELECT doc_id, s_start, s_end
+              |       FROM pos JOIN dfq USING (s) WHERE doc_id <> keeper),
               |isl AS (SELECT doc_id, s_start, s_end,
               |        CASE WHEN s_start > coalesce(max(s_end) OVER (
               |          PARTITION BY doc_id ORDER BY s_start

@@ -242,6 +242,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substringRewriteKeepOne: the minimum-doc carrier keeps the passage") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta one two three four five six " +
+        "eta theta iota kappa lambda mu", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "eta theta iota kappa lambda mu", "en"),
+      (3L, "nu xi omicron pi rho sigma", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.substringRewriteKeepOne(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 0 is the min carrier of BOTH passages: fully intact
+    assert(out(0L)._1 === 18L && out(0L)._2 === 0L)
+    // docs 1/2 lose their copies (the corpus still holds them via doc 0)
+    assert(out(1L) === ((0L, 1L, "")))
+    assert(out(2L) === ((0L, 1L, "")))
+    assert(out(3L)._3 === "nu xi omicron pi rho sigma")
+    // every duplicated passage survives SOMEWHERE: union of clean texts
+    // still contains both passages (via doc 0)
+    assert(out(0L)._3.contains("alpha beta gamma delta epsilon zeta"))
+    assert(out(0L)._3.contains("eta theta iota kappa lambda mu"))
+  }
+
   test("substringRewrite: minSpanTokens leaves short overlaps in place") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta one two three four five six " +

@@ -50,7 +50,8 @@ class QueriesSpec extends AnyFunSuite {
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
     "p12_sketch_overlap", "p13_mad_outliers", "p14_grouped_distinct",
-    "d19_dup_spans", "d27_substring_rewrite", "d20_semantic_clusters_banded",
+    "d19_dup_spans", "d27_substring_rewrite", "d29_substring_rewrite_keep_one",
+    "d20_semantic_clusters_banded",
     "d23_semantic_representatives", "d24_embedding_decontaminate",
     // r8 additions: recursive-CTE chain (d25), list_* + QUALIFY (s09),
     // DuckDB %-predicates in the band quadrant (st14)
