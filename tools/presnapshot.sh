@@ -82,12 +82,12 @@ if bad:
 # pinned idle-box floor is either a real regression or a contaminated
 # artifact (the r6 d05-at-53s class) — refuse to snapshot it either way.
 # Raise the floor deliberately (env) when the suite legitimately grows.
-# 150 s = the 178-query idle total under FULL-OUTPUT evaluation
-# (round 9 re-pin: 148.4 s measured at load 0.02 after adding d27/d28/
-# i01/m08/t17/e05/e06; the round-8 145 s floor covered 171 queries, and
-# the pre-r8 107 s floor was measured with .count()-elided projections/
-# joins/sorts and is not comparable).
-floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "150"))
+# 152 s = the 179-query idle total under FULL-OUTPUT evaluation
+# (round 9 re-pin: 148.4 s measured at load 0.02 for 178 queries, plus
+# d29 at d27's ~1.8 s class; the round-8 145 s floor covered 171
+# queries, and the pre-r8 107 s floor was measured with .count()-elided
+# projections/joins/sorts and is not comparable).
+floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "152"))
 if rec["value"] > 2 * floor:
     print(f"PRESNAPSHOT GATE: FAIL — bench total {rec['value']:.1f}s "
           f"> 2x pinned floor {floor}s", file=sys.stderr)
