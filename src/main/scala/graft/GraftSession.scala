@@ -71,12 +71,45 @@ object GraftSession {
     * (each call site documents why) — 76 identical copies of that note
     * per bench run were the other half of the tail flood. */
   private[graft] def silenceBoundedWindowWarning(): Unit = {
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // Message-specific DENY filters, not level scoping (r9 ADVICE): a
+    // blanket ERROR level on these loggers would also swallow a future
+    // ACCIDENTAL corpus-sized unpartitioned window or any OTHER warning
+    // those classes emit. The filters match exactly the two known-benign
+    // flood messages; everything else still reaches the appender at WARN.
+    denyLoggerMessage("org.apache.spark.sql.execution.window.WindowExec",
+      "(?s).*No Partition Defined for Window operation.*")
+    denyLoggerMessage("org.apache.spark.rdd.MapPartitionsRDD",
+      "(?s).*was locally checkpointed, its lineage has been truncated.*")
+  }
+
+  /** Attach a DENY [[org.apache.logging.log4j.core.filter.RegexFilter]]
+    * for `pattern` to `loggerName`'s LoggerConfig (created additive at the
+    * ancestor's level if the logger has no explicit config). Idempotent:
+    * an exact-name config that already carries a filter is left alone —
+    * safe because this method is the only filter writer in the process.
+    * Spark's `setLogLevel` (Configurator.setAllLevels) rewrites LEVELS on
+    * existing configs but never removes filters, so the deny survives the
+    * mains' level resets; call sites still re-apply defensively. */
+  private def denyLoggerMessage(loggerName: String, pattern: String): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    val nearest = conf.getLoggerConfig(loggerName)
+    val lc =
+      if (nearest.getName == loggerName) nearest
+      else {
+        val fresh = new LoggerConfig(loggerName, nearest.getLevel, true)
+        conf.addLogger(loggerName, fresh)
+        fresh
+      }
+    if (lc.getFilter == null) {
+      lc.addFilter(RegexFilter.createFilter(pattern, null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
   }
 
   /** Install graft optimizer rules on a LIVE session (new sessions can use

@@ -51,11 +51,20 @@ object StreamBench {
     val evBase = Tables.load(spark, sfDir, "events")
     val ev =
       if (xFactor <= 1) evBase
-      else (0 until xFactor).map { r =>
-        evBase.select((col("event_id") + lit(r * 1000000000L)).as("event_id"),
-          col("ts"), (col("user_id") + lit(r * 1000000000L)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionByName _)
+      else {
+        // Replicas must carry DISJOINT id ranges ("disjoint user
+        // populations" premise) — derive the stride from the corpus's own
+        // max id instead of a fixed 1e9 that a larger sf dir could
+        // silently overflow into a superlinear self-join.
+        val mx = evBase.agg(greatest(max(col("event_id")), max(col("user_id"))))
+          .head().getLong(0)
+        val stride = math.max(1000000000L, mx + 1)
+        (0 until xFactor).map { r =>
+          evBase.select((col("event_id") + lit(r * stride)).as("event_id"),
+            col("ts"), (col("user_id") + lit(r * stride)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+      }
     val nRows = ev.count()
     val staging = Files.createTempDirectory("graft_stream_replay").toString
     ev.repartition(nFiles).write.mode("overwrite").parquet(staging)

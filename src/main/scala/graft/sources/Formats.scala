@@ -158,11 +158,24 @@ object Formats {
   /** Planted fixture for i01: 11 CSV lines over an events-like schema,
     * 5 well-formed and 6 malformed — one per corruption class (non-numeric
     * BIGINT, too few fields, no delimiter at all, too many fields,
-    * non-numeric DOUBLE, invalid TIMESTAMP). Checked into the repo so both
-    * engines read the identical bytes. */
-  private[graft] val ingestFixturePath =
-    sys.env.getOrElse("GRAFT_REPO", "/root/repo") +
-      "/src/main/resources/fixtures/ingest_corrupt.csv"
+    * non-numeric DOUBLE, invalid TIMESTAMP). Loaded from the CLASSPATH
+    * (src/main/resources — survives packaging and any checkout path) and
+    * materialized to a stable tmp location that outlives this JVM, because
+    * the driver's DuckDB oracle runs in a LATER process against the same
+    * path the generated SQL interpolated. Both engines read identical
+    * bytes. */
+  private[graft] lazy val ingestFixturePath: String = {
+    val in = getClass.getResourceAsStream("/fixtures/ingest_corrupt.csv")
+    require(in != null, "fixtures/ingest_corrupt.csv missing from classpath")
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve("ingest_corrupt.csv")
+    try java.nio.file.Files.copy(in, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    p.toString
+  }
 
   val queries: Seq[Q] = Seq(
     // ---- i01: tolerant ingest — corrupt lines QUARANTINED, not dropped,

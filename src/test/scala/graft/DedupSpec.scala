@@ -266,6 +266,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0L)._3.contains("eta theta iota kappa lambda mu"))
   }
 
+  test("substringRewriteKeepOne: overlapping cut span cannot clip a kept passage") {
+    // The r9 ADVICE counterexample: 'a b c d e' (keeper doc1) overlaps
+    // 'c d e f g' (keeper doc0) inside doc1. Without the keeper-coverage
+    // guard, doc1's cut span [3,7] excised tokens 3-5 of its OWN kept
+    // shingle and the passage survived nowhere intact.
+    val corpus = Seq(
+      (0L, "c d e f g", "en"),
+      (1L, "a b c d e f g", "en"),
+      (2L, "a b c d e f g", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.substringRewriteKeepOne(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    // doc0 keeps its shingle (keeper of 'c d e f g')
+    assert(out(0L) === "c d e f g")
+    // doc1 keeps positions covered by its OWN kept shingles ('a b c d e',
+    // 'b c d e f' => positions 1-6); only position 7 (covered solely by
+    // doc0's shingle) is excised
+    assert(out(1L) === "a b c d e f")
+    // doc2 keeps nothing (every shingle's keeper is elsewhere)
+    assert(out(2L) === "")
+    // the invariant itself: every duplicated 5-gram survives in some doc
+    val clean = out.values.toSeq
+    Seq("a b c d e", "b c d e f", "c d e f g").foreach { sh =>
+      assert(clean.exists(_.contains(sh)), s"passage '$sh' lost corpus-wide")
+    }
+  }
+
   test("substringRewrite: minSpanTokens leaves short overlaps in place") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta one two three four five six " +
