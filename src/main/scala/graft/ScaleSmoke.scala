@@ -277,7 +277,7 @@ object ScaleSmoke {
         spark.read.parquet(idxDir).count()
       }
       timed(s"d28_append_index_1pct_${nDocs}") {
-        Dedup.appendBandIndex(batch, idxDir)
+        Dedup.appendBandIndex(batch, idxDir, batchId = "day2")
         batch.count()
       }
       val compactDir = java.nio.file.Files

@@ -253,19 +253,35 @@ object Dedup {
     * shingles), so append(day1) ∪ append(day2) == rebuild(day1 ∪ day2)
     * EXACTLY — and that is a cross-engine-certified property, not an
     * assumption: the registered query d28 walks the whole lifecycle
-    * (build → append → compact → read back) while its oracle computes the
-    * full-corpus rebuild from scratch. At 100 TB a day's append costs one
-    * batch-sized signature pass + write, never a corpus re-read
-    * (ScaleSmoke --d28-only measures append shuffle ≈ batch-sized). */
-  def buildBandIndex(docs: DataFrame, path: String, bands: Int = 8): Unit =
-    bandTable(docs, bands).write.mode("overwrite").parquet(path)
+    * (build → append → RETRIED append → compact → read back) while its
+    * oracle computes the full-corpus rebuild from scratch. At 100 TB a
+    * day's append costs one batch-sized signature pass + write, never a
+    * corpus re-read (ScaleSmoke --d28-only measures append shuffle ≈
+    * batch-sized).
+    *
+    * Retry safety (r9 verdict #2): the artifact is PARTITIONED BY
+    * `batch_id` and every append is a DYNAMIC-partition-overwrite of its
+    * own batch's partition — a retried day-2 job replaces `batch_id=X/`
+    * instead of double-appending into a flat directory, so re-running an
+    * append is a no-op by construction (d28's registered arm executes the
+    * retry and stays hash-green; DedupSpec asserts it row-identical).
+    * The partition listing doubles as the artifact's batch manifest. */
+  def buildBandIndex(docs: DataFrame, path: String, bands: Int = 8,
+      batchId: String = "base"): Unit =
+    bandTable(docs, bands).withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(path)
 
-  /** Day-2 append — see [[buildBandIndex]]. Mode `append` adds the
-    * batch's files beside the existing artifact; run
+  /** Day-2 append — see [[buildBandIndex]]. Idempotent under retry: the
+    * batch's rows land as a dynamic overwrite of partition
+    * `batch_id=<batchId>`, never as bare appended files. Run
     * [[graft.sources.Formats.compactParquet]] when daily appends
     * accumulate enough small files to matter. */
-  def appendBandIndex(newDocs: DataFrame, path: String, bands: Int = 8): Unit =
-    bandTable(newDocs, bands).write.mode("append").parquet(path)
+  def appendBandIndex(newDocs: DataFrame, path: String, batchId: String,
+      bands: Int = 8): Unit =
+    bandTable(newDocs, bands).withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
 
   def readBandIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -1009,23 +1025,35 @@ object Dedup {
   private[graft] val d20Tables = 8
   private[graft] val d20MinCos = 0.4
 
-  /** The d20 oracle's banded-clustering CTE chain (signatures → bands →
-    * in-bucket candidates → cosine-θ edges → recursive min-label
-    * components), generated from the SAME constants the Scala operator
-    * gets — shared by d20 and d23 so the keeper's oracle certifies the
-    * clusters it selects from with one text. Ends at `comp`; append a
-    * SELECT (d20) or further CTEs (d23). */
+  /** The d20 oracle's banded-clustering CTE chain (exact-dup collapse →
+    * signatures → bands → in-bucket candidates → cosine-θ edges →
+    * ITERATIVE min-label components), generated from the SAME constants
+    * the Scala operator gets — shared by d20 and d23 so the keeper's
+    * oracle certifies the clusters it selects from with one text. Ends at
+    * `clv(vec_id, c)` — the per-vector cluster map for every NONZERO
+    * vector; append a SELECT (d20) or further CTEs (d23). */
   private lazy val d20ChainSql: String =
-    s"""WITH RECURSIVE e AS (
+    s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |$d20ChainBodySql""".stripMargin
 
   /** Chain body after the `e` source CTE — so a variant query (d25) can
-    * substitute a derived corpus for the raw embeddings table. */
+    * substitute a derived corpus for the raw embeddings table. The
+    * collapse (identical vectors → min-vec_id rep before banding) and the
+    * ClosureSql iterative components are what make this oracle runnable
+    * on the hostile mass-duplication fuzz tier — signature, band keys and
+    * the cosine test are pure functions of the vector value, so the
+    * quotient is exact (see d08ChainSql's argument; multi-member value
+    * groups are internally connected because identical nonzero vectors
+    * share every bucket and have cosine 1 ≥ θ). */
   private lazy val d20ChainBodySql: String =
-    s"""sig AS (SELECT vec_id, e,
-       |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s FROM e
-       |        WHERE list_dot_product(e, e) > 0),
+    s"""en AS (SELECT vec_id, e FROM e WHERE list_dot_product(e, e) > 0),
+       |grp AS MATERIALIZED (SELECT e, min(vec_id) AS rep FROM en GROUP BY e),
+       |repm AS MATERIALIZED (SELECT en.vec_id, g.rep
+       |        FROM en JOIN grp g ON en.e = g.e),
+       |sig AS (SELECT rep AS vec_id, e,
+       |        ${Similarity.lshBucketSql("e", d20Dim, d20Planes * d20Tables)} AS s
+       |        FROM grp),
        |band AS (SELECT vec_id, e, t, (s >> (t*$d20Planes)) & ${(1 << d20Planes) - 1} AS b
        |         FROM sig, unnest(range($d20Tables)) AS u(t)),
        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
@@ -1034,13 +1062,11 @@ object Dedup {
        |           ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
        |dup AS (SELECT d1, d2 FROM cand
        |        WHERE round(list_cosine_similarity(e1, e2), 4) >= $d20MinCos),
-       |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+       |sym AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM dup
        |        UNION ALL SELECT d2, d1 FROM dup),
-       |reach(a, b) AS (
-       |  SELECT src, src FROM sym
-       |  UNION
-       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-       |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)""".stripMargin
+       |${graft.functions.ClosureSql.minLabelComp()},
+       |clv AS (SELECT r.vec_id, coalesce(comp.c, r.rep) AS c
+       |        FROM repm r LEFT JOIN comp ON r.rep = comp.node)""".stripMargin
 
   /** Keeper-step CTEs appended after the chain: capped medoid per
     * cluster, the SAME probe-set rule as [[clusterRepresentatives]]
@@ -1048,8 +1074,8 @@ object Dedup {
     * SQL text certifies both the exact and the sampled arm. */
   private def d23KeeperSql(cap: Int): String = {
     val thr = cap.toLong << 32
-    s"""cl AS (SELECT vec_id, coalesce(c, vec_id) AS cluster_id
-       |       FROM e LEFT JOIN comp ON vec_id = node),
+    s"""cl AS (SELECT vec_id, coalesce(clv.c, vec_id) AS cluster_id
+       |       FROM e LEFT JOIN clv USING (vec_id)),
        |mem AS (SELECT cl.cluster_id, cl.vec_id, e.e
        |        FROM cl JOIN e USING (vec_id)),
        |msz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS m
@@ -1333,6 +1359,55 @@ object Dedup {
   private[operators] def bandKeySql(b: Int, rows: Int): String =
     "md5(concat_ws(','," + (0 until rows).map(r => s"m${b * rows + r}::VARCHAR").mkString(",") + "))"
 
+  /** d08/d17's shared clustering chain: minhash signatures → exact-dup
+    * COLLAPSE → banded candidates over representatives → est-Jaccard ≥ 0.5
+    * edges → [[graft.functions.ClosureSql]] iterative min-label components
+    * → per-doc cluster map `cl(doc_id, cluster_id)` covering every doc
+    * with ≥ 1 shingle (shingle-less docs fall through the callers' final
+    * coalesce to their own id, as before).
+    *
+    * The collapse quotients docs with IDENTICAL signatures to their
+    * min-doc_id representative before any pair generation — the same
+    * exact-dup collapse the Spark side runs, and what keeps the hostile
+    * mass-duplication tier's candidate set corpus-shaped instead of
+    * clique-quadratic (a 20k-member identical-text group at sf0.1 would
+    * otherwise put 2·10⁸ rows in `cand` before the closure even starts).
+    * Quotient exactness: band keys and the match-fraction test are pure
+    * functions of the signature, so (a) same-sig docs share all band
+    * buckets and est-Jaccard 1 ≥ 0.5 — each multi-member group is
+    * internally connected, its cluster id is its rep (= group min) even
+    * when the rep has no external edge; (b) a cross-group edge exists iff
+    * the rep pair passes the identical test any member pair would. */
+  private lazy val d08ChainSql: String = {
+    val bands = 8; val rows = K / bands
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sigr")
+      .mkString("\n       UNION ALL ")
+    val matchSum = (0 until K)
+      .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+    val skey = "md5(concat_ws(','," +
+      (0 until K).map(k => s"m$k::VARCHAR").mkString(",") + "))"
+    s"""${shCte()},
+       |$sigCte,
+       |repm AS MATERIALIZED (SELECT doc_id,
+       |        min(doc_id) OVER (PARTITION BY $skey) AS rep FROM sig),
+       |sigr AS MATERIALIZED (SELECT s.* FROM sig s JOIN repm r
+       |        ON s.doc_id = r.rep AND s.doc_id = r.doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |dup AS (SELECT d1, d2 FROM cand
+       |        JOIN sigr sa ON sa.doc_id = d1
+       |        JOIN sigr sb ON sb.doc_id = d2
+       |        WHERE round(($matchSum) / ${K}.0, 4) >= 0.5),
+       |sym AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM dup
+       |        UNION ALL SELECT d2, d1 FROM dup),
+       |${graft.functions.ClosureSql.minLabelComp()},
+       |cl AS (SELECT r.doc_id, coalesce(comp.c, r.rep) AS cluster_id
+       |       FROM repm r LEFT JOIN comp ON r.rep = comp.node)""".stripMargin
+  }
+
   /** d19/d27/d29's shared positional span chain (ONE text — r9 verdict
     * #2 flagged d29's 35-line clone of d27): tokens → positional 5-gram
     * stream → duplicated-shingle list (with `keeper` when asked) →
@@ -1484,12 +1559,20 @@ object Dedup {
     // of the signature slice, so signature content is certified too).
     Q("d28_band_index_lifecycle", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft_band_index").toString
+        // deterministic dirs under tmp, overwritten per run (the r9
+        // createTempDirectory form leaked two dirs per invocation)
+        val base = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_d28")
+        java.nio.file.Files.createDirectories(base)
+        val idxDir = base.resolve("index").toString
+        val compactDir = base.resolve("compact").toString
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idxDir)
-        appendBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 0), idxDir)
-        val compactDir = java.nio.file.Files
-          .createTempDirectory("graft_band_index_compact").toString
+        appendBandIndex(batch, idxDir, batchId = "day2")
+        // the RETRY: re-append the same batch id — dynamic partition
+        // overwrite makes it a replace, so the gate's hash certifies
+        // double-append == no-op on the on-disk artifact
+        appendBandIndex(batch, idxDir, batchId = "day2")
         graft.sources.Formats.compactParquet(s, idxDir, compactDir)
         readBandIndex(s, compactDir)
           .select(col("doc_id"), col("band"), col("bkey"))
@@ -1543,78 +1626,37 @@ object Dedup {
 
     // ---- d08: near-dup clusters (LSH pairs -> connected components) ----
     // The oracle rebuilds the identical pair set (same generated MinHash
-    // constants as d02), then closes it transitively with a recursive CTE
-    // — min-reachable-id equals the propagation fixed point exactly.
+    // constants as d02) over signature-collapsed representatives and
+    // closes it with ITERATIVE min-label propagation (ClosureSql) —
+    // min-reachable-id equals the propagation fixed point exactly, at
+    // O((E+V)·rounds) instead of the old reach-pair CTE's cubic-in-clique
+    // blowup, so the hostile mass-duplication fuzz tier compares this
+    // oracle instead of skipping it (r9 verdict #1). See d08ChainSql for
+    // the quotient-exactness argument.
     Q("d08_dup_clusters", { (s, dir) =>
         dupClusters(Tables.load(s, dir, "documents"))
           .orderBy(col("doc_id"))
-      }, {
-        val bands = 8; val rows = K / bands
-        val bandSelects = (0 until bands)
-          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
-          .mkString("\n       UNION ALL ")
-        val matchSum = (0 until K)
-          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
-        Some(s"""WITH RECURSIVE ${shCte()},
-                |$sigCte,
-                |bands AS ($bandSelects),
-                |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                |         FROM bands a JOIN bands b
-                |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-                |dup AS (SELECT d1, d2 FROM cand
-                |        JOIN sig sa ON sa.doc_id = d1
-                |        JOIN sig sb ON sb.doc_id = d2
-                |        WHERE round(($matchSum) / ${K}.0, 4) >= 0.5),
-                |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
-                |        UNION ALL SELECT d2, d1 FROM dup),
-                |reach(a, b) AS (
-                |  SELECT src, src FROM sym
-                |  UNION
-                |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-                |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
-                |SELECT doc_id, coalesce(c, doc_id) AS cluster_id
-                |FROM documents LEFT JOIN comp ON doc_id = node
-                |ORDER BY doc_id""".stripMargin)
-      }),
+      },
+      Some(s"""WITH $d08ChainSql
+              |SELECT doc_id, coalesce(cl.cluster_id, doc_id) AS cluster_id
+              |FROM documents LEFT JOIN cl USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- d17: cluster-aware train/eval split ---------------------------
-    // The d08 recursive-closure oracle extended one step: the split side
-    // hashes the CLUSTER id, so near-dup pairs can't straddle the split.
+    // The d08 chain extended one step: the split side hashes the CLUSTER
+    // id, so near-dup pairs can't straddle the split.
     Q("d17_cluster_split", { (s, dir) =>
         clusterSplit(Tables.load(s, dir, "documents"))
           .orderBy(col("doc_id"))
-      }, {
-        val bands = 8; val rows = K / bands
-        val bandSelects = (0 until bands)
-          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
-          .mkString("\n       UNION ALL ")
-        val matchSum = (0 until K)
-          .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
-        Some(s"""WITH RECURSIVE ${shCte()},
-                |$sigCte,
-                |bands AS ($bandSelects),
-                |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                |         FROM bands a JOIN bands b
-                |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-                |dup AS (SELECT d1, d2 FROM cand
-                |        JOIN sig sa ON sa.doc_id = d1
-                |        JOIN sig sb ON sb.doc_id = d2
-                |        WHERE round(($matchSum) / ${K}.0, 4) >= 0.5),
-                |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
-                |        UNION ALL SELECT d2, d1 FROM dup),
-                |reach(a, b) AS (
-                |  SELECT src, src FROM sym
-                |  UNION
-                |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-                |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a),
-                |cl AS (SELECT doc_id, coalesce(c, doc_id) AS cluster_id
-                |       FROM documents LEFT JOIN comp ON doc_id = node)
-                |SELECT doc_id, cluster_id,
-                |  CASE WHEN ${PortableHash.baseHashSql("CAST(cluster_id AS VARCHAR)")} % 100 < 90
-                |       THEN 'train' ELSE 'eval' END AS split
-                |FROM cl
-                |ORDER BY doc_id""".stripMargin)
-      }),
+      },
+      Some(s"""WITH $d08ChainSql,
+              |cl2 AS (SELECT doc_id, coalesce(cl.cluster_id, doc_id) AS cluster_id
+              |        FROM documents LEFT JOIN cl USING (doc_id))
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN ${PortableHash.baseHashSql("CAST(cluster_id AS VARCHAR)")} % 100 < 90
+              |       THEN 'train' ELSE 'eval' END AS split
+              |FROM cl2
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- d09: Bloom-filter membership vs a reference set ---------------
     // Filter a corpus against the already-ingested set without joining
@@ -1921,26 +1963,33 @@ object Dedup {
               |ORDER BY d1, d2""".stripMargin)),
 
     // ---- d18: semantic dedup clusters (SemDeDup shape) -----------------
-    // The d08 recursive-closure oracle over COSINE edges instead of LSH
-    // candidates: same transitive-cluster semantics, semantic signal.
+    // The d08 closure semantics over COSINE edges instead of LSH
+    // candidates. Same hostile-tier treatment as d08ChainSql: vectors
+    // with identical values quotient to their min-vec_id rep before the
+    // all-pairs join (cosine is a pure function of the values, and an
+    // identical nonzero pair has cosine 1 ≥ 0.4, so each multi-member
+    // value group is internally connected and cross-group edges exist iff
+    // the rep pair passes the same test), then ITERATIVE min-label
+    // components (ClosureSql) instead of the cubic reach-pair CTE.
     Q("d18_semantic_clusters",
       (s, dir) => semanticClusters(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id")),
-      Some("""WITH RECURSIVE e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
              |en AS (SELECT * FROM e WHERE list_dot_product(e, e) > 0),
-             |dup AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-             |        FROM en a JOIN en b ON a.vec_id < b.vec_id
+             |grp AS MATERIALIZED (SELECT e, min(vec_id) AS rep FROM en GROUP BY e),
+             |repm AS MATERIALIZED (SELECT en.vec_id, g.rep
+             |        FROM en JOIN grp g ON en.e = g.e),
+             |dup AS (SELECT a.rep AS d1, b.rep AS d2
+             |        FROM grp a JOIN grp b ON a.rep < b.rep
              |        WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4),
-             |sym AS (SELECT d1 AS src, d2 AS dst FROM dup
+             |sym AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM dup
              |        UNION ALL SELECT d2, d1 FROM dup),
-             |reach(a, b) AS (
-             |  SELECT src, src FROM sym
-             |  UNION
-             |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-             |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
-             |SELECT vec_id, coalesce(c, vec_id) AS cluster_id
-             |FROM e LEFT JOIN comp ON vec_id = node
+             |${graft.functions.ClosureSql.minLabelComp()},
+             |cl AS (SELECT r.vec_id, coalesce(comp.c, r.rep) AS cluster_id
+             |       FROM repm r LEFT JOIN comp ON r.rep = comp.node)
+             |SELECT vec_id, coalesce(cl.cluster_id, vec_id) AS cluster_id
+             |FROM e LEFT JOIN cl USING (vec_id)
              |ORDER BY vec_id""".stripMargin)),
 
     // ---- d20: semantic clusters, banded (the scale form of d18) --------
@@ -1959,8 +2008,8 @@ object Dedup {
         minCos = d20MinCos, dim = d20Dim, planes = d20Planes, tables = d20Tables)
         .orderBy(col("vec_id")),
       Some(s"""$d20ChainSql
-             |SELECT vec_id, coalesce(c, vec_id) AS cluster_id
-             |FROM e LEFT JOIN comp ON vec_id = node
+             |SELECT vec_id, coalesce(clv.c, vec_id) AS cluster_id
+             |FROM e LEFT JOIN clv USING (vec_id)
              |ORDER BY vec_id""".stripMargin)),
 
     // ---- d23: SemDeDup keeper — one representative per d20 cluster -----
@@ -2000,7 +2049,7 @@ object Dedup {
           planes = d20Planes, tables = d20Tables, cap = 16)
           .orderBy(col("cluster_id"))
       },
-      Some(s"""WITH RECURSIVE seed AS (
+      Some(s"""WITH seed AS (
              |  SELECT embedding::DOUBLE[] AS semb FROM embeddings
              |  ORDER BY vec_id LIMIT 1),
              |e AS (SELECT vec_id,

@@ -1136,25 +1136,18 @@ object GraphOps {
       }),
 
     // ---- g07: connected components (min-label fixed point) -------------
-    // All-integer labels, so the converged Spark propagation equals the
-    // oracle's recursive reachability closure exactly.
+    // All-integer labels; the oracle runs ITERATIVE min-label propagation
+    // with pointer doubling (graft.functions.ClosureSql — O((E+V)·rounds),
+    // clique-size-independent, hostile-fuzz-safe), converging to the same
+    // min-reachable-id the engine's propagation fixes.
     Q("g07_components",
       (s, dir) => connectedComponents(derivedEdges(s, dir))
         .orderBy(col("node")),
-      Some("""WITH RECURSIVE e AS (
-              |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
-              |  FROM lineitem WHERE l_linenumber = 1),
-              |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-              |          FROM e WHERE src <> dst),
-              |sym AS (SELECT u AS src, v AS dst FROM canon
+      Some(s"""$derivedSql,
+              |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM canon
               |        UNION ALL SELECT v, u FROM canon),
-              |reach(a, b) AS (
-              |  SELECT src, src FROM sym
-              |  UNION
-              |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-              |)
-              |SELECT a AS node, min(b) AS component FROM reach
-              |GROUP BY a
+              |${graft.functions.ClosureSql.minLabelComp()}
+              |SELECT node, c AS component FROM comp
               |ORDER BY node""".stripMargin)),
 
     // ---- g16: exact k-hop neighborhood function ------------------------
@@ -1263,16 +1256,11 @@ object GraphOps {
       (s, dir) => connectedComponents(skewedEdges(s, dir))
         .orderBy(col("node")),
       Some(s"""$skewSql,
-              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM canon
               |        UNION ALL SELECT v, u FROM canon),
-              |reach AS (
-              |  SELECT src AS a, src AS b FROM sym
-              |  UNION
-              |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-              |)
-              |SELECT a AS node, min(b) AS component FROM reach
-              |GROUP BY a
-              |ORDER BY node""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
+              |${graft.functions.ClosureSql.minLabelComp()}
+              |SELECT node, c AS component FROM comp
+              |ORDER BY node""".stripMargin)),
 
     // g22: the degree-cap mitigation on the SAME hub graph g19 pays full
     // price on — cap 64 drops wedges through the 691-degree hub (and only

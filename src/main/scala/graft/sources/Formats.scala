@@ -223,5 +223,145 @@ object Formats {
               |  CASE WHEN NOT ok THEN line END AS raw
               |FROM c
               |ORDER BY status, coalesce(event_id, -1), coalesce(raw, '')""".stripMargin)),
+
+    // ---- i02: quarantine SINK composition — the production shape i01
+    // classifies for: ONE materialized scan routed to TWO sinks (good
+    // rows typed parquet, quarantined rows raw+reason parquet), then the
+    // result read back FROM THE SINKS with counts reconciled in-query
+    // (q39's write-inside-the-gate pattern). Green certifies
+    // good + quarantined == input on the planted fixture AND the reason
+    // attribution, re-derived independently by the oracle's identical
+    // first-failing-field case chain.
+    Q("i02_quarantine_sink", { (s, _) =>
+        val schema = new StructType()
+          .add("event_id", LongType).add("ts", TimestampType)
+          .add("user_id", LongType).add("event_type", StringType)
+          .add("value", DoubleType)
+        // localCheckpoint = the one-scan barrier (parser runs once for
+        // both sinks) and lifts Spark's corrupt-column-only restriction
+        val parsed = readCsvQuarantine(s, ingestFixturePath, schema)
+          .localCheckpoint()
+        val base = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_i02")
+        java.nio.file.Files.createDirectories(base)
+        val goodDir = base.resolve("good").toString
+        val quarDir = base.resolve("quarantine").toString
+        val good = parsed.filter(col("_corrupt").isNull)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        // reason = first failing field, same order as the oracle's chain
+        val f = split(col("raw"), ",", -1)
+        val quar = parsed.filter(col("_corrupt").isNotNull)
+          .select(col("_corrupt").as("raw"))
+          .withColumn("reason",
+            when(size(f) =!= 5,
+              concat(lit("field_count:"), size(f).cast("string")))
+            .when(expr("try_cast(element_at(split(raw, ',', -1), 1) AS BIGINT)").isNull,
+              lit("bad_event_id"))
+            .when(expr("try_cast(element_at(split(raw, ',', -1), 2) AS TIMESTAMP)").isNull,
+              lit("bad_ts"))
+            .when(expr("try_cast(element_at(split(raw, ',', -1), 3) AS BIGINT)").isNull,
+              lit("bad_user_id"))
+            .when(expr("try_cast(element_at(split(raw, ',', -1), 5) AS DOUBLE)").isNull,
+              lit("bad_value"))
+            .otherwise(lit("unknown")))
+        writeParquet(good, goodDir)
+        writeParquet(quar, quarDir)
+        // reconcile FROM the sinks: nothing dropped, nothing invented
+        val goodBack = s.read.schema(schema).parquet(goodDir)
+        val quarBack = s.read.schema(new StructType()
+          .add("raw", StringType).add("reason", StringType)).parquet(quarDir)
+        val counts = goodBack
+          .agg(count(lit(1)).as("n"))
+          .select(lit("good").as("status"), lit(null).cast("string").as("reason"),
+            col("n"))
+          .unionByName(quarBack.groupBy(col("reason"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit("quarantined").as("status"), col("reason"), col("n")))
+        val inputN = s.read.textFile(ingestFixturePath).toDF("line")
+          .agg(count(lit(1)).as("n_input"))
+        val sinkN = counts.agg(sum(col("n")).as("n_sinks"))
+        counts.crossJoin(broadcast(inputN)).crossJoin(broadcast(sinkN))
+          .select(col("status"), col("reason"), col("n"),
+            (col("n_sinks") === col("n_input")).cast("int").as("reconciled"))
+          .orderBy(col("status"), col("reason"))
+      },
+      Some(s"""WITH raw AS (SELECT line FROM read_csv('$ingestFixturePath',
+              |        columns={'line': 'VARCHAR'}, delim='|', quote='',
+              |        header=false)),
+              |p AS (SELECT line, str_split(line, ',') AS f FROM raw),
+              |c AS (SELECT line, f,
+              |  (len(f) = 5
+              |   AND try_cast(f[1] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[2] AS TIMESTAMP) IS NOT NULL
+              |   AND try_cast(f[3] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[5] AS DOUBLE) IS NOT NULL) AS ok,
+              |  CASE WHEN len(f) <> 5 THEN 'field_count:' || len(f)
+              |       WHEN try_cast(f[1] AS BIGINT) IS NULL THEN 'bad_event_id'
+              |       WHEN try_cast(f[2] AS TIMESTAMP) IS NULL THEN 'bad_ts'
+              |       WHEN try_cast(f[3] AS BIGINT) IS NULL THEN 'bad_user_id'
+              |       WHEN try_cast(f[5] AS DOUBLE) IS NULL THEN 'bad_value'
+              |       ELSE 'unknown' END AS reason FROM p),
+              |g AS (SELECT 'good' AS status, NULL AS reason,
+              |             CAST(count(*) AS BIGINT) AS n FROM c WHERE ok
+              |      UNION ALL
+              |      SELECT 'quarantined', reason, CAST(count(*) AS BIGINT)
+              |      FROM c WHERE NOT ok GROUP BY reason),
+              |t AS (SELECT count(*) AS n_input FROM raw),
+              |st AS (SELECT sum(n) AS n_sinks FROM g)
+              |SELECT status, reason, n,
+              |  CAST(n_sinks = n_input AS INT) AS reconciled
+              |FROM g, t, st
+              |ORDER BY status, reason""".stripMargin)),
+
+    // ---- i03: schema evolution on the lake path — the week-one 100 TB
+    // ingest event: a landing dir whose LATER batch carries an added
+    // nullable column. Batch 1 is written with the v1 schema, batch 2
+    // with v2 (+quality_score); the read is mergeSchema + an EXPLICIT
+    // reconciliation to the declared v2 schema (never inference-only).
+    // Green certifies old rows null-fill and new rows keep the column —
+    // the oracle recomputes the expected per-batch aggregate from the
+    // SOURCE table, so the write → evolved read → reconcile round trip
+    // is certified end-to-end (the q39 pattern).
+    Q("i03_schema_evolution", { (s, dir) =>
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"))
+        val base = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_i03")
+        java.nio.file.Files.createDirectories(base)
+        val b1 = base.resolve("batch1").toString
+        val b2 = base.resolve("batch2").toString
+        val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .withColumn("batch", lit(1))
+        val v2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .withColumn("batch", lit(2))
+          .withColumn("quality_score", pmod(col("event_id"), lit(7)))
+        writeParquet(v1, b1)
+        writeParquet(v2, b2)
+        val merged = s.read.option("mergeSchema", "true").parquet(b1, b2)
+        // reconcile to the DECLARED evolved schema — explicit casts, so a
+        // future type drift fails here, not three queries downstream
+        val declared = merged.select(
+          col("event_id").cast("long").as("event_id"),
+          col("batch").cast("int").as("batch"),
+          col("quality_score").cast("long").as("quality_score"))
+        declared.groupBy(col("batch"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("quality_score").isNull, 1L).otherwise(0L))
+              .as("n_null_quality"),
+            sum(coalesce(col("quality_score"), lit(0L))).as("sum_quality"))
+          .orderBy(col("batch"))
+      },
+      Some("""SELECT batch, n, n_null_quality, sum_quality FROM (
+             |  SELECT 1 AS batch, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(count(*) AS BIGINT) AS n_null_quality,
+             |         CAST(0 AS BIGINT) AS sum_quality
+             |  FROM events WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT 2, CAST(count(*) AS BIGINT),
+             |         CAST(0 AS BIGINT),
+             |         CAST(sum(event_id % 7) AS BIGINT)
+             |  FROM events WHERE event_id % 2 = 1)
+             |ORDER BY batch""".stripMargin)),
   )
 }

@@ -351,13 +351,21 @@ class DedupSpec extends AnyFunSuite {
     def tmp() = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
     val lifecycleDir = tmp(); val rebuildDir = tmp(); val compactDir = tmp()
     Dedup.buildBandIndex(corpus, lifecycleDir)
-    Dedup.appendBandIndex(batch, lifecycleDir)
+    Dedup.appendBandIndex(batch, lifecycleDir, batchId = "day2")
     Dedup.buildBandIndex(many, rebuildDir)
     def rows(dir: String) = Dedup.readBandIndex(spark, dir)
       .select(col("doc_id"), col("band"), col("bkey")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def rowsMulti(dir: String) = Dedup.readBandIndex(spark, dir)
+      .select(col("doc_id"), col("band"), col("bkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
     val appended = rows(lifecycleDir)
     assert(appended === rows(rebuildDir), "append != full rebuild")
+    // retry safety: re-appending the same batch id replaces its own
+    // partition — row-identical INCLUDING multiplicity, not just as a set
+    val before = rowsMulti(lifecycleDir)
+    Dedup.appendBandIndex(batch, lifecycleDir, batchId = "day2")
+    assert(rowsMulti(lifecycleDir) === before, "retried append changed the artifact")
     val nFiles = graft.sources.Formats.compactParquet(spark, lifecycleDir, compactDir)
     assert(rows(compactDir) === appended, "compaction changed the index")
     assert(nFiles >= 1)

@@ -36,7 +36,7 @@ class QueriesSpec extends AnyFunSuite {
     "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
     "d14_incremental_dedup", "d15_dup_shingle_rate", "d16_containment",
     "d28_band_index_lifecycle",
-    "d26_contamination_pairs", "i01_tolerant_ingest",
+    "d26_contamination_pairs", "i01_tolerant_ingest", "i02_quarantine_sink",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "e05_corpus_diff",
     "e06_corpus_datasheet", "s08_knn_join", "t17_gopher_repetition",

@@ -158,15 +158,13 @@ def main():
             rc = 1
         # GRAFT_FUZZ_SKIP_ORACLES: comma-separated query names to EXCLUDE
         # from the DuckDB compare (the engine side above still ran them —
-        # errors.json is checked unfiltered). Exists for the sf0.1 hostile
-        # tier: the closure-family oracles (d08/d17/d18/d20/d23/d25/g07/
-        # g20) compute transitive closure as a recursive reach-pair CTE,
-        # which is CUBIC in clique size — a 2000-member mass-duplication
-        # clique at sf0.1 means ~10^10 intermediate rows per recursion
-        # step in DuckDB. That is the oracle form's cost, not the
-        # engine's (the Spark side is large-star/small-star, O(log n)
-        # rounds); those operators stay cross-engine-compared at the
-        # sf0.001 hostile tier and the sf0.01 fixture gate.
+        # errors.json is checked unfiltered). As of round 10 NO tier needs
+        # it: the closure-family oracles (d08/d17/d18/d20/d23/d25/g07/g20)
+        # now run iterative min-label propagation with pointer doubling
+        # (graft.functions.ClosureSql) behind an exact-dup collapse, so
+        # the sf0.1 hostile mass-duplication tier compares ALL queries
+        # (seed 107 re-certified unskipped). The knob stays as a dev
+        # escape hatch only.
         skip = {s.strip() for s in
                 os.environ.get("GRAFT_FUZZ_SKIP_ORACLES", "").split(",")
                 if s.strip()}
