@@ -283,8 +283,21 @@ object Dedup {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
 
+  /** The band artifact's declared schema — reads never infer (an EMPTY
+    * partitioned index has no schema-bearing files to infer from: a
+    * partitionBy write of zero rows emits only _SUCCESS). `batch_id` is
+    * resolved from partition directories on the live index and from the
+    * data column on a compacted copy. */
+  private val bandIndexSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("sig", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
+    .add("band", org.apache.spark.sql.types.IntegerType)
+    .add("bkey", org.apache.spark.sql.types.StringType)
+    .add("batch_id", org.apache.spark.sql.types.StringType)
+
   def readBandIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.schema(bandIndexSchema).parquet(path)
 
   /** Incremental dedup: candidate pairs where at least one side is in the
     * NEW batch — new-vs-corpus probes plus new-vs-new self-pairs, never
@@ -1573,7 +1586,8 @@ object Dedup {
         // overwrite makes it a replace, so the gate's hash certifies
         // double-append == no-op on the on-disk artifact
         appendBandIndex(batch, idxDir, batchId = "day2")
-        graft.sources.Formats.compactParquet(s, idxDir, compactDir)
+        graft.sources.Formats.compactParquet(s, idxDir, compactDir,
+          schema = Some(bandIndexSchema))
         readBandIndex(s, compactDir)
           .select(col("doc_id"), col("band"), col("bkey"))
           .orderBy(col("doc_id"), col("band"))

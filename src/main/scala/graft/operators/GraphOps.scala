@@ -222,6 +222,36 @@ object GraphOps {
       .agg(count(lit(1)).as("degree"))
   }
 
+  /** Incrementally-MAINTAINED degrees — the certified producer for
+    * [[trianglesAuto]]'s `knownStats` (r9 verdict #8). A pipeline that
+    * keeps per-node degrees as a day-2 artifact folds each admitted
+    * batch's canonical edges into the running table instead of
+    * rescanning the graph: degree is ADDITIVE over a partition of the
+    * distinct canonical edge set (each undirected edge contributes
+    * exactly 1 to each endpoint), so fold(oldDegrees, batch) ==
+    * degrees(old ∪ batch) exactly — PROVIDED `batchEdges` canonicalizes
+    * to edges disjoint from the old set (the admission dedup every
+    * incremental graph pipeline already runs; g25 constructs the
+    * partition by edge hash and certifies mismatch-zero cross-engine,
+    * and GraphOpsSpec drives trianglesAuto with the maintained stats to
+    * prove the same plan and the same triangles come out). Cost: one
+    * batch-sized degree pass + a degree-table-sized sum — never a
+    * corpus re-read. */
+  def foldDegrees(oldDegrees: DataFrame, batchEdges: DataFrame): DataFrame =
+    oldDegrees.unionByName(degrees(batchEdges))
+      .groupBy(col("node")).agg(sum(col("degree")).as("degree"))
+
+  /** (maxDegree, medianDegree) from a degree table — the exact shape
+    * [[trianglesAuto]]'s `knownStats` wants, so a maintained table from
+    * [[foldDegrees]] plugs straight into lazy plan choice. */
+  def degreeStats(deg: DataFrame): (Long, Long) = {
+    val r = deg.agg(max(col("degree")).cast("long").as("mx"),
+      percentile_approx(col("degree"), lit(0.5), lit(10000)).cast("long").as("md"))
+      .head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 1L else r.getLong(1))
+  }
+
   /** Common-neighbor counts for node pairs — the link-prediction score the
     * reference's README motivates (README.md:2, "Redundant Graph
     * Detection"). Returns pairs `u < v` with ≥ `minCommon` shared
@@ -1261,6 +1291,56 @@ object GraphOps {
               |${graft.functions.ClosureSql.minLabelComp()}
               |SELECT node, c AS component FROM comp
               |ORDER BY node""".stripMargin)),
+
+    // ---- g25: maintained-degree-stats certificate (the knownStats
+    // producer) — e02's fold-vs-whole pattern on the triangle chooser's
+    // inputs: the canonical edge set splits 90/10 by edge hash, degrees
+    // fold from the old table + the batch alone (foldDegrees), and the
+    // output certifies (a) node-level fold == recompute mismatch-zero
+    // (Spark computes it; the oracle pins 0), (b) the chooser statistics
+    // (max, exact interpolated median ×10) derived from the MAINTAINED
+    // table equal the oracle's from-scratch recompute, (c) the derived
+    // plan decision itself. GraphOpsSpec additionally drives
+    // trianglesAuto(knownStats = maintained) to identical triangles.
+    Q("g25_degree_maintenance", { (s, dir) =>
+        val canon = canonicalEdges(derivedEdges(s, dir))
+        val isBatch = (graft.functions.PortableHash.baseHash(
+          concat_ws(",", col("u").cast("string"), col("v").cast("string")))
+          % 10) === 0
+        val old = canon.filter(!isBatch).select(col("u").as("src"), col("v").as("dst"))
+        val batch = canon.filter(isBatch).select(col("u").as("src"), col("v").as("dst"))
+        val maintained = foldDegrees(degrees(old), batch)
+        val recomputed = degrees(derivedEdges(s, dir))
+        val mism = maintained
+          .join(recomputed.withColumnRenamed("degree", "_w"), Seq("node"), "full")
+          .agg(sum(when(col("degree") <=> col("_w"), 0L).otherwise(1L)).as("value"))
+        val stats = maintained.agg(
+          max(col("degree")).cast("long").as("mx"),
+          round(expr("percentile(degree, 0.5)") * 10).cast("long").as("med10"))
+        def row(name: String, v: DataFrame) =
+          v.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+        row("chooser_degree_ordered", stats.select(
+            (expr("mx div greatest(CAST(1 AS BIGINT), med10 div 10)") >= 10)
+              .cast("long").as("value")))
+          .unionByName(row("degree_fold_mismatch", mism))
+          .unionByName(row("max_degree", stats.select(col("mx").as("value"))))
+          .unionByName(row("median_degree_x10",
+            stats.select(col("med10").as("value"))))
+          .orderBy(col("metric"))
+      },
+      Some(s"""$derivedSql,
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+              |st AS (SELECT max(degree) AS mx,
+              |       CAST(round(quantile_cont(degree, 0.5) * 10) AS BIGINT) AS med10
+              |       FROM deg)
+              |SELECT 'chooser_degree_ordered' AS metric,
+              |  CAST(mx // greatest(1, med10 // 10) >= 10 AS BIGINT) AS value FROM st
+              |UNION ALL SELECT 'degree_fold_mismatch', 0
+              |UNION ALL SELECT 'max_degree', CAST(mx AS BIGINT) FROM st
+              |UNION ALL SELECT 'median_degree_x10', med10 FROM st
+              |ORDER BY metric""".stripMargin)),
 
     // g22: the degree-cap mitigation on the SAME hub graph g19 pays full
     // price on — cap 64 drops wedges through the 691-degree hub (and only

@@ -266,6 +266,121 @@ object TextOps {
   private val normSql = TextFns.normalizeSql("text")
   private val toksSql = TextFns.tokensSql("text")
 
+  /** BPE TRAINING LOOP (t18) — the iterated form of t16's single inner
+    * step, closing the last LLM-pipeline stage t16 only sampled: k rounds
+    * of (count adjacent symbol pairs over the word-frequency vocabulary →
+    * pick the max-count pair, ties broken (left, right) ascending → merge
+    * every left-to-right non-overlapping occurrence in every word). The
+    * output is the merge table itself — (step, lhs, rhs, merged,
+    * pair_count) — i.e. the trained tokenizer.
+    *
+    * Shape: a DRIVER-COORDINATED fixed point, exactly g06/g11's class.
+    * Everything heavy stays distributed and vocabulary-sized: the pair
+    * count explodes the DISTINCT vocabulary (already map-side-combined to
+    * word frequencies — the real BPE trick; the corpus token stream is
+    * read once, in round 0), and the chosen pair comes back as ONE
+    * driver-side row per round (the one-row scalar-read pattern the bench
+    * harnesses share). Merge application is an in-row left-fold over each
+    * word's symbol array (`aggregate` HOF; greedy non-overlapping — in
+    * "a a a", the pair (a,a) merges once and the survivor does NOT
+    * re-merge, because a merged token never equals its own left half).
+    * `localCheckpoint` between rounds keeps the plan from growing k deep.
+    *
+    * The oracle unrolls the same k rounds in DuckDB with the vocabulary
+    * as '|'-delimited symbol strings and merge application as an 8-deep
+    * bounded-pattern replace fixpoint ('|l|r|' → '|lr|', each pass
+    * halving the remaining same-pair chain) — exact for any word whose
+    * same-pair chain is ≤ 2⁸ occurrences (≈ 512-char words); a corpus
+    * beyond that fails the gate LOUD (the g11 rounds contract), never
+    * silently wrong. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      merges: Int = 8): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    def applyMerge(syms: org.apache.spark.sql.Column, l: String,
+        r: String): org.apache.spark.sql.Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+    // words containing U+0001 are excluded on BOTH sides — it is the
+    // oracle's symbol delimiter; zero occurrences in every gate corpus,
+    // and the exclusion is part of the operator contract so a corpus
+    // that does carry it still compares equal instead of corrupting the
+    // oracle's encoding
+    var vocab = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("\u0001"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to merges) {
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val b = best(0)
+        val (l, r, n) = (b.getString(0), b.getString(1), b.getLong(2))
+        out += ((step, l, r, n))
+        vocab = vocab.select(col("freq"),
+          applyMerge(col("syms"), l, r).as("syms")).localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "lhs", "rhs", "n")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
+  /** t18's oracle: the same k training rounds unrolled as DuckDB CTEs —
+    * see [[bpeTrain]] for the replace-fixpoint encoding and its loud-fail
+    * bound. */
+  private def bpeTrainOracleSql(merges: Int): String = {
+    // bounded-pattern replace, 8-deep: <d>l<d>r<d> -> <d>lr<d>, with the
+    // U+0001 delimiter (words carrying it are excluded from the vocab on
+    // both sides — see bpeTrain)
+    val d = "chr(1)"
+    val rep8 = (1 to 8).foldLeft("s") { (acc, _) =>
+      s"replace($acc, $d || l || $d || r || $d, $d || l || r || $d)"
+    }
+    val rounds = (1 to merges).map { i =>
+      s"""sp$i AS (SELECT freq, str_split(s, chr(1)) AS f FROM v${i - 1}),
+         |p$i AS MATERIALIZED (
+         |  SELECT f[j + 1] AS l, f[j + 2] AS r, sum(freq) AS n
+         |  FROM sp$i, unnest(range(1, len(f) - 2)) AS u(j)
+         |  WHERE len(f) >= 4
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, n FROM p$i
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT freq, $rep8 AS s FROM v${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges)
+      .map(i => s"SELECT $i AS step, l, r, n FROM b$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH tk AS (SELECT unnest($toksSql) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS freq FROM tk
+       |       WHERE w <> '' AND strpos(w, chr(1)) = 0 GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT freq,
+       |  chr(1) || array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> w[i:i]), chr(1)) || chr(1) AS s
+       |  FROM wf),
+       |$rounds,
+       |mt AS ($union)
+       |SELECT step, l AS lhs, r AS rhs, l || r AS merged,
+       |  CAST(n AS BIGINT) AS n
+       |FROM mt
+       |ORDER BY step""".stripMargin
+  }
+
   /** The [[TextFns.qualityScore]] formula over CTE columns `n`
     * (normalized text) and `t` (token list) — shared by d10's oracle and
     * the e01 pipeline oracle so both gate the SAME quality semantics. */
@@ -762,6 +877,17 @@ object TextOps {
               |FROM pr GROUP BY pair
               |ORDER BY n DESC, pair
               |LIMIT 20""".stripMargin)),
+
+    // ---- t18: BPE TRAINING LOOP (k iterated merges) ---------------------
+    // t16 run to its fixed point: 8 driver-coordinated rounds of
+    // count-pairs → argmax → merge-in-every-word, output = the merge
+    // table (the trained tokenizer). The oracle unrolls the identical 8
+    // rounds over a delimited-symbol vocabulary with a bounded replace
+    // fixpoint — see bpeTrain's scaladoc for the greedy-non-overlap
+    // semantics and the loud-fail bound.
+    Q("t18_bpe_train",
+      (s, dir) => bpeTrain(Tables.load(s, dir, "documents"), merges = 8),
+      Some(bpeTrainOracleSql(8))),
 
     // ---- t15: overlapping token-window chunking (RAG layout) -----------
     // Each document split into stride-48 windows of 64 tokens (16-token

@@ -106,14 +106,19 @@ object Formats {
     * round-robin repartition, no keys touched); sized from the REAL
     * on-disk bytes, not an estimate. */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20,
+      schema: Option[StructType] = None): Int = {
     // outDir inside inDir would write the compacted copy UNDER the landing
     // dir, so the next recursive scan double-counts every row (r7 ADVICE)
     val inAbs = new java.io.File(inDir).getCanonicalPath + java.io.File.separator
     val outAbs = new java.io.File(outDir).getCanonicalPath + java.io.File.separator
     require(!outAbs.startsWith(inAbs),
       s"compactParquet: outDir ($outDir) must not be inDir or nested inside it ($inDir)")
-    val df = spark.read.parquet(inDir)
+    // an explicit schema lets an EMPTY landing dir compact to an empty
+    // (but schema-bearing) output instead of failing inference — a
+    // partitioned write of zero rows leaves no footers to infer from
+    val reader = schema.fold(spark.read)(sc => spark.read.schema(sc))
+    val df = reader.parquet(inDir)
     // stat each file on ITS OWN filesystem — FileSystem.get(conf) is the
     // default FS only, and a lake landing dir is exactly where the path
     // scheme (s3a/hdfs/file) differs from fs.defaultFS

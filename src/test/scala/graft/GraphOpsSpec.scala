@@ -358,4 +358,31 @@ class GraphOpsSpec extends AnyFunSuite {
   test("sampledTriangles: empty graph yields an all-zero row") {
     assert(sampledRow(Seq.empty, 5) === ((0L, 0L, 0L, 0L)))
   }
+
+  test("foldDegrees: maintained stats == recomputed, and trianglesAuto agrees") {
+    // hub graph (node 0 connected to 1..12, plus a triangle rim) so the
+    // chooser's skew branch is actually exercised by the maintained stats
+    val es = (1L to 12L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val all = edgesDF(es)
+    // partition the canonical edge set: last three edges arrive day-2
+    val old = edgesDF(es.dropRight(3))
+    val batch = edgesDF(es.takeRight(3))
+    val maintained = GraphOps.foldDegrees(GraphOps.degrees(old), batch)
+    val recomputed = GraphOps.degrees(all)
+    val m = maintained.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rc = recomputed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === rc, "fold != recompute")
+    // the maintained stats drive the SAME plan to the SAME triangles
+    val stats = GraphOps.degreeStats(maintained)
+    assert(stats._1 === 12L) // the hub
+    val viaKnown = GraphOps.trianglesAuto(all, knownStats = Some(stats))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaMeasured = GraphOps.trianglesAuto(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaKnown === viaMeasured)
+    assert(viaKnown === Set((1L, 2L, 3L), (4L, 5L, 6L),
+      (0L, 1L, 2L), (0L, 2L, 3L), (0L, 1L, 3L), (0L, 4L, 5L), (0L, 5L, 6L),
+      (0L, 4L, 6L)))
+  }
 }

@@ -159,4 +159,26 @@ class TextOpsSpec extends AnyFunSuite {
     // 5-gram repeats → full coverage; past the length gate → flagged
     assert(out(5L) === ((60L, 30L, 10000L, 60L, 10000L, 1)))
   }
+
+  test("bpeTrain: hand-computed merges, greedy non-overlap on chains") {
+    import spark.implicits._
+    // vocab: "aaaa"×3, "ab"×2, "abab"×1  (tokens split on whitespace)
+    val docs = Seq(
+      (0L, "aaaa aaaa ab", "en"),
+      (1L, "aaaa ab abab", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.bpeTrain(docs, merges = 3).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("n")))
+    // step 1 pair counts: (a,a): aaaa has 3 adjacent (a,a) per word × 3
+    //   words = 9; (a,b): ab×2 = 2, abab has 2 = 2 → 4; (b,a): abab 1.
+    //   best = (a,a) n=9. Merge greedy non-overlap: aaaa → [aa, aa]
+    //   (NOT [aa, a, a]); ab → [a, b]; abab → [a, b, a, b].
+    assert(out(0) === ((1, "a", "a", "aa", 9L)))
+    // step 2 counts: (aa,aa): 3; (a,b): 4; (b,a): 1 → best (a,b) n=4.
+    assert(out(1) === ((2, "a", "b", "ab", 4L)))
+    // step 3: aaaa=[aa,aa] ×3 → (aa,aa)=3; abab=[ab,ab] → (ab,ab)=1.
+    assert(out(2) === ((3, "aa", "aa", "aaaa", 3L)))
+  }
 }

@@ -57,11 +57,14 @@ else
   # contention guard: never bench concurrently with another Spark job.
   # (Bench.main also polls /proc/loadavg itself; this outer check makes the
   # refusal visible in the gate log and catches long-running driver benches.)
-  for i in $(seq 1 60); do
+  # 1.0, matching Bench.main's artifact-strength default (r9 verdict #7:
+  # a load-2.5 artifact carried ~16 s of contention noise)
+  MAXLOAD=${SPARK_GRAFT_BENCH_MAXLOAD:-1.0}
+  for i in $(seq 1 120); do
     LOAD=$(cut -d' ' -f1 /proc/loadavg)
-    OK=$(python3 -c "print(1 if $LOAD <= 4.0 else 0)")
+    OK=$(python3 -c "print(1 if $LOAD <= $MAXLOAD else 0)")
     [ "$OK" = "1" ] && break
-    echo "  load $LOAD > 4.0 — waiting for idle box ($i/60)..."
+    echo "  load $LOAD > $MAXLOAD — waiting for idle box ($i/120)..."
     sleep 15
   done
   [ "$OK" = "1" ] || fail "box never went idle; refusing to record contaminated bench numbers"
@@ -82,12 +85,11 @@ if bad:
 # pinned idle-box floor is either a real regression or a contaminated
 # artifact (the r6 d05-at-53s class) — refuse to snapshot it either way.
 # Raise the floor deliberately (env) when the suite legitimately grows.
-# 152 s = the 179-query idle total under FULL-OUTPUT evaluation
-# (round 9 re-pin: 148.4 s measured at load 0.02 for 178 queries, plus
-# d29 at d27's ~1.8 s class; the round-8 145 s floor covered 171
-# queries, and the pre-r8 107 s floor was measured with .count()-elided
-# projections/joins/sorts and is not comparable).
-floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "152"))
+# 157 s = the 183-query idle total under FULL-OUTPUT evaluation
+# (round 10 re-pin: 157.4 s measured at load 0.95; the round-9 152 s floor covered 179 queries; i02 +
+# i03 + t18 + g25 measured ~4 s together at sf0.1. The pre-r8 107 s
+# floor used .count()-elided evaluation and is not comparable).
+floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "157"))
 if rec["value"] > 2 * floor:
     print(f"PRESNAPSHOT GATE: FAIL — bench total {rec['value']:.1f}s "
           f"> 2x pinned floor {floor}s", file=sys.stderr)
