@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, GraphOps, Profile, Similarity}
+import graft.operators.{Dedup, GraphOps, Profile, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,6 +114,30 @@ object ScaleSmoke {
         }
       }
       println(s"""{"step":"d13_selectivity","docs":$nDocs,"candidates":$d13Cands,"all_pairs_bound":${nDocs * (nDocs - 1) / 2}}""")
+      spark.stop(); return
+    }
+
+    if (args.contains("--t18-only")) {
+      // t18's vocab-bounded claim measured: the per-round pair
+      // aggregation explodes the DISTINCT vocabulary (map-side-combined
+      // word frequencies), never the corpus token stream — so 4× the
+      // docs over the same stem universe must grow the training rounds'
+      // SHUFFLE sublinearly (the scan cost grows, the aggregation state
+      // doesn't). Round-robin repartition + persist first: the
+      // spark.range partitioning gift would otherwise elide the vocab
+      // exchange entirely (see the --d27-only protocol note).
+      for (n <- Seq(nDocs, nDocs * 4)) {
+        val d = docs(spark, n)
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .persist(); d.count()
+        val vocabN = d.select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct().count()
+        timed(s"t18_bpe_train_8_rounds_$n") {
+          exec(TextOps.bpeTrain(d, merges = 8))
+        }
+        println(s"""{"step":"t18_vocab","docs":$n,"vocab":$vocabN}""")
+        d.unpersist()
+      }
       spark.stop(); return
     }
 
