@@ -296,6 +296,47 @@ object TextOps {
   def bpeTrain(docs: org.apache.spark.sql.DataFrame,
       merges: Int = 8): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainCore(docs, merges)._1.toDF("step", "lhs", "rhs", "n")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
+  /** ENCODE with the trained tokenizer (t19) — the step t18's merge table
+    * exists for: replay the same `merges` training rounds, then count
+    * each document's tokens under the trained vocabulary (per-word symbol
+    * counts summed per doc). This is the cost model a corpus pipeline
+    * prices everything with — "how many TRAINED-tokenizer tokens is this
+    * corpus" decides packing, budgets, and mixture weights, and the
+    * whitespace proxy (t01) misprices exactly the degenerate documents
+    * quality filtering cares about. The per-word encoding lives on the
+    * DISTINCT vocabulary (the same vocab-bounded shape training has); the
+    * corpus-sized work is one token explode + a vocabulary equi-join
+    * Catalyst sizes (AQE broadcasts the encoded vocab when it fits), then
+    * a per-doc sum. Words containing U+0001 are excluded corpus-wide on
+    * both engines (the [[bpeTrain]] delimiter contract); docs with no
+    * eligible words keep a 0-count row. */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame,
+      merges: Int = 8): org.apache.spark.sql.DataFrame = {
+    val (_, vocab) = bpeTrainCore(docs, merges)
+    val enc = vocab.select(col("w"), size(col("syms")).cast("long").as("nsyms"))
+    val words = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("\u0001"))
+    val agg = words.join(enc, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("nsyms")).cast("long").as("bpe_tokens"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** Shared trainer core for [[bpeTrain]] / [[bpeEncode]]: the merge rows
+    * plus the final vocabulary (w, freq, syms). */
+  private def bpeTrainCore(docs: org.apache.spark.sql.DataFrame, merges: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     def applyMerge(syms: org.apache.spark.sql.Column, l: String,
         r: String): org.apache.spark.sql.Column =
       aggregate(syms, array().cast("array<string>"),
@@ -312,7 +353,7 @@ object TextOps {
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "" && !col("w").contains("\u0001"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
@@ -331,26 +372,28 @@ object TextOps {
         val b = best(0)
         val (l, r, n) = (b.getString(0), b.getString(1), b.getLong(2))
         out += ((step, l, r, n))
-        vocab = vocab.select(col("freq"),
+        vocab = vocab.select(col("w"), col("freq"),
           applyMerge(col("syms"), l, r).as("syms")).localCheckpoint()
       }
     }
-    import spark.implicits._
-    out.toSeq.toDF("step", "lhs", "rhs", "n")
-      .select(col("step"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+    (out.toSeq, vocab)
   }
 
   /** t18's oracle: the same k training rounds unrolled as DuckDB CTEs —
     * see [[bpeTrain]] for the replace-fixpoint encoding and its loud-fail
     * bound. */
-  private def bpeTrainOracleSql(merges: Int): String = {
-    // bounded-pattern replace, 8-deep: <d>l<d>r<d> -> <d>lr<d>, with the
-    // U+0001 delimiter (words carrying it are excluded from the vocab on
-    // both sides — see bpeTrain)
+  /** The k unrolled training rounds shared by t18's and t19's oracles:
+    * tk → wf → v0 (delimited symbol strings, word carried along) →
+    * sp/p/b/v per round. Merge application is a bounded-pattern replace,
+    * 8-deep: <d>l<d>r<d> → <d>lr<d> with the U+0001 delimiter (words
+    * carrying it are excluded from the vocab on both sides — see
+    * bpeTrain). `v$i` LEFT JOINs its round's best pair so an empty
+    * candidate set keeps the vocabulary UNCHANGED (the engine's
+    * behavior) instead of zeroing it. */
+  private def bpeChainSql(merges: Int): String = {
     val d = "chr(1)"
     val rep8 = (1 to 8).foldLeft("s") { (acc, _) =>
-      s"replace($acc, $d || l || $d || r || $d, $d || l || r || $d)"
+      s"replace($acc, $d || b.l || $d || b.r || $d, $d || b.l || b.r || $d)"
     }
     val rounds = (1 to merges).map { i =>
       s"""sp$i AS (SELECT freq, str_split(s, chr(1)) AS f FROM v${i - 1}),
@@ -361,25 +404,48 @@ object TextOps {
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT l, r, n FROM p$i
          |  ORDER BY n DESC, l, r LIMIT 1),
-         |v$i AS MATERIALIZED (SELECT freq, $rep8 AS s FROM v${i - 1}, b$i)""".stripMargin
+         |v$i AS MATERIALIZED (
+         |  SELECT w, freq, CASE WHEN b.l IS NULL THEN s ELSE $rep8 END AS s
+         |  FROM v${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges)
-      .map(i => s"SELECT $i AS step, l, r, n FROM b$i")
-      .mkString("\n       UNION ALL ")
-    s"""WITH tk AS (SELECT unnest($toksSql) AS w FROM documents),
+    s"""tk AS (SELECT unnest($toksSql) AS w FROM documents),
        |wf AS (SELECT w, count(*) AS freq FROM tk
        |       WHERE w <> '' AND strpos(w, chr(1)) = 0 GROUP BY w),
-       |v0 AS MATERIALIZED (SELECT freq,
+       |v0 AS MATERIALIZED (SELECT w, freq,
        |  chr(1) || array_to_string(list_transform(range(1, len(w) + 1),
        |      i -> w[i:i]), chr(1)) || chr(1) AS s
        |  FROM wf),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i => s"SELECT $i AS step, l, r, n FROM b$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH ${bpeChainSql(merges)},
        |mt AS ($union)
        |SELECT step, l AS lhs, r AS rhs, l || r AS merged,
        |  CAST(n AS BIGINT) AS n
        |FROM mt
        |ORDER BY step""".stripMargin
   }
+
+  /** t19's oracle: the trained vocabulary's per-word symbol counts joined
+    * back to the per-doc token stream — see [[bpeEncode]]. */
+  private def bpeEncodeOracleSql(merges: Int): String =
+    s"""WITH ${bpeChainSql(merges)},
+       |enc AS (SELECT w, CAST(len(str_split(s, chr(1))) - 2 AS BIGINT) AS nsyms
+       |        FROM v$merges),
+       |tkd AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |        CAST(sum(nsyms) AS BIGINT) AS bpe_tokens
+       |        FROM tkd JOIN enc USING (w)
+       |        GROUP BY doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** The [[TextFns.qualityScore]] formula over CTE columns `n`
     * (normalized text) and `t` (token list) — shared by d10's oracle and
@@ -888,6 +954,16 @@ object TextOps {
     Q("t18_bpe_train",
       (s, dir) => bpeTrain(Tables.load(s, dir, "documents"), merges = 8),
       Some(bpeTrainOracleSql(8))),
+
+    // ---- t19: encode with the trained tokenizer --------------------------
+    // Per-document token counts under t18's trained merges — the corpus
+    // cost model (see bpeEncode). One hash certifies training AND
+    // encoding: the oracle replays the 8 rounds, measures every word's
+    // trained symbol count, and rolls the corpus up per doc.
+    Q("t19_bpe_encode",
+      (s, dir) => bpeEncode(Tables.load(s, dir, "documents"), merges = 8)
+        .orderBy(col("doc_id")),
+      Some(bpeEncodeOracleSql(8))),
 
     // ---- t15: overlapping token-window chunking (RAG layout) -----------
     // Each document split into stride-48 windows of 64 tokens (16-token

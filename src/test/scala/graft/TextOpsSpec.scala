@@ -181,4 +181,19 @@ class TextOpsSpec extends AnyFunSuite {
     // step 3: aaaa=[aa,aa] ×3 → (aa,aa)=3; abab=[ab,ab] → (ab,ab)=1.
     assert(out(2) === ((3, "aa", "aa", "aaaa", 3L)))
   }
+
+  test("bpeEncode: per-doc counts under the trained merges") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaa aaaa ab", "en"),
+      (1L, "aaaa ab abab", "en")
+    ).toDF("doc_id", "text", "lang")
+    // after the 3 merges above: aaaa→[aaaa] (1 sym), ab→[ab] (1),
+    // abab→[ab,ab] (2)
+    val out = TextOps.bpeEncode(docs, merges = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"))).toMap
+    assert(out(0L) === ((3L, 3L)))
+    assert(out(1L) === ((3L, 4L)))
+  }
 }
