@@ -42,6 +42,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming band-index maintenance: foreachBatch append is replay-idempotent") {
+    // The production composition of st14 + d28: a document stream
+    // maintains the persisted LSH band index via foreachBatch, keyed by
+    // Spark's own batchId — exactly the sink contract foreachBatch
+    // documents (a failed trigger REPLAYS its batch with the same id).
+    // d28's dynamic-partition-overwrite append makes that replay a
+    // no-op, so the maintained artifact equals the batch rebuild even
+    // with a simulated retry injected.
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 200)
+    val replay = Files.createTempDirectory("graft-idx-replay").toString
+    docs.withColumn("part", col("doc_id") % 4).repartition(4, col("part"))
+      .drop("part").write.mode("overwrite").parquet(replay)
+    val idxDir = Files.createTempDirectory("graft-idx-stream").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    var replayed = false
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.operators.Dedup.appendBandIndex(batch, idxDir, s"b$batchId")
+        if (batchId == 1 && !replayed) { // simulated mid-stream retry
+          replayed = true
+          graft.operators.Dedup.appendBandIndex(batch, idxDir, s"b$batchId")
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("band"), col("bkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    val rebuildDir = Files.createTempDirectory("graft-idx-rebuild").toString
+    graft.operators.Dedup.buildBandIndex(docs, rebuildDir)
+    val maintained = rows(graft.operators.Dedup.readBandIndex(spark, idxDir))
+    assert(replayed, "the simulated retry must have fired")
+    assert(maintained.nonEmpty)
+    // multiplicity-identical INCLUDING the replayed batch
+    assert(maintained ===
+      rows(graft.operators.Dedup.readBandIndex(spark, rebuildDir)))
+  }
+
   test("streaming hourly windows == batch hourly windows") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.hourlyByType(stream.withWatermark("ts", "2 hours"))
