@@ -182,6 +182,40 @@ object Formats {
     p.toString
   }
 
+  /** Quarantine-rate metrics over a tolerant read ([[readCsvQuarantine]]
+    * output): one row of (n_input, n_quarantined, bad_ppm, tripped) per
+    * threshold. The operational third rail between FAILFAST and
+    * PERMISSIVE: a tolerant ingest that quietly quarantines 99% of a feed
+    * is an OUTAGE wearing a green job status — when an upstream format
+    * breaks, the batch must fail loudly, while background noise (a few
+    * bad lines per million) flows on. Exact integer ppm, one aggregate
+    * over the already-materialized parse — no second scan. */
+  def quarantineRateMetrics(parsed: DataFrame, maxBadPpm: Long,
+      corruptCol: String = "_corrupt"): DataFrame =
+    parsed.agg(
+        count(lit(1)).cast("long").as("n_input"),
+        sum(when(col(corruptCol).isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_quarantined"))
+      .select(col("n_input"), col("n_quarantined"),
+        expr("1000000 * n_quarantined div greatest(n_input, CAST(1 AS BIGINT))")
+          .as("bad_ppm"),
+        lit(maxBadPpm).as("max_bad_ppm"))
+      .withColumn("tripped",
+        (col("bad_ppm") > col("max_bad_ppm")).cast("int"))
+
+  /** FAILFAST-by-policy: throw when the quarantine rate exceeds
+    * `maxBadPpm` — the circuit breaker a scheduled 100 TB ingest wires
+    * between the tolerant read and the commit of its outputs. */
+  def requireQuarantineRate(parsed: DataFrame, maxBadPpm: Long,
+      corruptCol: String = "_corrupt"): Unit = {
+    val r = quarantineRateMetrics(parsed, maxBadPpm, corruptCol).head()
+    if (r.getAs[Int]("tripped") == 1)
+      throw new IllegalStateException(
+        s"ingest circuit breaker: ${r.getAs[Long]("n_quarantined")} of " +
+          s"${r.getAs[Long]("n_input")} rows quarantined " +
+          s"(${r.getAs[Long]("bad_ppm")} ppm > $maxBadPpm ppm)")
+  }
+
   val queries: Seq[Q] = Seq(
     // ---- i01: tolerant ingest — corrupt lines QUARANTINED, not dropped,
     // not fatal. Per-line disposition: good rows carry their parsed typed
@@ -228,6 +262,47 @@ object Formats {
               |  CASE WHEN NOT ok THEN line END AS raw
               |FROM c
               |ORDER BY status, coalesce(event_id, -1), coalesce(raw, '')""".stripMargin)),
+
+    // ---- i04: ingest circuit breaker — the quarantine-RATE gate ---------
+    // Two thresholds over the planted fixture (6 bad of 11 = 545,454
+    // ppm): the 300,000-ppm row must trip and the 600,000-ppm row must
+    // not, so one hash certifies BOTH breaker decisions plus the exact
+    // rate arithmetic. requireQuarantineRate (the throwing form a
+    // scheduled ingest wires before committing outputs) is spec-tested
+    // on the same fixture.
+    Q("i04_ingest_circuit_breaker", { (s, _) =>
+        val schema = new StructType()
+          .add("event_id", LongType).add("ts", TimestampType)
+          .add("user_id", LongType).add("event_type", StringType)
+          .add("value", DoubleType)
+        val parsed = readCsvQuarantine(s, ingestFixturePath, schema)
+          .localCheckpoint()
+        quarantineRateMetrics(parsed, 300000L)
+          .unionByName(quarantineRateMetrics(parsed, 600000L))
+          .orderBy(col("max_bad_ppm"))
+      },
+      Some(s"""WITH raw AS (SELECT line FROM read_csv('$ingestFixturePath',
+              |        columns={'line': 'VARCHAR'}, delim='|', quote='',
+              |        header=false)),
+              |p AS (SELECT line, str_split(line, ',') AS f FROM raw),
+              |c AS (SELECT line, f,
+              |  (len(f) = 5
+              |   AND try_cast(f[1] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[2] AS TIMESTAMP) IS NOT NULL
+              |   AND try_cast(f[3] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[5] AS DOUBLE) IS NOT NULL) AS ok FROM p),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n_input,
+              |      CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+              |        AS n_quarantined FROM c)
+              |SELECT n_input, n_quarantined,
+              |  CAST(1000000 * n_quarantined // greatest(n_input, 1) AS BIGINT)
+              |    AS bad_ppm,
+              |  t.max_bad_ppm,
+              |  CAST(1000000 * n_quarantined // greatest(n_input, 1)
+              |       > t.max_bad_ppm AS INT) AS tripped
+              |FROM m, (VALUES (CAST(300000 AS BIGINT)),
+              |                (CAST(600000 AS BIGINT))) t(max_bad_ppm)
+              |ORDER BY max_bad_ppm""".stripMargin)),
 
     // ---- i02: quarantine SINK composition — the production shape i01
     // classifies for: ONE materialized scan routed to TWO sinks (good

@@ -154,6 +154,26 @@ class FormatsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("requireQuarantineRate: trips on a broken feed, passes background noise") {
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType)
+    val parsed = Formats.readCsvQuarantine(spark,
+      Formats.ingestFixturePath, schema).localCheckpoint()
+    // fixture rate = 6/11 = 545,454 ppm: a 30% policy must throw...
+    val e = intercept[IllegalStateException] {
+      Formats.requireQuarantineRate(parsed, maxBadPpm = 300000L)
+    }
+    assert(e.getMessage.contains("545454 ppm"))
+    // ...and a 60% policy must let the batch through
+    Formats.requireQuarantineRate(parsed, maxBadPpm = 600000L)
+    val m = Formats.quarantineRateMetrics(parsed, 300000L).head()
+    assert(m.getAs[Long]("n_input") === 11L)
+    assert(m.getAs[Long]("n_quarantined") === 6L)
+    assert(m.getAs[Long]("bad_ppm") === 545454L)
+  }
+
   test("readJsonQuarantine: malformed and mistyped JSON lines routed, good lines parsed") {
     val tmp = Files.createTempDirectory("graft-json-q")
     val lines = Seq(
