@@ -480,6 +480,35 @@ object Pipeline {
     // and asserts the three fold-mismatch counts as literal 0 — zeros the
     // Spark side must EARN by actually folding old⊕new sketches and
     // comparing to the whole-corpus build.
+    // ---- e07: pack by the TRAINED tokenizer's counts --------------------
+    // t10's packing layout budgeted by t19's trained-BPE token counts
+    // instead of the whitespace proxy — how production actually sizes
+    // sequences (the proxy misprices exactly the degenerate documents
+    // quality filtering flags, so whitespace-budgeted packing under- or
+    // over-fills real model contexts). Composition of library operators
+    // unmodified: bpeEncode → packSequencesBy. One hash certifies
+    // training, encoding, AND the resulting layout.
+    Q("e07_bpe_packing",
+      (s, dir) => TextOps.packSequencesBy(
+          TextOps.bpeEncode(Tables.load(s, dir, "documents"), merges = 8)
+            .select(col("doc_id"), col("bpe_tokens").as("n_tokens")),
+          budgetTokens = 512, shards = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${TextOps.bpeDocCountsSql(8)},
+              |t AS (SELECT d.doc_id,
+              |    CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS n_tokens,
+              |    ${PortableHash.baseHashSql("d.doc_id::VARCHAR")} % 8 AS shard
+              |  FROM documents d LEFT JOIN agg USING (doc_id)),
+              |c AS (SELECT doc_id, shard, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              |         - n_tokens AS BIGINT) AS pre
+              |  FROM t)
+              |SELECT doc_id, shard, n_tokens,
+              |  CAST(pre // 512 AS BIGINT) AS seq_id,
+              |  CAST(pre % 512 AS BIGINT) AS seq_offset
+              |FROM c
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("e02_day_two",
       (s, dir) => dayTwoCertification(Tables.load(s, dir, "documents")),
       Some {

@@ -126,10 +126,19 @@ object TextOps {
     * ~GB-scale sorted runs per task — the same partition-then-window
     * shape st05's alerts use. */
   def packSequences(docs: org.apache.spark.sql.DataFrame, budgetTokens: Int = 512,
-      shards: Int = 8): org.apache.spark.sql.DataFrame = {
+      shards: Int = 8): org.apache.spark.sql.DataFrame =
+    packSequencesBy(docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens")),
+      budgetTokens, shards)
+
+  /** The packing layout over a PRE-COUNTED (doc_id, n_tokens) table —
+    * what [[packSequences]] (whitespace counts) and e07 (TRAINED-
+    * tokenizer counts from [[bpeEncode]]) share. Same shard-parallel
+    * window shape and scale argument as [[packSequences]]'s scaladoc. */
+  def packSequencesBy(counts: org.apache.spark.sql.DataFrame,
+      budgetTokens: Int = 512, shards: Int = 8): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col("doc_id"),
-      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+    val t = counts.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
       pmod(graft.functions.PortableHash.baseHash(col("doc_id").cast("string")),
         lit(shards.toLong)).as("shard"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -430,17 +439,23 @@ object TextOps {
        |ORDER BY step""".stripMargin
   }
 
-  /** t19's oracle: the trained vocabulary's per-word symbol counts joined
-    * back to the per-doc token stream — see [[bpeEncode]]. */
-  private def bpeEncodeOracleSql(merges: Int): String =
-    s"""WITH ${bpeChainSql(merges)},
+  /** Chain + per-doc rollup shared by t19's oracle and e07's (Pipeline):
+    * ends at `agg(doc_id, n_words, bpe_tokens)` over docs with ≥ 1
+    * eligible word — callers LEFT JOIN documents to zero-fill. */
+  private[operators] def bpeDocCountsSql(merges: Int): String =
+    s"""${bpeChainSql(merges)},
        |enc AS (SELECT w, CAST(len(str_split(s, chr(1))) - 2 AS BIGINT) AS nsyms
        |        FROM v$merges),
        |tkd AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |        CAST(sum(nsyms) AS BIGINT) AS bpe_tokens
        |        FROM tkd JOIN enc USING (w)
-       |        GROUP BY doc_id)
+       |        GROUP BY doc_id)""".stripMargin
+
+  /** t19's oracle: the trained vocabulary's per-word symbol counts joined
+    * back to the per-doc token stream — see [[bpeEncode]]. */
+  private def bpeEncodeOracleSql(merges: Int): String =
+    s"""WITH ${bpeDocCountsSql(merges)}
        |SELECT d.doc_id AS doc_id,
        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens

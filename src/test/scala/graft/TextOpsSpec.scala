@@ -195,5 +195,18 @@ class TextOpsSpec extends AnyFunSuite {
         (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"))).toMap
     assert(out(0L) === ((3L, 3L)))
     assert(out(1L) === ((3L, 4L)))
+
+    // packing under the TRAINED counts (the e07 composition): one shard,
+    // budget 4 — doc0 (3 bpe tokens) fills [0,3); doc1 (4) starts at
+    // offset 3 of seq 0 and spills into seq 1
+    val packed = TextOps.packSequencesBy(
+        TextOps.bpeEncode(docs, merges = 3)
+          .select(col("doc_id"), col("bpe_tokens").as("n_tokens")),
+        budgetTokens = 4, shards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("seq_offset"))).toMap
+    assert(packed(0L) === ((3L, 0L, 0L)))
+    assert(packed(1L) === ((4L, 0L, 3L)))
   }
 }
