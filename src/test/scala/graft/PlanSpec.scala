@@ -489,4 +489,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
       s"triangle join does not consume the materialized sample:\n$plan")
   }
+
+  test("i03 evolved read prunes to the referenced columns through mergeSchema") {
+    // mergeSchema unions footers for SCHEMA resolution; the DATA read must
+    // still prune to what the query projects — an evolved-lake scan that
+    // reads all columns would defeat the point of columnar landing files
+    val plan = executedPlan(SparkEntry.queries("i03_schema_evolution")(spark, dir))
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    val evolved = readSchemas.filter(_.contains("quality_score"))
+    assert(evolved.nonEmpty, s"no evolved-read scan found:\n$plan")
+    assert(evolved.forall(rs => !rs.contains("user_id") && !rs.contains("event_id")),
+      s"evolved read scans unreferenced columns: $evolved")
+  }
+
+  test("e07 packing windows per shard — no global single-task window") {
+    val plan = executedPlan(SparkEntry.queries("e07_bpe_packing")(spark, dir))
+    val windows = "Window [^\\n]*".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty, s"no window in the packing plan:\n$plan")
+    assert(windows.forall(_.contains("shard")),
+      s"packing window not partitioned by shard (single-task sort):\n$windows")
+  }
 }
