@@ -296,12 +296,16 @@ object TextOps {
     * `localCheckpoint` between rounds keeps the plan from growing k deep.
     *
     * The oracle unrolls the same k rounds in DuckDB with the vocabulary
-    * as '|'-delimited symbol strings and merge application as an 8-deep
-    * bounded-pattern replace fixpoint ('|l|r|' → '|lr|', each pass
-    * halving the remaining same-pair chain) — exact for any word whose
-    * same-pair chain is ≤ 2⁸ occurrences (≈ 512-char words); a corpus
-    * beyond that fails the gate LOUD (the g11 rounds contract), never
-    * silently wrong. */
+    * as '|'-delimited symbol strings and merge application as a
+    * `list_reduce` left fold that mirrors [[bpeTrainCore]]'s `applyMerge`
+    * symbol-for-symbol (merge when last==l AND cur==r, greedy left to
+    * right) — exact for EVERY input, including same-symbol runs. The
+    * previous 8-pass '|l|r|'→'|lr|' replace fixpoint was NOT equivalent:
+    * the pattern consumes the trailing delimiter, so in a run of
+    * identical symbols non-overlapping matches land at stride 3 and the
+    * stranded singles are never adjacent again ('aaaaaa' with merge
+    * (a,a) → [aa,a,aa,a] instead of the engine's [aa,aa,aa]; order
+    * diverges at run length 5, token count at 6). */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame,
       merges: Int = 8): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
@@ -341,6 +345,32 @@ object TextOps {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
   }
+
+  /** Final trained vocabulary as one row per word — (w, freq, syms_str)
+    * with the symbol list space-joined. This is the DIRECT certificate of
+    * merge application (t18's merge table only witnesses a fold
+    * divergence one round later, through the changed pair counts). */
+  def bpeVocab(docs: org.apache.spark.sql.DataFrame,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val (_, vocab) = bpeTrainCore(docs, merges)
+    vocab.select(col("w"), col("freq").cast("long").as("freq"),
+      array_join(col("syms"), " ").as("syms_str"))
+  }
+
+  /** The t20 certificate corpus: same-symbol runs at and past the stride
+    * bug's divergence thresholds (order diverges at run 5, count at 6 —
+    * ADVICE r10), a multi-char-symbol run, and l≠r alternations, with
+    * frequencies chosen so six training rounds select (a,a), (b,b),
+    * (-,-), (aa,aa), (a,b), (ab,ab) — every shape where the old
+    * replace-fixpoint oracle silently stranded singles. Embedded as
+    * literals on BOTH engines, so the gate hash certifies the greedy
+    * fold equivalence every round regardless of the gate corpus's
+    * character statistics. */
+  private[graft] val runCertCorpus: Seq[(Long, String)] =
+    Seq("aaaaaa" -> 9, "bbbbb" -> 7, "ababab" -> 5, "------" -> 4,
+      "aabaa" -> 3, "cccc" -> 2).zipWithIndex.map { case ((w, f), i) =>
+      ((i + 1).toLong, Seq.fill(f)(w).mkString(" "))
+    }
 
   /** Shared trainer core for [[bpeTrain]] / [[bpeEncode]]: the merge rows
     * plus the final vocabulary (w, freq, syms). */
@@ -388,22 +418,34 @@ object TextOps {
     (out.toSeq, vocab)
   }
 
-  /** t18's oracle: the same k training rounds unrolled as DuckDB CTEs —
-    * see [[bpeTrain]] for the replace-fixpoint encoding and its loud-fail
-    * bound. */
   /** The k unrolled training rounds shared by t18's and t19's oracles:
     * tk → wf → v0 (delimited symbol strings, word carried along) →
-    * sp/p/b/v per round. Merge application is a bounded-pattern replace,
-    * 8-deep: <d>l<d>r<d> → <d>lr<d> with the U+0001 delimiter (words
-    * carrying it are excluded from the vocab on both sides — see
-    * bpeTrain). `v$i` LEFT JOINs its round's best pair so an empty
-    * candidate set keeps the vocabulary UNCHANGED (the engine's
-    * behavior) instead of zeroing it. */
-  private def bpeChainSql(merges: Int): String = {
+    * sp/p/b/v per round. Merge application is a `list_reduce` left fold
+    * over the word's symbol list (each symbol wrapped <d>sym<d> with the
+    * U+0001 delimiter; words carrying it are excluded from the vocab on
+    * both sides — see bpeTrain): merge when the accumulator's LAST
+    * symbol == l and the incoming symbol == r, exactly the engine's
+    * `applyMerge` greedy fold — exact on same-symbol runs where the old
+    * replace fixpoint silently stranded singles (see [[bpeTrain]]).
+    * `v$i` LEFT JOINs its round's best pair so an empty candidate set
+    * keeps the vocabulary UNCHANGED (the engine's behavior) instead of
+    * zeroing it. */
+  private def bpeChainSql(merges: Int,
+      fromSql: String = "documents"): String = {
     val d = "chr(1)"
-    val rep8 = (1 to 8).foldLeft("s") { (acc, _) =>
-      s"replace($acc, $d || b.l || $d || b.r || $d, $d || b.l || b.r || $d)"
-    }
+    // exact greedy fold: acc is a <d>-delimited symbol string ending in
+    // <d>; each element arrives pre-wrapped <d>sym<d>. ends_with's
+    // leading <d> pins the match to a whole trailing SYMBOL (no symbol
+    // contains the delimiter), so a multi-char symbol merely SUFFIXED by
+    // l never merges.
+    val fold =
+      s"""list_reduce(
+         |    list_transform(list_filter(str_split(s, $d), x -> x <> ''),
+         |                   x -> $d || x || $d),
+         |    (acc, x) -> CASE
+         |      WHEN ends_with(acc, $d || b.l || $d) AND x = $d || b.r || $d
+         |      THEN left(acc, len(acc) - len(b.l) - 1) || b.l || b.r || $d
+         |      ELSE acc || x[2:] END)""".stripMargin
     val rounds = (1 to merges).map { i =>
       s"""sp$i AS (SELECT freq, str_split(s, chr(1)) AS f FROM v${i - 1}),
          |p$i AS MATERIALIZED (
@@ -414,10 +456,10 @@ object TextOps {
          |b$i AS MATERIALIZED (SELECT l, r, n FROM p$i
          |  ORDER BY n DESC, l, r LIMIT 1),
          |v$i AS MATERIALIZED (
-         |  SELECT w, freq, CASE WHEN b.l IS NULL THEN s ELSE $rep8 END AS s
+         |  SELECT w, freq, CASE WHEN b.l IS NULL THEN s ELSE $fold END AS s
          |  FROM v${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""tk AS (SELECT unnest($toksSql) AS w FROM documents),
+    s"""tk AS (SELECT unnest($toksSql) AS w FROM $fromSql),
        |wf AS (SELECT w, count(*) AS freq FROM tk
        |       WHERE w <> '' AND strpos(w, chr(1)) = 0 GROUP BY w),
        |v0 AS MATERIALIZED (SELECT w, freq,
@@ -461,6 +503,20 @@ object TextOps {
        |  CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** t20's oracle: the same training rounds over the inline certificate
+    * corpus, ending at the final vocabulary's fold results. */
+  private def bpeRunCertOracleSql(merges: Int): String = {
+    val values = runCertCorpus
+      .map { case (id, text) => s"($id, '$text')" }.mkString(", ")
+    val from = s"(VALUES $values) AS corpus(doc_id, text)"
+    s"""WITH ${bpeChainSql(merges, from)}
+       |SELECT w, CAST(freq AS BIGINT) AS freq,
+       |  array_to_string(list_filter(str_split(s, chr(1)), x -> x <> ''),
+       |                  ' ') AS syms_str
+       |FROM v$merges
+       |ORDER BY w""".stripMargin
+  }
 
   /** The [[TextFns.qualityScore]] formula over CTE columns `n`
     * (normalized text) and `t` (token list) — shared by d10's oracle and
@@ -979,6 +1035,22 @@ object TextOps {
       (s, dir) => bpeEncode(Tables.load(s, dir, "documents"), merges = 8)
         .orderBy(col("doc_id")),
       Some(bpeEncodeOracleSql(8))),
+
+    // ---- t20: same-symbol-run merge-application certificate -------------
+    // Six training rounds over an INLINE corpus whose selected merges all
+    // land on runs (aaaaaa / bbbbb / ------ / aa-aa / alternations) — the
+    // exact shapes where r10's replace-fixpoint oracle diverged from the
+    // engine's greedy fold (ADVICE r10 high). Output is the final
+    // VOCABULARY fold results, the direct certificate: under the old
+    // oracle this query hashes red ('aaaaaa' → "aa a aa a"), under the
+    // list_reduce fold it is green on every corpus.
+    Q("t20_bpe_run_cert",
+      (s, dir) => {
+        import s.implicits._
+        bpeVocab(runCertCorpus.toDF("doc_id", "text"), merges = 6)
+          .orderBy(col("w"))
+      },
+      Some(bpeRunCertOracleSql(6))),
 
     // ---- t15: overlapping token-window chunking (RAG layout) -----------
     // Each document split into stride-48 windows of 64 tokens (16-token

@@ -182,6 +182,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) === ((3, "aa", "aa", "aaaa", 3L)))
   }
 
+  test("bpeVocab: run-cert corpus folds runs greedily (ADVICE r10 shapes)") {
+    import spark.implicits._
+    // the t20 corpus: six rounds select (a,a),(b,b),(-,-),(aa,aa),(a,b),
+    // (ab,ab) — every divergence shape of the old replace-fixpoint
+    // oracle. The greedy fold pairs runs left-to-right: run 6 → 3 pairs,
+    // run 5 → 2 pairs + survivor (NEVER the stranded stride-3 layout).
+    val docs = TextOps.runCertCorpus.toDF("doc_id", "text")
+    val out = TextOps.bpeVocab(docs, merges = 6).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[String]("syms_str")).toMap
+    assert(out("aaaaaa") === "aaaa aa")
+    assert(out("bbbbb") === "bb bb b")
+    assert(out("------") === "-- -- --")
+    assert(out("ababab") === "abab ab")
+    assert(out("aabaa") === "aa b aa")
+    assert(out("cccc") === "c c c c") // (c,c) never selected in 6 rounds
+  }
+
   test("bpeEncode: per-doc counts under the trained merges") {
     import spark.implicits._
     val docs = Seq(
