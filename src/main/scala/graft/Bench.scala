@@ -151,13 +151,14 @@ object Bench {
             ((System.nanoTime() - t0) / 1e9, 0L, 0L)
           }
         }
-        val median = times.map(_._1).sorted.apply(runs / 2)
+        val sorted = times.map(_._1).sorted
+        val median = sorted.apply(runs / 2)
         val (_, rd, wr) = times.last
-        (name, median, rd, wr)
+        (name, median, rd, wr, sorted.head, sorted.last)
       } catch {
         case e: Throwable =>
           failed ::= (name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          (name, -1.0, 0L, 0L)
+          (name, -1.0, 0L, 0L, -1.0, -1.0)
       }
     }
     val loadAtEnd = loadAvg()
@@ -165,26 +166,42 @@ object Bench {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ")
     def num(v: Double) = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v, _, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
-    val sh = results.map { case (k, _, r, w) =>
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
+    val sh = results.map { case (k, _, r, w, _, _) =>
       s"""\"$k\":{\"read\":$r,\"write\":$w}""" }.mkString("{", ",", "}")
+    // per-query [min, median, max] across the `runs` timed passes — the
+    // r10 verdict's ask: sub-second driver-coordinated queries swing 2-6x
+    // on scheduling noise while the total stays flat; the spread makes a
+    // phantom regression machine-visible instead of a judge-round of
+    // forensics.
+    val spread = results.map { case (k, _, _, _, mn, mx) =>
+      s"\"$k\":[${num(mn)},${num(mx)}]" }.mkString("{", ",", "}")
+    // the compact stdout line gets only the OUTLIERS (max/min > 2), count
+    // capped so the driver's 2000-char tail capture never truncates
+    val outliers = results
+      .filter { case (_, _, _, _, mn, mx) => mn > 0 && mx / mn > 2.0 }
+      .sortBy { case (_, _, _, _, mn, mx) => -(mx / mn) }
+      .take(12)
+      .map { case (k, _, _, _, mn, mx) => f"\"$k\":${mx / mn}%.1f" }
+      .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"\"$k\":\"${esc(m)}\"" }.mkString("{", ",", "}")
-    val certQs = results.collect { case (k, _, _, _) if certTierQueries(k) => s"\"$k\"" }
+    val certQs = results.collect { case (k, _, _, _, _, _) if certTierQueries(k) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val meta = s""""unit":"sec","runs":$runs,"stat":"median","errors":$errs,""" +
       s""""cert_sf":"$certDir","cert_queries":$certQs,""" +
       f""""load_start":$loadAtStart%.2f,"load_end":$loadAtEnd%.2f,"sf":"$sfDir""""
-    val fullLine = s"""{"metric":"total","value":${num(total)},$meta,"queries":$qs,"shuffle_bytes":$sh}"""
+    val fullLine = s"""{"metric":"total","value":${num(total)},$meta,"queries":$qs,"spread_min_max":$spread,"shuffle_bytes":$sh}"""
     // the full record is the committed artifact...
     if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     }
-    val hl = results.filter { case (k, _, _, _) => headline(k) }
-      .map { case (k, v, _, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
+    val hl = results.filter { case (k, _, _, _, _, _) => headline(k) }
+      .map { case (k, v, _, _, _, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${num(total)},$meta,""" +
-      s""""queries":$hl,"queries_all":${results.size},"full":"BENCH_SELF.json"}"""
+      s""""queries":$hl,"spread_outliers":$outliers,""" +
+      s""""queries_all":${results.size},"full":"BENCH_SELF.json"}"""
     spark.stop()
     // ...and the compact line goes LAST on stdout so the driver's
     // 2000-char tail capture always contains one complete JSON record

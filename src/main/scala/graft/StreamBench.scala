@@ -56,7 +56,11 @@ object StreamBench {
         // populations" premise) — derive the stride from the corpus's own
         // max id instead of a fixed 1e9 that a larger sf dir could
         // silently overflow into a superlinear self-join.
-        val mx = evBase.agg(greatest(max(col("event_id")), max(col("user_id"))))
+        // coalesce: on an EMPTY events table both maxes aggregate to
+        // NULL and getLong would NPE (r10 ADVICE) — 0 keeps the fixed
+        // 1e9 stride, the pre-r10 behavior.
+        val mx = evBase.agg(coalesce(
+            greatest(max(col("event_id")), max(col("user_id"))), lit(0L)))
           .head().getLong(0)
         val stride = math.max(1000000000L, mx + 1)
         (0 until xFactor).map { r =>

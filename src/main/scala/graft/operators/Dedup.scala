@@ -1572,11 +1572,10 @@ object Dedup {
     // of the signature slice, so signature content is certified too).
     Q("d28_band_index_lifecycle", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
-        // deterministic dirs under tmp, overwritten per run (the r9
-        // createTempDirectory form leaked two dirs per invocation)
-        val base = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_d28")
-        java.nio.file.Files.createDirectories(base)
+        // deterministic per-process dirs, overwritten per run (the r9
+        // createTempDirectory form leaked two dirs per invocation; the
+        // r10 fixed path raced concurrent runs — see RunDirs)
+        val base = graft.RunDirs.dir("d28")
         val idxDir = base.resolve("index").toString
         val compactDir = base.resolve("compact").toString
         val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)

@@ -933,16 +933,15 @@ object Relational {
     // back, and aggregate. The oracle aggregates the SOURCE table, so a
     // hash match proves the write→read round trip is lossless, row- and
     // value-exact — putting sources/Formats inside the driver gate
-    // instead of only FormatsSpec. The write lands under java.io.tmpdir
-    // with overwrite mode: re-runs (bench's warm runs) measure a full
-    // rewrite, not an append.
+    // instead of only FormatsSpec. The write lands under this process's
+    // RunDirs tree with overwrite mode: re-runs (bench's warm runs)
+    // measure a full rewrite, not an append.
     Q("q39_write_roundtrip",
       (s, dir) => {
         val src = t(s, dir, "lineitem").select(col("l_returnflag"),
           col("l_orderkey"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_q39_roundtrip").toString
+        val out = graft.RunDirs.dir("q39_roundtrip").toString
         graft.sources.Formats.writeParquet(src, out,
           partitionBy = Seq("l_returnflag"))
         // explicit schema: a zero-row partitioned write leaves no files
@@ -1101,8 +1100,7 @@ object Relational {
     // join over the source tables — bucketing must be result-invisible.
     Q("q41_bucketed_join",
       (s, dir) => {
-        val base = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_q41").toString
+        val base = graft.RunDirs.dir("q41").toString
         val li = t(s, dir, "lineitem").select(col("l_orderkey"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
         val ord = t(s, dir, "orders").select(col("o_orderkey"),
@@ -1445,8 +1443,7 @@ object Relational {
         val src = t(s, dir, "lineitem").select(col("l_returnflag"),
           col("l_orderkey"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_q54_dpp").toString
+        val out = graft.RunDirs.dir("q54_dpp").toString
         graft.sources.Formats.writeParquet(src, out,
           partitionBy = Seq("l_returnflag"))
         // explicit schema for the same zero-row reason as q39

@@ -172,9 +172,7 @@ object Formats {
   private[graft] lazy val ingestFixturePath: String = {
     val in = getClass.getResourceAsStream("/fixtures/ingest_corrupt.csv")
     require(in != null, "fixtures/ingest_corrupt.csv missing from classpath")
-    val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures")
-    java.nio.file.Files.createDirectories(dir)
+    val dir = graft.RunDirs.dir("fixtures")
     val p = dir.resolve("ingest_corrupt.csv")
     try java.nio.file.Files.copy(in, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -321,9 +319,7 @@ object Formats {
         // both sinks) and lifts Spark's corrupt-column-only restriction
         val parsed = readCsvQuarantine(s, ingestFixturePath, schema)
           .localCheckpoint()
-        val base = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_i02")
-        java.nio.file.Files.createDirectories(base)
+        val base = graft.RunDirs.dir("i02")
         val goodDir = base.resolve("good").toString
         val quarDir = base.resolve("quarantine").toString
         val good = parsed.filter(col("_corrupt").isNull)
@@ -406,9 +402,7 @@ object Formats {
     Q("i03_schema_evolution", { (s, dir) =>
         val ev = graft.Tables.load(s, dir, "events")
           .select(col("event_id"), col("user_id"))
-        val base = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_i03")
-        java.nio.file.Files.createDirectories(base)
+        val base = graft.RunDirs.dir("i03")
         val b1 = base.resolve("batch1").toString
         val b2 = base.resolve("batch2").toString
         val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)

@@ -97,6 +97,27 @@ if rec["value"] > 2 * floor:
     sys.exit(1)
 print(f"bench ok: {rec['value']:.1f}s over {len(rec['queries'])} queries "
       f"(floor {floor}s)")
+# r10 verdict #5: make phantom per-query regressions machine-visible.
+# Compare each median against the last COMMITTED artifact; flag >2x
+# moves, annotated with this run's own min/max spread so a noisy
+# sub-second query (spread ratio > 2) reads as noise, not regression.
+# WARN-only: the binding gate is the total above.
+import subprocess
+try:
+    prev = json.loads(subprocess.run(
+        ["git", "show", "HEAD:BENCH_SELF.json"],
+        capture_output=True, text=True, check=True).stdout)
+except Exception:
+    prev = {}
+spread = rec.get("spread_min_max", {})
+for k, v in sorted(rec.get("queries", {}).items()):
+    p = prev.get("queries", {}).get(k)
+    if p and p > 0 and v > 2 * p:
+        mn, mx = spread.get(k, [v, v])
+        tag = "NOISY (in-run spread > 2x)" if mn > 0 and mx / mn > 2 \
+              else "STABLE — investigate"
+        print(f"  spread-warn {k}: {p:.2f}s -> {v:.2f}s "
+              f"[run min {mn:.2f} max {mx:.2f}] {tag}")
 EOF
 
   echo "== [6/6] GraphBench 100k vs pinned floor =="
