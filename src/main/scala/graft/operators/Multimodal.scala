@@ -174,6 +174,85 @@ object Multimodal {
       "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
   }
 
+  /** The real-codec certification arm for AUDIO (m09) — m08's exact
+    * pattern on the JDK's other bundled lossless codec. r10 verdict #3:
+    * the "no JDK codec" grounds for stubbing audio were wrong —
+    * `javax.sound.sampled` ships a real PCM/WAV encoder+decoder (public
+    * JDK API, no new dependency). Per document: synthesize a
+    * deterministic 16-bit mono PCM waveform (sample i =
+    * `(doc_id·31 + i·7919) mod 2¹⁶ − 2¹⁵`, full signed range,
+    * `doc_id mod 512 + 256` samples at 8 kHz), ENCODE it to real WAV
+    * container bytes with AudioSystem.write, DECODE those bytes back
+    * with AudioSystem.getAudioInputStream, and recompute integer
+    * waveform stats from the decoded frames — honoring the DECODED
+    * format's endianness, not assuming the encoder's. PCM WAV is
+    * lossless, so the oracle certifies ANALYTICALLY: DuckDB recomputes
+    * min/max/sum and an order-sensitive checksum Σ sᵢ·((i mod 31)+1)
+    * from the same formula without touching a WAV. A decoder that
+    * dropped frames, byte-swapped, or re-biased signedness breaks the
+    * hash; a failed decode reports wav_valid=0 (the m08 null-decode
+    * lesson) instead of throwing.
+    *
+    * Scale shape: identical to m08 — one narrow mapPartitions pass over
+    * doc ids, codec work pipelines with the scan, zero shuffle. */
+  def audioRoundTrip(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (id % 512 + 256).toInt
+        val pcm = new Array[Byte](n * 2) // little-endian signed 16-bit
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        val wav = baos.toByteArray
+        val stats =
+          try {
+            val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav))
+            val bf = back.getFormat
+            val bytes = back.readAllBytes()
+            if (bf.getSampleSizeInBits == 16 && bf.getChannels == 1 &&
+                bf.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                bytes.length == n * 2) {
+              val loOff = if (bf.isBigEndian) 1 else 0
+              val hiOff = 1 - loOff
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var sum = 0L; var chk = 0L
+              var j = 0
+              while (j < n) {
+                val lo = bytes(2 * j + loOff) & 0xff
+                val hi = bytes(2 * j + hiOff).toInt // sign-carrying
+                val s = ((hi << 8) | lo).toLong
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                sum += s
+                chk += s * ((j % 31) + 1)
+                j += 1
+              }
+              Some((n.toLong, mn, mx, sum, chk))
+            } else None
+          } catch { case _: Exception => None }
+        stats match {
+          case Some((m, mn, mx, sum, chk)) => (id, m, 1, mn, mx, sum, chk)
+          case None => (id, 0L, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+    }.toDF("doc_id", "n_samples", "wav_valid", "s_min", "s_max",
+      "s_sum", "ord_chk")
+  }
+
   /** Deterministic frame sampling for "video" payloads: every `stride`-th
     * 16-byte block stands in for a frame. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
@@ -464,6 +543,29 @@ object Multimodal {
              |  CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
              |  CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
              |FROM b GROUP BY doc_id, w, h
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- m09: real AUDIO codec round trip (PCM WAV) ---------------------
+    // m08's certification pattern on javax.sound.sampled: synthesize →
+    // encode to real WAV bytes → decode → recompute integer waveform
+    // stats; the oracle derives the same stats analytically from the
+    // sample formula. Green == the JDK audio codec path round-trips
+    // bit-exactly; the multimodal story stops being image-only.
+    Q("m09_audio_roundtrip",
+      (s, dir) => audioRoundTrip(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 512 + 256 AS n
+             |           FROM documents),
+             |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+             |v AS (SELECT doc_id, n, i,
+             |        (doc_id * 31 + i * 7919) % 65536 - 32768 AS smp
+             |      FROM s)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, 1 AS wav_valid,
+             |  CAST(min(smp) AS BIGINT) AS s_min,
+             |  CAST(max(smp) AS BIGINT) AS s_max,
+             |  CAST(sum(smp) AS BIGINT) AS s_sum,
+             |  CAST(sum(smp * (i % 31 + 1)) AS BIGINT) AS ord_chk
+             |FROM v GROUP BY doc_id, n
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- m05: byte-exact payload dedup ---------------------------------

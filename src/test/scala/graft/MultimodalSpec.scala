@@ -105,6 +105,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioRoundTrip: WAV encode→decode reproduces the analytic stats") {
+    import spark.implicits._
+    val docs = spark.range(8).select(org.apache.spark.sql.functions.col("id").as("doc_id"))
+    Multimodal.audioRoundTrip(docs).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (id % 512 + 256).toInt
+      val samples = (0 until n).map(i => (id * 31 + i.toLong * 7919) % 65536 - 32768)
+      assert(r.getAs[Int]("wav_valid") === 1, s"doc $id decode failed")
+      assert(r.getAs[Long]("n_samples") === n.toLong)
+      assert(r.getAs[Long]("s_min") === samples.min)
+      assert(r.getAs[Long]("s_max") === samples.max)
+      assert(r.getAs[Long]("s_sum") === samples.sum)
+      assert(r.getAs[Long]("ord_chk") ===
+        samples.zipWithIndex.map { case (s, i) => s * ((i % 31) + 1) }.sum,
+        s"doc $id order checksum mismatch — frames reordered or dropped")
+    }
+  }
+
   test("banded near-dup join == brute-force hamming<=1 scan") {
     import spark.implicits._
     val media = (0L until 60L).map { id =>

@@ -48,7 +48,7 @@ class QueriesSpec extends AnyFunSuite {
     "g12_link_prediction", "g13_personalized_pagerank",
     "g14_clustering_coefficient", "g15_graph_stats",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
-    "m08_image_roundtrip",
+    "m08_image_roundtrip", "m09_audio_roundtrip",
     "m06_phash_neardup", "m07_interleave", "q44_keep_latest",
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
