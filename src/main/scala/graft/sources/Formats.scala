@@ -214,6 +214,43 @@ object Formats {
           s"(${r.getAs[Long]("bad_ppm")} ppm > $maxBadPpm ppm)")
   }
 
+  /** Tolerant per-LINE parse — the column form of [[readCsvQuarantine]]
+    * that a STREAMING ingest needs (a readStream of raw lines, parsed in
+    * the query, so the same micro-batch carries both disposition and the
+    * raw line for routing). Same parser, same PERMISSIVE + corrupt-column
+    * contract as the file-path form. */
+  def parseCsvTolerant(lines: DataFrame, schema: StructType,
+      corruptCol: String = "_corrupt"): DataFrame =
+    lines.select(col("line"), from_csv(col("line"),
+        schema.add(corruptCol, StringType),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol))
+      .getField(corruptCol).as(corruptCol))
+
+  /** Per-chunk quarantine-rate metrics (st15's batch form): the fixture's
+    * lines partitioned into replay chunks by a pure function of the line
+    * (length mod `chunks` — any deterministic key works; micro-batch
+    * membership is arrival detail, not content), each chunk scored with
+    * [[quarantineRateMetrics]]'s exact-ppm rule. In the streaming form
+    * each chunk IS one micro-batch and `tripped` is the i04 breaker's
+    * stop condition — StreamingSpec proves stream==batch on this exact
+    * chunking and that the breaker kills the query on the poisoned
+    * chunk. */
+  def ingestChunkMetrics(lines: DataFrame, schema: StructType,
+      maxBadPpm: Long, chunks: Int = 3): DataFrame =
+    parseCsvTolerant(lines, schema)
+      .groupBy(pmod(length(col("line")), lit(chunks)).cast("int")
+        .as("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("n_input"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_quarantined"))
+      .select(col("chunk_id"), col("n_input"), col("n_quarantined"),
+        expr("1000000 * n_quarantined div greatest(n_input, CAST(1 AS BIGINT))")
+          .as("bad_ppm"),
+        lit(maxBadPpm).as("max_bad_ppm"))
+      .withColumn("tripped",
+        (col("bad_ppm") > col("max_bad_ppm")).cast("int"))
+
   val queries: Seq[Q] = Seq(
     // ---- i01: tolerant ingest — corrupt lines QUARANTINED, not dropped,
     // not fatal. Per-line disposition: good rows carry their parsed typed
@@ -514,5 +551,50 @@ object Formats {
              |    CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
              |  FROM events WHERE event_id % 2 = 1)
              |ORDER BY batch""".stripMargin)),
+
+    // ---- st15: streaming ingest with the circuit breaker (batch form) --
+    // i01's classification under replay chunking + the i04 breaker rule
+    // applied PER CHUNK — the shape `readStream → foreachBatch {
+    // tolerant parse → quarantineRateMetrics → requireQuarantineRate }`
+    // runs in production, where one poisoned micro-batch must stop the
+    // stream while background noise flows. This registered form computes
+    // the same per-chunk ledger deterministically (chunk = length(line)
+    // mod 3 — content-derived, so both engines and the spec's replay
+    // files agree); StreamingSpec replays the SAME chunks as files, one
+    // per trigger, proving stream metrics == this batch ledger and that
+    // requireQuarantineRate in foreachBatch kills the query on the
+    // 750000-ppm chunk. The 400000-ppm threshold splits the fixture:
+    // one chunk flows, two trip.
+    Q("st15_stream_ingest_breaker", { (s, _) =>
+        val schema = new StructType()
+          .add("event_id", LongType).add("ts", TimestampType)
+          .add("user_id", LongType).add("event_type", StringType)
+          .add("value", DoubleType)
+        val lines = s.read.textFile(ingestFixturePath).toDF("line")
+        ingestChunkMetrics(lines, schema, maxBadPpm = 400000L)
+          .orderBy(col("chunk_id"))
+      },
+      Some(s"""WITH raw AS (SELECT line FROM read_csv('$ingestFixturePath',
+              |        columns={'line': 'VARCHAR'}, delim='|', quote='',
+              |        header=false)),
+              |p AS (SELECT line, str_split(line, ',') AS f FROM raw),
+              |c AS (SELECT CAST(length(line) % 3 AS INT) AS chunk_id,
+              |  (len(f) = 5
+              |   AND try_cast(f[1] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[2] AS TIMESTAMP) IS NOT NULL
+              |   AND try_cast(f[3] AS BIGINT) IS NOT NULL
+              |   AND try_cast(f[5] AS DOUBLE) IS NOT NULL) AS ok FROM p),
+              |g AS (SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_input,
+              |        CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+              |          AS n_quarantined
+              |      FROM c GROUP BY chunk_id)
+              |SELECT chunk_id, n_input, n_quarantined,
+              |  CAST(1000000 * n_quarantined // greatest(n_input, 1)
+              |       AS BIGINT) AS bad_ppm,
+              |  CAST(400000 AS BIGINT) AS max_bad_ppm,
+              |  CAST(1000000 * n_quarantined // greatest(n_input, 1)
+              |       > 400000 AS INT) AS tripped
+              |FROM g
+              |ORDER BY chunk_id""".stripMargin)),
   )
 }

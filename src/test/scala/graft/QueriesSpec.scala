@@ -59,7 +59,7 @@ class QueriesSpec extends AnyFunSuite {
     // r8 additions: recursive-CTE chain (d25), list_* + QUALIFY (s09),
     // DuckDB %-predicates in the band quadrant (st14)
     "d25_semantic_representatives_hostile", "s09_ivf_pq_topk",
-    "st14_stream_incremental_dedup",
+    "st14_stream_incremental_dedup", "st15_stream_ingest_breaker",
     // d21 counts tokens with len(string_split(…)); p15/d22 use `//`
     "d21_mixture_weights", "d22_budget_select", "p15_constraint_audit",
     "g16_khop_reach", "g17_hyperball",

@@ -81,6 +81,74 @@ class StreamingSpec extends AnyFunSuite {
       rows(graft.operators.Dedup.readBandIndex(spark, rebuildDir)))
   }
 
+  test("streaming ingest breaker: per-batch metrics == st15 ledger; poisoned chunk kills the query") {
+    // st15's production form: readStream of raw lines → foreachBatch
+    // { tolerant parse → quarantineRateMetrics → requireQuarantineRate }.
+    // Replay the fixture's three length%3 chunks as one FILE each (so
+    // micro-batch == chunk), accumulate each batch's metrics, and prove
+    // (a) the streamed per-chunk ledger equals the registered batch
+    // form's, and (b) with the breaker armed, the 750000-ppm chunk
+    // terminates the stream with the i04 IllegalStateException.
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType)
+    val fixture = graft.sources.Formats.ingestFixturePath
+    val lines = scala.io.Source.fromFile(fixture).getLines().toSeq
+    val replay = Files.createTempDirectory("graft-ingest-replay")
+    (0 until 3).foreach { c =>
+      val chunk = lines.filter(_.length % 3 == c)
+      Files.write(replay.resolve(f"chunk$c%d.csv"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .textFile(replay.toString).toDF("line")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Int)]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one file per trigger → every line in the batch shares a chunk
+        val m = graft.sources.Formats
+          .ingestChunkMetrics(batch, schema, maxBadPpm = 400000L)
+          .collect()
+        assert(m.length === 1, "a micro-batch must be exactly one chunk")
+        val r = m.head
+        got += ((r.getAs[Int]("chunk_id"), r.getAs[Long]("n_input"),
+          r.getAs[Long]("n_quarantined"), r.getAs[Long]("bad_ppm"),
+          r.getAs[Int]("tripped")))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batchLedger = SparkEntry
+      .queries("st15_stream_ingest_breaker")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("chunk_id"), r.getAs[Long]("n_input"),
+        r.getAs[Long]("n_quarantined"), r.getAs[Long]("bad_ppm"),
+        r.getAs[Int]("tripped")))
+    assert(got.sortBy(_._1).toSeq === batchLedger.sortBy(_._1).toSeq)
+    assert(batchLedger.count(_._5 == 1) === 2, "two chunks past 400000 ppm")
+    assert(batchLedger.count(_._5 == 0) === 1, "background noise flows")
+
+    // arm the breaker: the stream must DIE on the first tripping chunk
+    val armed = spark.readStream.option("maxFilesPerTrigger", 1)
+      .textFile(replay.toString).toDF("line")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = graft.sources.Formats.parseCsvTolerant(batch, schema)
+        graft.sources.Formats.requireQuarantineRate(parsed, 400000L)
+      }
+      .start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try armed.processAllAvailable() finally armed.stop()
+      armed.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(died).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("ingest circuit breaker")),
+      s"expected the i04 breaker in the cause chain, got: $died")
+  }
+
   test("streaming hourly windows == batch hourly windows") {
     val stream = EventStreams.readEventsStream(spark, streamDir)
     val q = EventStreams.hourlyByType(stream.withWatermark("ts", "2 hours"))
