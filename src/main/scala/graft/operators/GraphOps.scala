@@ -252,6 +252,42 @@ object GraphOps {
       if (r.isNullAt(1)) 1L else r.getLong(1))
   }
 
+  /** Triangle-count DELTA from a day-2 edge batch, WITHOUT re-enumerating
+    * day-1 triangles — the incremental form of the reference's own
+    * growing-graph workload (README.md:16-26 reruns the whole job per
+    * day). `canonFlagged` is the full day-2 canonical edge set (u, v,
+    * is_batch); the delta counts, for each batch edge (u,v), the closing
+    * vertices w whose two wing edges exist anywhere in the set —
+    * attributing every new triangle to its lexicographically-LEAST batch
+    * edge, so triangles with 2 or 3 new edges count exactly once: a wing
+    * that is itself a batch edge participates only when lex-greater than
+    * (u,v). Returns one row, `delta` BIGINT; day2_total = day1 + delta.
+    *
+    * Scale shape: batch × adjacency — two equi-joins whose fan-out is
+    * Σ_{(u,v)∈B} deg(u), never a day-1 re-enumeration; the day-2 batch
+    * is the small side and broadcasts. Certified fold == recompute by
+    * g26 cross-engine and by the random-split property test. */
+  def triangleDelta(canonFlagged: DataFrame): DataFrame = {
+    val batch = canonFlagged.filter(col("is_batch"))
+      .select(col("u"), col("v"))
+    val adj = canonFlagged.select(col("u").as("x"), col("v").as("w"),
+        col("u").as("lo"), col("v").as("hi"), col("is_batch").as("wb"))
+      .unionByName(canonFlagged.select(col("v").as("x"), col("u").as("w"),
+        col("u").as("lo"), col("v").as("hi"), col("is_batch").as("wb")))
+    def wing(side: String) = adj.select(col("x").as(s"x_$side"),
+      col("w"), col("lo").as(s"lo_$side"), col("hi").as(s"hi_$side"),
+      col("wb").as(s"wb_$side"))
+    def after(side: String) = !col(s"wb_$side") ||
+      (col(s"lo_$side") > col("u")) ||
+      (col(s"lo_$side") === col("u") && col(s"hi_$side") > col("v"))
+    batch
+      .join(wing("a"), col("x_a") === col("u"))
+      .filter(col("w") =!= col("v"))
+      .join(wing("b"), Seq("w"))
+      .filter(col("x_b") === col("v") && after("a") && after("b"))
+      .agg(count(lit(1)).cast("long").as("delta"))
+  }
+
   /** Common-neighbor counts for node pairs — the link-prediction score the
     * reference's README motivates (README.md:2, "Redundant Graph
     * Detection"). Returns pairs `u < v` with ≥ `minCommon` shared
@@ -1340,6 +1376,59 @@ object GraphOps {
               |UNION ALL SELECT 'degree_fold_mismatch', 0
               |UNION ALL SELECT 'max_degree', CAST(mx AS BIGINT) FROM st
               |UNION ALL SELECT 'median_degree_x10', med10 FROM st
+              |ORDER BY metric""".stripMargin)),
+
+    // ---- g26: incremental triangle maintenance (see [[triangleDelta]])
+    // day-2 story (README.md:16-26 runs the workload on growing graphs;
+    // the reference recomputes from scratch each day). Day-2 batch =
+    // the g25 hash split; the triangle DELTA is computed WITHOUT
+    // re-enumerating old triangles: for each new edge (u,v), count
+    // closing vertices w whose two wing edges exist in old ∪ batch,
+    // attributing each new triangle to its lexicographically-least
+    // batch edge so triangles with 2 or 3 new edges count exactly once
+    // (the wing conditions below). Cost is batch-edges × adjacency —
+    // two equi-joins, never a day-1 re-enumeration; at 100 TB the day-2
+    // batch is the small side and broadcasts. The certificate is
+    // g25's fold==recompute shape: Spark folds day1 + delta and
+    // subtracts a from-scratch recount (mismatch row), the oracle
+    // recomputes both counts independently and pins mismatch 0 — a
+    // double-counted 2-new-edge triangle or a missed wing hashes red.
+    Q("g26_incremental_triangles", { (s, dir) =>
+        val canon = canonicalEdges(derivedEdges(s, dir))
+          .withColumn("is_batch", (graft.functions.PortableHash.baseHash(
+            concat_ws(",", col("u").cast("string"), col("v").cast("string")))
+            % 10) === 0)
+        val old = canon.filter(!col("is_batch")).select(col("u"), col("v"))
+        val one = trianglesFromCanonical(old)
+          .agg(count(lit(1)).cast("long").as("t_old"))
+          .crossJoin(broadcast(triangleDelta(canon)))
+          .crossJoin(broadcast(trianglesFromCanonical(canon.select(col("u"), col("v")))
+            .agg(count(lit(1)).cast("long").as("t_all"))))
+        // stack() emits the 4 metric rows from ONE evaluation of the plan
+        one.selectExpr("""stack(4,
+            'delta_day2', delta,
+            'fold_mismatch', t_old + delta - t_all,
+            'triangles_day1', t_old,
+            'triangles_total', t_old + delta) AS (metric, value)""")
+          .orderBy(col("metric"))
+      },
+      Some(s"""$derivedSql,
+              |f AS (SELECT u, v,
+              |  ${graft.functions.PortableHash.baseHashSql(
+                   "u::VARCHAR || ',' || v::VARCHAR")} % 10 = 0 AS is_batch
+              |  FROM canon),
+              |o AS (SELECT u, v FROM f WHERE NOT is_batch),
+              |t_old AS (SELECT count(*) AS n FROM o t1
+              |  JOIN o t2 ON t1.u = t2.u AND t1.v < t2.v
+              |  JOIN o t3 ON t3.u = t1.v AND t3.v = t2.v),
+              |t_all AS (SELECT count(*) AS n FROM canon t1
+              |  JOIN canon t2 ON t1.u = t2.u AND t1.v < t2.v
+              |  JOIN canon t3 ON t3.u = t1.v AND t3.v = t2.v)
+              |SELECT 'delta_day2' AS metric,
+              |  CAST(t_all.n - t_old.n AS BIGINT) AS value FROM t_all, t_old
+              |UNION ALL SELECT 'fold_mismatch', 0
+              |UNION ALL SELECT 'triangles_day1', CAST(n AS BIGINT) FROM t_old
+              |UNION ALL SELECT 'triangles_total', CAST(n AS BIGINT) FROM t_all
               |ORDER BY metric""".stripMargin)),
 
     // g22: the degree-cap mitigation on the SAME hub graph g19 pays full

@@ -79,6 +79,29 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triangle delta fold == recompute — ∀ random graphs × random splits") {
+    // dense little graphs + 40% batch fraction make triangles with 2 and
+    // 3 new edges COMMON — the attribution cases the sf0.01 gate graph
+    // (17 triangles, delta 3) barely exercises.
+    samples(edgeGen, 12).zipWithIndex.foreach { case (es, i) =>
+      val canon = GraphOps.canonicalEdges(es.toDF("src", "dst"))
+        .withColumn("is_batch",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("u"),
+              org.apache.spark.sql.functions.col("v"),
+              org.apache.spark.sql.functions.lit(i)),
+            org.apache.spark.sql.functions.lit(5)) < 2)
+      val tAll = GraphOps.triangles(es.toDF("src", "dst")).count()
+      val old = canon.filter(!org.apache.spark.sql.functions.col("is_batch"))
+        .select("u", "v")
+      val tOld = GraphOps.trianglesFromCanonical(old).count()
+      val delta = GraphOps.triangleDelta(canon).head().getLong(0)
+      assert(tOld + delta === tAll,
+        s"sample $i: day1 $tOld + delta $delta != recompute $tAll")
+    }
+  }
+
   test("star CC == min-label CC == brute-force components — ∀ random graphs") {
     samples(edgeGen, 8).foreach { es =>
       val df = es.toDF("src", "dst")

@@ -39,7 +39,7 @@ class QueriesSpec extends AnyFunSuite {
     "d26_contamination_pairs", "i01_tolerant_ingest", "i02_quarantine_sink",
     "i04_ingest_circuit_breaker",
     "t18_bpe_train", "t19_bpe_encode", "t20_bpe_run_cert", "e07_bpe_packing",
-    "g25_degree_maintenance",
+    "g25_degree_maintenance", "g26_incremental_triangles",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "e05_corpus_diff",
     "e06_corpus_datasheet", "s08_knn_join", "t17_gopher_repetition",
