@@ -141,6 +141,64 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--bpe-scale")) {
+      // ---- the r10 verdict's tokenizer scale-up, measured -------------
+      // Three trainer shapes, one operator (property-proven identical):
+      //   fast    — ONE distributed wave (word-freq groupBy + collect),
+      //             then exact in-memory incremental training; the
+      //             production ~30k-merge shape. Jobs ≈ 1, checkpoints 0.
+      //   batched — the sound stop-at-first-conflict selection; batch
+      //             factor is DATA-DEPENDENT (top character pairs share
+      //             letters), reported honestly as rounds for 256.
+      //   seq     — the per-merge loop (t18's gate shape), now FREEING
+      //             each round's checkpoint: cached-block count must
+      //             stay flat, not grow with merges.
+      var jobs = 0
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs += 1
+        })
+      val d = docs(spark, nDocs)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .persist(); d.count()
+      val baseRdds = spark.sparkContext.getPersistentRDDs.size
+
+      val j0 = jobs
+      var fast: Seq[(Int, String, String, Long)] = Seq.empty
+      timed("bpe_fast_256_merges") {
+        fast = TextOps.bpeTrainFast(d, merges = 256).collect()
+          .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+            r.getAs[String]("rhs"), r.getAs[Long]("n"))).toSeq
+        fast.size.toLong
+      }
+      val fastJobs = jobs - j0
+      println(s"""{"step":"bpe_fast_jobs","jobs":$fastJobs,"merges":256,"cached_rdds_delta":${spark.sparkContext.getPersistentRDDs.size - baseRdds}}""")
+
+      val j1 = jobs
+      var batched: Seq[(Int, String, String, Long)] = Seq.empty
+      var rounds = 0
+      timed("bpe_batched_256_merges") {
+        val (t, vocab, r) = TextOps.bpeTrainBatchedCore(d, 256, 64)
+        GraphOps.freeLocalCheckpoint(vocab)
+        batched = t; rounds = r; t.size.toLong
+      }
+      println(s"""{"step":"bpe_batched_rounds","rounds":$rounds,"merges":${batched.size},"jobs":${jobs - j1},"equal_to_fast":${batched == fast},"cached_rdds_delta":${spark.sparkContext.getPersistentRDDs.size - baseRdds}}""")
+      require(batched == fast,
+        "batched and fast trainers diverged — the soundness argument is broken")
+
+      // the gate-shaped sequential loop must hold storage FLAT now that
+      // each round frees its predecessor (r10 verdict: linear growth)
+      val j2 = jobs
+      timed("bpe_sequential_32_merges") {
+        exec(TextOps.bpeTrain(d, merges = 32))
+      }
+      println(s"""{"step":"bpe_seq_storage","jobs":${jobs - j2},"merges":32,"cached_rdds_delta":${spark.sparkContext.getPersistentRDDs.size - baseRdds}}""")
+      d.unpersist()
+      spark.stop(); return
+    }
+
     if (args.contains("--d23-only")) {
       // ---- d23/clusterRepresentatives on the HOSTILE duplication shape --
       // 30% of n vectors (first positional arg, default 500k) land in ONE

@@ -411,11 +411,233 @@ object TextOps {
         val b = best(0)
         val (l, r, n) = (b.getString(0), b.getString(1), b.getLong(2))
         out += ((step, l, r, n))
-        vocab = vocab.select(col("w"), col("freq"),
+        val next = vocab.select(col("w"), col("freq"),
           applyMerge(col("syms"), l, r).as("syms")).localCheckpoint()
+        // free the PREVIOUS round's checkpoint blocks (r10 verdict:
+        // storage grew linearly in merges) — the CC-loop pattern
+        GraphOps.freeLocalCheckpoint(vocab)
+        vocab = next
       }
     }
     (out.toSeq, vocab)
+  }
+
+  /** BPE training at PRODUCTION vocabulary scale (r10 verdict #1) — the
+    * shape that reaches ~30k merges: ONE distributed wave (tokenize →
+    * word-frequency groupBy, map-side combined — the only corpus-sized
+    * work BPE has) followed by EXACT sequential training with incremental
+    * pair-count maintenance on the collected frequency table, the
+    * standard tokenizer-trainer algorithm (Sennrich et al. 2016 §3;
+    * every production trainer — HuggingFace tokenizers, SentencePiece —
+    * trains in memory over exactly this table).
+    *
+    * Why not distributed merge batching: the r10 verdict proposed
+    * selecting top-k pairwise-non-interacting merges per round, but that
+    * is NOT sequential-equivalent — a skipped conflicting pair keeps its
+    * count after the top merge applies wherever their occurrences don't
+    * overlap, and can outrank every selected pair at the next sequential
+    * step (measured on English text: skip-and-continue agrees with
+    * sequential on only ~36% of a 256-merge table). The only
+    * provably-equal selection rule is "stop at the first pair sharing a
+    * symbol (or output) with the selected prefix, keep strictly above
+    * the cutoff" — and on character-level text the top pairs share
+    * letters immediately, so sound batches average < 2 merges
+    * ([[bpeTrainBatched]] implements that rule for vocabularies too big
+    * to collect). Sequential dependence is fundamental to BPE; the scale
+    * answer is to make each step O(affected words) in memory, not to
+    * parallelize the step.
+    *
+    * The collect is BOUNDED and the bound is the operator's contract:
+    * `minFreq` prunes the tail (a word seen < minFreq times cannot
+    * appear in any top pair of early rounds at meaningful scale — the
+    * classic trainer knob), so driver memory is O(distinct words ≥
+    * minFreq), independent of corpus size. With minFreq=1 the output is
+    * IDENTICAL to [[bpeTrain]] on any corpus (property-proven on random
+    * corpora; t21 certifies it cross-engine against t18's oracle).
+    * Training cost: one heap-ordered argmax + per-occurrence incremental
+    * count updates per merge — 30k merges is heap ops, not job waves;
+    * zero checkpoints, flat storage. */
+  def bpeTrainFast(docs: org.apache.spark.sql.DataFrame, merges: Int,
+      minFreq: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("\u0001"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    bpeLocalTrain(wf, merges).toDF("step", "lhs", "rhs", "n")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
+  /** Exact sequential BPE over an in-memory word-frequency table with
+    * incremental pair-count maintenance: a TreeSet orders candidates by
+    * (count desc, l, r) — [[bpeTrain]]'s exact tie-break — and each merge
+    * touches only the words that contain its pair (occurrence index;
+    * stale entries tolerated and re-checked). Same greedy left-to-right
+    * non-overlapping application as `applyMerge`. */
+  private[graft] def bpeLocalTrain(words: Array[(Array[String], Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = words.map(w => mutable.ArrayBuffer.from(w._1))
+    val freq = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val heap = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.by(t => (-t._1, t._2, t._3)))
+    def bump(p: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) heap -= ((old, p._1, p._2))
+      val nw = old + delta
+      if (nw == 0L) counts.remove(p)
+      else { counts(p) = nw; heap += ((nw, p._1, p._2)) }
+      if (delta > 0L && wordIdx >= 0)
+        occ.getOrElseUpdate(p, mutable.Set.empty) += wordIdx
+    }
+    syms.indices.foreach { i =>
+      var j = 0
+      while (j < syms(i).length - 1) {
+        bump((syms(i)(j), syms(i)(j + 1)), freq(i), i); j += 1
+      }
+    }
+    val out = mutable.Buffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= merges && heap.nonEmpty) {
+      val (n, l, r) = heap.head
+      out += ((step, l, r, n))
+      val pair = (l, r)
+      occ.remove(pair).getOrElse(mutable.Set.empty).foreach { wi =>
+        val s = syms(wi)
+        // greedy left-to-right merge in place; skip if stale (no hit)
+        var hit = false
+        var j = 0
+        while (j < s.length - 1 && !hit) {
+          hit = s(j) == l && s(j + 1) == r; j += 1
+        }
+        if (hit) {
+          val before = s.toIndexedSeq
+          val acc = mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < before.length) {
+            if (acc.nonEmpty && acc.last == l && before(k) == r)
+              acc(acc.length - 1) = l + r
+            else acc += before(k)
+            k += 1
+          }
+          s.clear(); s ++= acc
+          // incremental count diff: retract the old adjacency multiset,
+          // add the new one (word lengths are small; exact and simple)
+          var x = 0
+          while (x < before.length - 1) {
+            bump((before(x), before(x + 1)), -freq(wi), -1); x += 1
+          }
+          x = 0
+          while (x < acc.length - 1) {
+            bump((acc(x), acc(x + 1)), freq(wi), wi); x += 1
+          }
+        }
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
+  /** The SOUND distributed batched trainer — for vocabularies too large
+    * to collect even pruned. Per round: one pair count, then the longest
+    * prefix of the (count desc, l, r) order whose pairs are pairwise
+    * symbol-AND-output disjoint, STOPPING at the first conflict and
+    * keeping only pairs strictly above the stopping count — the one
+    * selection rule that provably equals sequential training (any pair
+    * at or below the cutoff could outrank later selections after the
+    * prefix applies; anything interacting can only lose count, so the
+    * strict prefix stays the true argmax sequence). Batched application
+    * is a single fold with a merge map (disjointness makes simultaneous
+    * == sequential application). Falls back to top-1 when the cutoff
+    * empties the prefix, so progress is guaranteed; checkpoints are
+    * freed every round (flat storage). Batch factor is DATA-DEPENDENT:
+    * measured ~1.7 on English text (top character pairs share letters),
+    * large on id-like corpora — see ScaleSmoke --bpe-scale and
+    * [[bpeTrainFast]] for why no sound rule does better. */
+  def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame, merges: Int,
+      kMax: Int = 64): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (table, vocab, _) = bpeTrainBatchedCore(docs, merges, kMax)
+    GraphOps.freeLocalCheckpoint(vocab)
+    table.toDF("step", "lhs", "rhs", "n")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
+  /** Core of [[bpeTrainBatched]]: (merge rows, final vocab, rounds). */
+  private[graft] def bpeTrainBatchedCore(
+      docs: org.apache.spark.sql.DataFrame, merges: Int, kMax: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame, Int) = {
+    var vocab = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("\u0001"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
+      rounds += 1
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(kMax + 1).collect()
+        .map(b => (b.getString(0), b.getString(1), b.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // longest disjoint prefix; cutoff = count where the scan stopped
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        var cutoff = -1L
+        var stop = false
+        top.foreach { case (l, r, n) =>
+          if (!stop) {
+            if (sel.size == kMax || Seq(l, r, l + r).exists(used)) {
+              cutoff = n; stop = true
+            } else { sel += ((l, r, n)); used ++= Seq(l, r, l + r) }
+          }
+        }
+        val strict0 = if (cutoff < 0) sel.toSeq
+          else sel.toSeq.filter(_._3 > cutoff)
+        val strict = (if (strict0.isEmpty) sel.take(1).toSeq else strict0)
+          .take(merges - out.size)
+        strict.foreach { case (l, r, n) =>
+          out += ((out.size + 1, l, r, n))
+        }
+        // one fold applies the whole batch: disjoint symbols+outputs make
+        // simultaneous application equal per-merge sequential passes
+        val mergeMap = map(strict.flatMap { case (l, r, _) =>
+          Seq(lit(l + " " + r), lit(l + r)) }: _*)
+        def key(acc: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+          concat(element_at(acc, -1), lit(" "), s)
+        val next = vocab.select(col("w"), col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(mergeMap, key(acc, s)).isNotNull,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(element_at(mergeMap, key(acc, s)))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint()
+        GraphOps.freeLocalCheckpoint(vocab)
+        vocab = next
+      }
+    }
+    (out.toSeq, vocab, rounds)
   }
 
   /** The k unrolled training rounds shared by t18's and t19's oracles:
@@ -1051,6 +1273,15 @@ object TextOps {
           .orderBy(col("w"))
       },
       Some(bpeRunCertOracleSql(6))),
+
+    // ---- t21: production-scale trainer == sequential trainer ------------
+    // bpeTrainFast (one distributed word-count wave + exact in-memory
+    // incremental training — the ~30k-merge shape) certified against the
+    // SAME unrolled-rounds oracle t18 uses: one hash pins the fast
+    // trainer's merge table to the sequential definition cross-engine.
+    Q("t21_bpe_fast_train",
+      (s, dir) => bpeTrainFast(Tables.load(s, dir, "documents"), merges = 8),
+      Some(bpeTrainOracleSql(8))),
 
     // ---- t15: overlapping token-window chunking (RAG layout) -----------
     // Each document split into stride-48 windows of 64 tokens (16-token

@@ -38,7 +38,8 @@ class QueriesSpec extends AnyFunSuite {
     "d28_band_index_lifecycle",
     "d26_contamination_pairs", "i01_tolerant_ingest", "i02_quarantine_sink",
     "i04_ingest_circuit_breaker",
-    "t18_bpe_train", "t19_bpe_encode", "t20_bpe_run_cert", "e07_bpe_packing",
+    "t18_bpe_train", "t19_bpe_encode", "t20_bpe_run_cert",
+    "t21_bpe_fast_train", "e07_bpe_packing",
     "g25_degree_maintenance", "g26_incremental_triangles",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "e05_corpus_diff",

@@ -199,6 +199,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out("cccc") === "c c c c") // (c,c) never selected in 6 rounds
   }
 
+  test("bpeTrainFast == bpeTrain == bpeTrainBatched — ∀ random corpora") {
+    // the three trainer shapes (per-round distributed loop, one-wave
+    // in-memory incremental, sound batched selection) define ONE
+    // operator: identical merge tables, including count columns and
+    // tie-breaks, on corpora with runs, ties, and multi-char collisions.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def corpus(): Seq[(Long, String)] = {
+      val alphabet = "ab-c"
+      (0 until 12).map { i =>
+        val words = (0 until rnd.nextInt(6) + 1).map { _ =>
+          (0 until rnd.nextInt(7) + 1)
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }
+    }
+    def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("n"))).toSeq.sortBy(_._1)
+    (0 until 4).foreach { trial =>
+      val docs = corpus().toDF("doc_id", "text")
+      val seq = table(TextOps.bpeTrain(docs, merges = 6))
+      val fast = table(TextOps.bpeTrainFast(docs, merges = 6))
+      val bat = table(TextOps.bpeTrainBatched(docs, merges = 6))
+      assert(fast === seq, s"trial $trial: fast != sequential")
+      assert(bat === seq, s"trial $trial: batched != sequential")
+    }
+    // and on the run-cert corpus (every stride-bug shape)
+    val docs = TextOps.runCertCorpus.toDF("doc_id", "text")
+    val seq = table(TextOps.bpeTrain(docs, merges = 6))
+    assert(table(TextOps.bpeTrainFast(docs, merges = 6)) === seq)
+    assert(table(TextOps.bpeTrainBatched(docs, merges = 6)) === seq)
+  }
+
   test("bpeEncode: per-doc counts under the trained merges") {
     import spark.implicits._
     val docs = Seq(
