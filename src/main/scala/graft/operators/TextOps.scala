@@ -620,11 +620,13 @@ object TextOps {
           out += ((out.size + 1, l, r, n))
         }
         // one fold applies the whole batch: disjoint symbols+outputs make
-        // simultaneous application equal per-merge sequential passes
+        // simultaneous application equal per-merge sequential passes.
+        // Space is a safe key delimiter: symbols come from whitespace-
+        // split tokens, so no symbol ever contains one.
         val mergeMap = map(strict.flatMap { case (l, r, _) =>
-          Seq(lit(l + " " + r), lit(l + r)) }: _*)
+          Seq(lit(l + " " + r), lit(l + r)) }: _*)
         def key(acc: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
-          concat(element_at(acc, -1), lit(" "), s)
+          concat(element_at(acc, -1), lit(" "), s)
         val next = vocab.select(col("w"), col("freq"),
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, s) => when(size(acc) > 0 &&
