@@ -85,13 +85,12 @@ if bad:
 # pinned idle-box floor is either a real regression or a contaminated
 # artifact (the r6 d05-at-53s class) — refuse to snapshot it either way.
 # Raise the floor deliberately (env) when the suite legitimately grows.
-# 161 s = the 192-query idle estimate under FULL-OUTPUT evaluation:
-# the round-10 186-query idle band (157.4/153.0/157.7 s) plus the six
-# round-11 queries' measured 3.8 s (t20 0.73, t21 0.24, i05 0.62,
-# m09 1.20, st15 0.14, g26 0.91 — BENCH_SELF r11 at load 0.98).
-# The pre-r8 107 s floor used .count()-elided evaluation and is not
-# comparable.
-floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "161"))
+# 157 s = the 192-query idle total under FULL-OUTPUT evaluation,
+# MEASURED (round-11 idle artifact run: 157.3 s at load 0.16 — carrying
+# the six new queries' 3.6 s, the carried suite got ~4 s faster than
+# the round-10 186-query band of 157.4/153.0/157.7 s). The pre-r8
+# 107 s floor used .count()-elided evaluation and is not comparable.
+floor = float(os.environ.get("GRAFT_BENCH_FLOOR_SEC", "157"))
 if rec["value"] > 2 * floor:
     print(f"PRESNAPSHOT GATE: FAIL — bench total {rec['value']:.1f}s "
           f"> 2x pinned floor {floor}s", file=sys.stderr)
