@@ -37,28 +37,33 @@ package graft.functions
   * its jump and each l twice by the next relax — un-materialized, the
   * chain expands exponentially. */
 object ClosureSql {
-  def minLabelComp(rounds: Int = 24, sym: String = "sym"): String = {
+  /** `prefix` namespaces every CTE (`l0` → `<prefix>l0`, `comp` →
+    * `<prefix>comp`) so one oracle can run the chain over two different
+    * symmetrized edge sets (g27 needs day-1 AND day-2 components). */
+  def minLabelComp(rounds: Int = 24, sym: String = "sym",
+      prefix: String = ""): String = {
     require(rounds >= 1, "at least one round")
+    val p = prefix
     val init =
-      s"""l0 AS MATERIALIZED (
+      s"""${p}l0 AS MATERIALIZED (
          |  SELECT src AS node, min(lbl) AS lbl FROM (
          |    SELECT src, src AS lbl FROM $sym
-         |    UNION ALL SELECT src, dst FROM $sym) i0
+         |    UNION ALL SELECT src, dst FROM $sym) ${p}i0
          |  GROUP BY src)""".stripMargin
     val roundSql = (1 to rounds).map { i =>
-      s"""p$i AS MATERIALIZED (
+      s"""${p}p$i AS MATERIALIZED (
          |  SELECT x.node, min(x.lbl) AS lbl FROM (
-         |    SELECT node, lbl FROM l${i - 1}
+         |    SELECT node, lbl FROM ${p}l${i - 1}
          |    UNION ALL
          |    SELECT s.src AS node, l.lbl FROM $sym s
-         |    JOIN l${i - 1} l ON s.dst = l.node) x
+         |    JOIN ${p}l${i - 1} l ON s.dst = l.node) x
          |  GROUP BY x.node),
-         |l$i AS MATERIALIZED (
+         |${p}l$i AS MATERIALIZED (
          |  SELECT p.node, least(p.lbl, q.lbl) AS lbl
-         |  FROM p$i p JOIN p$i q ON p.lbl = q.node)""".stripMargin
+         |  FROM ${p}p$i p JOIN ${p}p$i q ON p.lbl = q.node)""".stripMargin
     }.mkString(",\n")
     s"""$init,
        |$roundSql,
-       |comp AS MATERIALIZED (SELECT node, lbl AS c FROM l$rounds)""".stripMargin
+       |${p}comp AS MATERIALIZED (SELECT node, lbl AS c FROM ${p}l$rounds)""".stripMargin
   }
 }

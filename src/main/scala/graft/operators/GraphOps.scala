@@ -288,6 +288,43 @@ object GraphOps {
       .agg(count(lit(1)).cast("long").as("delta"))
   }
 
+  /** Incremental CONNECTED-COMPONENT maintenance (g27) — g26's day-2
+    * story for labels: fold a day-2 edge batch into existing component
+    * labels WITHOUT rerunning CC over the full graph. The batch's edges
+    * are CONTRACTED through the day-1 labels ((u,v) → (label(u),
+    * label(v)), new nodes label themselves), CC runs on that contracted
+    * graph — bounded by the BATCH, not the corpus: at 100 TB a full
+    * large-star rerun is O(log n) rounds over all edges, while the
+    * contracted graph is touched-components-sized — and the resulting
+    * relabel map joins back onto the day-1 table. Exact because min-label
+    * CC is a quotient construction: contracting each day-1 component to
+    * its (min-id) label preserves the merged components' minima, so
+    * fold(labels, batch) == recompute(old ∪ batch) node-for-node — which
+    * g27 certifies cross-engine (mismatch row pinned 0) the way g25/g26
+    * certify degrees and triangles.
+    *
+    * `day1` is (node, component) from [[connectedComponents]]; returns
+    * (node, label) over the old ∪ batch node universe. */
+  def foldComponents(day1: DataFrame, batchEdges: DataFrame): DataFrame = {
+    val lu = day1.select(col("node").as("u"), col("component").as("lu"))
+    val lv = day1.select(col("node").as("v"), col("component").as("lv"))
+    val contracted = canonicalEdges(
+        batchEdges.join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+          .select(coalesce(col("lu"), col("u")).as("src"),
+            coalesce(col("lv"), col("v")).as("dst")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val remap = connectedComponents(contracted)
+      .select(col("node").as("l0"), col("component").as("l1"))
+    val batchNodes = symmetrize(batchEdges
+        .select(col("u").as("src"), col("v").as("dst")))
+      .select(col("src").as("node")).distinct()
+    day1.select(col("node"), col("component").as("l0"))
+      .unionByName(batchNodes.join(day1, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("l0")))
+      .join(remap, Seq("l0"), "left")
+      .select(col("node"), coalesce(col("l1"), col("l0")).as("label"))
+  }
+
   /** Common-neighbor counts for node pairs — the link-prediction score the
     * reference's README motivates (README.md:2, "Redundant Graph
     * Detection"). Returns pairs `u < v` with ≥ `minCommon` shared
@@ -1429,6 +1466,65 @@ object GraphOps {
               |UNION ALL SELECT 'fold_mismatch', 0
               |UNION ALL SELECT 'triangles_day1', CAST(n AS BIGINT) FROM t_old
               |UNION ALL SELECT 'triangles_total', CAST(n AS BIGINT) FROM t_all
+              |ORDER BY metric""".stripMargin)),
+
+    // ---- g27: incremental connected-component maintenance (see
+    // [[foldComponents]]) — the labels sibling of g26: day-2 batch edges
+    // contracted through day-1 labels, CC on the batch-bounded contracted
+    // graph, relabel map joined back. Certificate: per-NODE fold ==
+    // recompute mismatch (Spark computes it, oracle pins 0 — the
+    // strongest form) plus day-1/day-2 component counts both engines
+    // derive independently (oracle runs the iterative min-label chain
+    // TWICE, namespaced, over the old and full edge sets).
+    Q("g27_incremental_components", { (s, dir) =>
+        val canon = canonicalEdges(derivedEdges(s, dir))
+          .withColumn("is_batch", (graft.functions.PortableHash.baseHash(
+            concat_ws(",", col("u").cast("string"), col("v").cast("string")))
+            % 10) === 0)
+        val old = canon.filter(!col("is_batch"))
+          .select(col("u").as("src"), col("v").as("dst"))
+        val batch = canon.filter(col("is_batch")).select(col("u"), col("v"))
+        val day1 = connectedComponents(old)
+        val folded = foldComponents(day1, batch)
+        val recomputed = connectedComponents(canon
+            .select(col("u").as("src"), col("v").as("dst")))
+          .select(col("node"), col("component").as("rlabel"))
+        val mism = folded.join(recomputed, Seq("node"), "full")
+          .agg(sum(when(col("label") <=> col("rlabel"), 0L).otherwise(1L))
+            .cast("long").as("mismatch"))
+        val one = day1.agg(countDistinct(col("component")).cast("long")
+            .as("c_day1"))
+          .crossJoin(broadcast(folded
+            .agg(countDistinct(col("label")).cast("long").as("c_day2"))))
+          .crossJoin(broadcast(batch
+            .agg(count(lit(1)).cast("long").as("b_edges"))))
+          .crossJoin(broadcast(mism))
+        one.selectExpr("""stack(4,
+            'batch_edges', b_edges,
+            'components_day1', c_day1,
+            'components_day2', c_day2,
+            'label_fold_mismatch', mismatch) AS (metric, value)""")
+          .orderBy(col("metric"))
+      },
+      Some(s"""$derivedSql,
+              |f AS (SELECT u, v,
+              |  ${graft.functions.PortableHash.baseHashSql(
+                   "u::VARCHAR || ',' || v::VARCHAR")} % 10 = 0 AS is_batch
+              |  FROM canon),
+              |oldsym AS MATERIALIZED (
+              |  SELECT u AS src, v AS dst FROM f WHERE NOT is_batch
+              |  UNION ALL SELECT v, u FROM f WHERE NOT is_batch),
+              |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |${graft.functions.ClosureSql.minLabelComp(24, "oldsym", "o_")},
+              |${graft.functions.ClosureSql.minLabelComp(24, "sym")}
+              |SELECT 'batch_edges' AS metric,
+              |  CAST(count(*) AS BIGINT) AS value FROM f WHERE is_batch
+              |UNION ALL SELECT 'components_day1', CAST(count(DISTINCT c)
+              |  AS BIGINT) FROM o_comp
+              |UNION ALL SELECT 'components_day2', CAST(count(DISTINCT c)
+              |  AS BIGINT) FROM comp
+              |UNION ALL SELECT 'label_fold_mismatch', 0
               |ORDER BY metric""".stripMargin)),
 
     // g22: the degree-cap mitigation on the SAME hub graph g19 pays full

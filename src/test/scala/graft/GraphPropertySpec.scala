@@ -102,6 +102,27 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("component fold == recompute — ∀ random graphs × random splits") {
+    // g27's quotient argument exercised where merges are common: 40%
+    // batch fractions make multi-component merges and brand-new nodes
+    // routine.
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    samples(edgeGen, 10).zipWithIndex.foreach { case (es, i) =>
+      val canon = GraphOps.canonicalEdges(es.toDF("src", "dst"))
+        .withColumn("is_batch",
+          pmod(xxhash64(col("u"), col("v"), lit(i)), lit(5)) < 2)
+      val old = canon.filter(!col("is_batch"))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val batch = canon.filter(col("is_batch")).select("u", "v")
+      val day1 = GraphOps.connectedComponents(old)
+      val folded = GraphOps.foldComponents(day1, batch).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = GraphOps.connectedComponents(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(folded === full, s"sample $i: fold != recompute")
+    }
+  }
+
   test("star CC == min-label CC == brute-force components — ∀ random graphs") {
     samples(edgeGen, 8).foreach { es =>
       val df = es.toDF("src", "dst")
