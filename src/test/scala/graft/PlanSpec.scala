@@ -509,4 +509,63 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.forall(_.contains("shard")),
       s"packing window not partitioned by shard (single-task sort):\n$windows")
   }
+
+  test("g26 triangle delta: equi wing joins, no cartesian or nested loop") {
+    // the day-2 delta must stay batch × adjacency equi-joins — a
+    // degenerate plan here is a corpus-sized blowup at scale
+    import graft.operators.GraphOps
+    val canon = GraphOps.canonicalEdges(
+        Tables.load(spark, dir, "lineitem")
+          .select((col("l_orderkey") % 4000).as("src"),
+            (col("l_partkey") % 4000).as("dst")))
+      .withColumn("is_batch", pmod(xxhash64(col("u"), col("v")), lit(10)) === 0)
+    val plan = executedPlan(GraphOps.triangleDelta(canon))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the triangle delta:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected equi wing joins:\n$plan")
+  }
+
+  test("g27 component fold: contracted remap joins stay equi") {
+    import graft.operators.GraphOps
+    val edges = Tables.load(spark, dir, "lineitem")
+      .select((col("l_orderkey") % 4000).as("src"),
+        (col("l_partkey") % 4000).as("dst"))
+    val canon = GraphOps.canonicalEdges(edges)
+      .withColumn("is_batch", pmod(xxhash64(col("u"), col("v")), lit(10)) === 0)
+    val day1 = GraphOps.connectedComponents(canon.filter(!col("is_batch"))
+      .select(col("u").as("src"), col("v").as("dst")))
+    val plan = executedPlan(GraphOps.foldComponents(day1,
+      canon.filter(col("is_batch")).select(col("u"), col("v"))))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the component fold:\n$plan")
+  }
+
+  test("m09 audio round trip is one narrow pass — zero exchanges") {
+    import graft.operators.Multimodal
+    val plan = executedPlan(Multimodal.audioRoundTrip(
+      Tables.load(spark, dir, "documents")))
+    assert(!plan.contains("Exchange"),
+      s"codec pass should pipeline with the scan, no shuffle:\n$plan")
+  }
+
+  test("st15 chunk metrics: one aggregation exchange, no join") {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType)
+    val lines = spark.read.textFile(
+      graft.sources.Formats.ingestFixturePath).toDF("line")
+    val plan = executedPlan(graft.sources.Formats
+      .ingestChunkMetrics(lines, schema, maxBadPpm = 400000L))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    // AQE reprints exchange nodes under "== Initial Plan ==" — count in
+    // the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
+      s"expected exactly the one chunk-key aggregation exchange:\n$finalPlan")
+  }
 }
