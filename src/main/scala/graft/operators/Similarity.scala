@@ -205,6 +205,52 @@ object Similarity {
     (corpus, cents, scores, assigned)
   }
 
+  /** PERSISTED IVF index build (s10) — the d28 artifact-lifecycle pattern
+    * for ANN: an index a pipeline builds ONCE and probes many times,
+    * instead of [[ivfTopK]]'s rebuild-per-query-set. Two parquet
+    * artifacts: `centroids` (broadcast-sized) and `postings`
+    * PARTITIONED BY cell id — the layout that makes a probe read only
+    * its `nprobe` cells' directories (dynamic partition pruning off the
+    * probe join, q54's mechanism; at nlist ≈ √n the probe scans
+    * nprobe/√n of the corpus instead of all of it). The write is
+    * mode=overwrite, so a retried build is idempotent. */
+  def buildIvfIndex(emb: DataFrame, dir: String, nlist: Int = 8): Unit = {
+    val (corpus, cents, _, assigned) = ivfParts(emb, nlist)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.join(assigned, "vec_id")
+      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings")
+  }
+
+  /** Probe a [[buildIvfIndex]] artifact: same query protocol, scoring,
+    * rounding, and tie-breaks as [[ivfTopK]], so probe-from-artifact ==
+    * rebuild-and-probe exactly — which s10 certifies against s05's own
+    * oracle (the artifact round trip is parquet doubles, lossless). */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val qs = queries.select(col("vec_id").as("qid"),
+        VectorFns.toDouble(col("embedding")).as("qe"))
+      .filter(VectorFns.nonZero(col("qe")))
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val qprobe = qs.join(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        round(VectorFns.dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    postings.join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Full k-NN SELF-join via IVF cells: every corpus vector gets its k
     * approximate nearest neighbors — the building block a SemDeDup /
     * corpus-clustering pipeline runs over the WHOLE embedding table, as
@@ -473,6 +519,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** s05's full-replay oracle — shared verbatim by s10: probing the
+    * PERSISTED index must hash identically to the rebuild-and-probe
+    * semantics this SQL defines. */
+  private val ivfTopKOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+             |ascore AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents),
+             |abest AS (SELECT vec_id, max(ccos) AS best FROM ascore GROUP BY vec_id),
+             |assign AS (SELECT a.vec_id, min(cid) AS cid
+             |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id),
+             |qprobe AS (SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS pr
+             |    FROM ascore WHERE vec_id < 5) WHERE pr <= 2),
+             |scored AS (SELECT qp.qid, a.vec_id,
+             |    round(list_cosine_similarity(qe.e, ce2.e), 6) AS cos
+             |  FROM qprobe qp
+             |  JOIN assign a ON a.cid = qp.cid
+             |  JOIN e qe ON qe.vec_id = qp.qid
+             |  JOIN e ce2 ON ce2.vec_id = a.vec_id
+             |  WHERE qp.qid <> a.vec_id),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- s01: exact cosine top-10 for query vectors 0..4 ---------------
@@ -568,33 +646,26 @@ object Similarity {
         ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 2)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
-             |ascore AS (SELECT e.vec_id, cid,
-             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
-             |  FROM e CROSS JOIN cents),
-             |abest AS (SELECT vec_id, max(ccos) AS best FROM ascore GROUP BY vec_id),
-             |assign AS (SELECT a.vec_id, min(cid) AS cid
-             |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.ccos = b.best
-             |  GROUP BY a.vec_id),
-             |qprobe AS (SELECT vec_id AS qid, cid FROM (
-             |    SELECT vec_id, cid,
-             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS pr
-             |    FROM ascore WHERE vec_id < 5) WHERE pr <= 2),
-             |scored AS (SELECT qp.qid, a.vec_id,
-             |    round(list_cosine_similarity(qe.e, ce2.e), 6) AS cos
-             |  FROM qprobe qp
-             |  JOIN assign a ON a.cid = qp.cid
-             |  JOIN e qe ON qe.vec_id = qp.qid
-             |  JOIN e ce2 ON ce2.vec_id = a.vec_id
-             |  WHERE qp.qid <> a.vec_id),
-             |ranked AS (SELECT qid, vec_id, cos,
-             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-             |  FROM scored)
-             |SELECT qid, vec_id, cos, rank
-             |FROM ranked WHERE rank <= 10
-             |ORDER BY qid, rank""".stripMargin)),
+      Some(ivfTopKOracleSql)),
+
+    // ---- s10: PERSISTED IVF index lifecycle -----------------------------
+    // The d28 pattern for ANN: build the index artifact once (centroids +
+    // cid-PARTITIONED postings under this process's RunDirs), probe it
+    // with s05's exact protocol, and certify probe-from-artifact against
+    // s05's own full-replay oracle — one hash proves the artifact round
+    // trip loses nothing AND the partitioned layout serves the identical
+    // ranking. The probe's postings scan carries a dynamic-partition-
+    // pruning filter from the broadcast probe join (PlanSpec pins it), so
+    // a probe reads nprobe cells' directories, not the corpus.
+    Q("s10_ivf_index_lifecycle",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.RunDirs.dir("s10").toString
+        buildIvfIndex(emb, idx, nlist = 8)
+        probeIvfIndex(s, idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfTopKOracleSql)),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized

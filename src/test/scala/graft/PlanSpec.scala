@@ -551,6 +551,20 @@ class PlanSpec extends AnyFunSuite {
       s"codec pass should pipeline with the scan, no shuffle:\n$plan")
   }
 
+  test("s10 probe scan carries dynamic partition pruning on the cell id") {
+    // the whole point of the cid-partitioned postings artifact: a probe
+    // must read its nprobe cells' directories, not the corpus — the q54
+    // mechanism, fired by the broadcast probe join
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("s10-plan").toString
+    Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    val plan = executedPlan(Similarity.probeIvfIndex(
+      spark, idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2))
+    assert(plan.contains("dynamicpruningexpression"),
+      s"postings scan reads all cells (no DPP filter):\n$plan")
+  }
+
   test("st15 chunk metrics: one aggregation exchange, no join") {
     import org.apache.spark.sql.types._
     val schema = new StructType()

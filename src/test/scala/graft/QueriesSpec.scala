@@ -80,6 +80,7 @@ class QueriesSpec extends AnyFunSuite {
     "q46_copurchase", "q48_densify", "q49_share", "q50_churn",
     "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
     "s05_ivf_topk", "s06_quantized_rerank", "s07_pq_adc",
+    "s10_ivf_index_lifecycle",
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
     "st08_funnel", "st10_disorder_audit", "st11_attribution",
