@@ -141,6 +141,75 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--s10-only")) {
+      // ---- s10 partition pruning MEASURED, not just plan-pinned -------
+      // Same probe code over two layouts of the same postings: the
+      // cid-partitioned artifact (DPP prunes to nprobe directories) vs
+      // an unpartitioned copy (cid is a row filter after a full scan).
+      // The input-RECORDS ratio is the pruning evidence (bytesRead is
+      // unreliable for local-FS array columns — a 102 MB full scan
+      // reported 0.7 MB; recordsRead counts every row the scan actually
+      // produced). Pruning wins when the UNION of probed cells is
+      // small — the online-serving shape (2 queries × nprobe 8 → ≤16 of
+      // 128 directories); a large OFFLINE query batch blankets every
+      // cell and rightly degenerates to the full scan (measured too, so
+      // the boundary is on record).
+      val n = posArgs.lift(0).map(_.toLong).getOrElse(200000L)
+      val nlist = 128
+      var recsRead = 0L
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              recsRead += t.taskMetrics.inputMetrics.recordsRead
+        })
+      // FULL-ENTROPY components: the first cut used 2001 distinct values
+      // and parquet dictionary-coded 102 MB of vectors down to ~12 MB —
+      // the pruning signal drowned in the probe pipeline's constant
+      // costs. Real embeddings don't dictionary-compress; neither do
+      // these.
+      val cols = (0 until 64).map(i =>
+        (xxhash64(col("id"), lit(i)).cast("double") / 9.223372036854776e18))
+      val emb = spark.range(n)
+        .select(col("id").as("vec_id"), array(cols: _*).as("embedding")).persist()
+      emb.count()
+      val part = java.nio.file.Files.createTempDirectory("s10-part").toString
+      val flat = java.nio.file.Files.createTempDirectory("s10-flat").toString
+      timed("s10_build_index") {
+        Similarity.buildIvfIndex(emb, part, nlist)
+        0L
+      }
+      // identical postings, unpartitioned — the layout contrast
+      spark.read.parquet(s"$part/postings")
+        .write.mode("overwrite").parquet(s"$flat/postings")
+      spark.read.parquet(s"$part/centroids")
+        .write.mode("overwrite").parquet(s"$flat/centroids")
+      // queries as a MATERIALIZED local table: an online probe arrives
+      // as a handful of vectors, not as a scan of the corpus — and the
+      // bytes ledger then shows only what the PROBE reads
+      def queryTable(nq: Int) = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          emb.filter(col("vec_id") < nq).collect().toSeq, 1),
+        emb.schema)
+      for ((name, dir2, nq) <- Seq(
+             ("s10_probe_pruned", part, 2),
+             ("s10_probe_fullscan", flat, 2),
+             ("s10_probe_pruned_wide", part, 64))) {
+        val queries = queryTable(nq)
+        // listener events are async — settle before/after snapshotting
+        Thread.sleep(1000)
+        val b0 = recsRead
+        timed(name) {
+          exec(Similarity.probeIvfIndex(spark, dir2, queries, k = 10, nprobe = 8))
+        }
+        Thread.sleep(1000)
+        println(s"""{"step":"${name}_records","input_records":${recsRead - b0},"corpus_records":$n,"queries":$nq,"nlist":$nlist,"nprobe":8}""")
+      }
+      emb.unpersist()
+      spark.stop(); return
+    }
+
     if (args.contains("--bpe-scale")) {
       // ---- the r10 verdict's tokenizer scale-up, measured -------------
       // Three trainer shapes, one operator (property-proven identical):

@@ -225,7 +225,20 @@ object Similarity {
   /** Probe a [[buildIvfIndex]] artifact: same query protocol, scoring,
     * rounding, and tie-breaks as [[ivfTopK]], so probe-from-artifact ==
     * rebuild-and-probe exactly — which s10 certifies against s05's own
-    * oracle (the artifact round trip is parquet doubles, lossless). */
+    * oracle (the artifact round trip is parquet doubles, lossless).
+    *
+    * The probed-cell set is COLLECTED (one tiny job: ≤ |queries|·nprobe
+    * cell ids) and pruned STATICALLY via `isin` on the partition column.
+    * Dynamic partition pruning is NOT trusted here, by measurement: the
+    * probe side carries a window + a local query table, the DPP
+    * subquery can't reuse that broadcast, and Spark silently planted
+    * `dynamicpruningexpression(true)` — a full 200k-record scan wearing
+    * a pruning expression (the smoke arm's records ledger caught it).
+    * An index PROBE's query set is small by contract — that's what
+    * makes it a probe — so the eager collect is the knnJoin `knownBytes`
+    * convention: construction runs one bounded job, and the scan prunes
+    * to the probed directories deterministically in every Spark version
+    * and under AQE. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
@@ -241,9 +254,16 @@ object Similarity {
         round(VectorFns.dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6)
           .as("ccos"))
       .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
-      .select(col("qid"), col("cid"))
+      // match the INFERRED partition-column type (int for small cell
+      // ids): a cast on the partition column side would block pruning
+      .select(col("qid"),
+        col("cid").cast(postings.schema("cid").dataType).as("cid"))
+    val probedCells = qprobe.select(col("cid")).distinct()
+      .collect().map(_.get(0))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    postings.join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
+    postings
+      .filter(col("cid").isin(probedCells: _*))
+      .join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(VectorFns.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 6).as("cos"))
