@@ -222,6 +222,26 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings")
   }
 
+  /** Declared layout of the [[buildIvfIndex]] artifacts — the index is a
+    * CONTRACT, not something a reader infers. Reading with these schemas
+    * (instead of inference) is what keeps a probe alive on the day-2
+    * degenerate shape: an empty corpus makes `partitionBy` write a
+    * fileless directory, and schema inference over zero files throws
+    * `UNABLE_TO_INFER_SCHEMA` (the round-11 EmptyInputSpec red). It also
+    * pins the partition-column type: inference would read small cell-id
+    * directory names back as INT while the builder wrote LONG cell ids. */
+  private val centroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ce",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("cnrm", org.apache.spark.sql.types.DoubleType)))
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("e",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType)))
+
   /** Probe a [[buildIvfIndex]] artifact: same query protocol, scoring,
     * rounding, and tie-breaks as [[ivfTopK]], so probe-from-artifact ==
     * rebuild-and-probe exactly — which s10 certifies against s05's own
@@ -242,8 +262,8 @@ object Similarity {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val postings = spark.read.parquet(s"$dir/postings")
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+    val postings = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
     val qs = queries.select(col("vec_id").as("qid"),
         VectorFns.toDouble(col("embedding")).as("qe"))
       .filter(VectorFns.nonZero(col("qe")))
