@@ -14,14 +14,64 @@ package graft
   * owner check turns the cross-user squat into a loud failure instead of
   * silent byte control. Dirs persist after exit by design — the oracle
   * runs in a later process — and are rewritten wholesale on the next run.
+  *
+  * Round-11 ADVICE: persisting-by-design must not mean accumulating
+  * forever — every JVM leaves a tree behind (q39/q41/q54 write full
+  * lineitem copies), so root init REAPS sibling `graft_<user>-<pid>`
+  * trees whose pid is no longer alive. Our own tree is left for the
+  * driver's DuckDB pass and reaped by the NEXT run once this JVM exits.
   */
 object RunDirs {
+  /** The current principal — loudly, never defaulted: when `user.name`
+    * is absent, defaulting it to the directory's owner would make the
+    * anti-squat check below vacuously true (round-11 ADVICE). */
+  private lazy val me: String =
+    sys.props.get("user.name").filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(
+        "user.name system property unset: cannot verify artifact-dir ownership"))
+
   private lazy val root: java.nio.file.Path = {
-    val user = sys.props.getOrElse("user.name", "user")
     val pid = ProcessHandle.current().pid()
-    val base = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_$user-$pid")
-    mkOwned(base)
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    reapStale(tmp, pid)
+    mkOwned(tmp.resolve(s"graft_$me-$pid"))
+  }
+
+  /** Best-effort deletion of sibling per-pid trees whose JVM has exited
+    * (`ProcessHandle.of(pid)` empty). Only this user's trees are touched,
+    * and only ones we own; every IO failure is swallowed — reaping is
+    * hygiene, never a reason to fail the run. */
+  private def reapStale(tmp: java.nio.file.Path, selfPid: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val prefix = s"graft_$me-"
+    val siblings = try {
+      val s = java.nio.file.Files.list(tmp)
+      try s.iterator().asScala.toList finally s.close()
+    } catch { case _: Exception => Nil }
+    siblings.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(prefix)) {
+        val pidStr = name.drop(prefix.length)
+        val dead = pidStr.forall(_.isDigit) && pidStr.nonEmpty &&
+          pidStr.toLong != selfPid &&
+          !ProcessHandle.of(pidStr.toLong).isPresent
+        val mine = try {
+          java.nio.file.Files.getOwner(p).getName == me
+        } catch { case _: Exception => false }
+        if (dead && mine) {
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach { f =>
+                try java.nio.file.Files.deleteIfExists(f)
+                catch { case _: Exception => () }
+              }
+            finally walk.close()
+          } catch { case _: Exception => () }
+        }
+      }
+    }
   }
 
   /** Create (or accept an existing) directory, then REQUIRE it is owned
@@ -35,7 +85,6 @@ object RunDirs {
       java.nio.file.Files.setPosixFilePermissions(p, perms)
     } catch { case _: UnsupportedOperationException => () }
     val owner = java.nio.file.Files.getOwner(p).getName
-    val me = sys.props.getOrElse("user.name", owner)
     require(owner == me,
       s"refusing artifact dir $p: owned by '$owner', not '$me'")
     p

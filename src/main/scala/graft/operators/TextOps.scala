@@ -466,7 +466,13 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      // split by CODE POINT, not UTF-16 code unit: bpeTrain/bpeTrainBatched
+      // use Spark substr and the oracle slices DuckDB strings — both
+      // code-point semantics. A code-unit split would shear supplementary-
+      // plane characters (emoji, rare CJK) into unpaired surrogates and
+      // break the fast==sequential identity.
+      .map(r => (r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
     bpeLocalTrain(wf, merges).toDF("step", "lhs", "rhs", "n")
       .select(col("step"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("n"))
@@ -547,7 +553,9 @@ object TextOps {
   /** The SOUND distributed batched trainer — for vocabularies too large
     * to collect even pruned. Per round: one pair count, then the longest
     * prefix of the (count desc, l, r) order whose pairs are pairwise
-    * symbol-AND-output disjoint, STOPPING at the first conflict and
+    * symbol-AND-output disjoint, STOPPING at the first conflict — where a
+    * SELF-pair (l==r) always counts as one, because its merge creates a
+    * new (lr,lr) pair with no pre-merge witness other than itself — and
     * keeping only pairs strictly above the stopping count — the one
     * selection rule that provably equals sequential training (any pair
     * at or below the cutoff could outrank later selections after the
@@ -600,21 +608,33 @@ object TextOps {
         .map(b => (b.getString(0), b.getString(1), b.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        // longest disjoint prefix; cutoff = count where the scan stopped
+        // longest disjoint prefix; cutoff = count where the scan stopped.
+        // A SELF-pair (l==r) is always a conflict boundary, even when its
+        // symbols are unused: merging (a,a) creates a brand-new pair
+        // (aa,aa) whose only pre-merge witness is (a,a) itself, so no
+        // later table entry would ever set the cutoff for it — yet its
+        // post-merge count (≤ n/2, and ties break lexicographically
+        // either way) can outrank anything selected at or below n.
+        // Stopping AT the self-pair with cutoff = n keeps only pairs
+        // strictly above everything the self-merge could create; the
+        // self-pair itself is emitted via the top-1 fallback, which is
+        // sequential's literal argmax and therefore always sound.
         val used = scala.collection.mutable.Set.empty[String]
         val sel = scala.collection.mutable.Buffer.empty[(String, String, Long)]
         var cutoff = -1L
         var stop = false
         top.foreach { case (l, r, n) =>
           if (!stop) {
-            if (sel.size == kMax || Seq(l, r, l + r).exists(used)) {
+            if (sel.size == kMax || l == r || Seq(l, r, l + r).exists(used)) {
               cutoff = n; stop = true
             } else { sel += ((l, r, n)); used ++= Seq(l, r, l + r) }
           }
         }
         val strict0 = if (cutoff < 0) sel.toSeq
           else sel.toSeq.filter(_._3 > cutoff)
-        val strict = (if (strict0.isEmpty) sel.take(1).toSeq else strict0)
+        // fallback = the table's global argmax (NOT sel.head: sel is
+        // empty when the top pair is a self-pair)
+        val strict = (if (strict0.isEmpty) top.take(1).toSeq else strict0)
           .take(merges - out.size)
         strict.foreach { case (l, r, n) =>
           out += ((out.size + 1, l, r, n))

@@ -232,6 +232,28 @@ class TextOpsSpec extends AnyFunSuite {
     val seq = table(TextOps.bpeTrain(docs, merges = 6))
     assert(table(TextOps.bpeTrainFast(docs, merges = 6)) === seq)
     assert(table(TextOps.bpeTrainBatched(docs, merges = 6)) === seq)
+
+    // ADVICE r11 self-pair corpus: (a,a):7 and (b,c):2 are symbol-disjoint,
+    // so the old batched rule selected both with no cutoff — but merging
+    // (a,a) creates (aa,aa):3, which sequential emits BEFORE (b,c):2. The
+    // self-pair-is-a-conflict rule must reproduce sequential exactly.
+    val selfPair = Seq((0L, "aaaaaaaa"), (1L, "bc bc")).toDF("doc_id", "text")
+    val spSeq = table(TextOps.bpeTrain(selfPair, merges = 3))
+    assert(spSeq === Seq((1, "a", "a", 7L), (2, "aa", "aa", 3L),
+      (3, "b", "c", 2L)))
+    assert(table(TextOps.bpeTrainFast(selfPair, merges = 3)) === spSeq)
+    assert(table(TextOps.bpeTrainBatched(selfPair, merges = 3)) === spSeq)
+
+    // ADVICE r11 supplementary-plane corpus: Spark substr and the oracle
+    // slice by CODE POINT; a UTF-16 code-unit split in the fast trainer
+    // would shear these emoji into unpaired surrogates.
+    val astral = Seq((0L, "😀😀a 😀a b"))
+      .toDF("doc_id", "text")
+    val asSeq = table(TextOps.bpeTrain(astral, merges = 3))
+    assert(asSeq.head._2 === "😀",
+      "sequential must treat the emoji as ONE symbol")
+    assert(table(TextOps.bpeTrainFast(astral, merges = 3)) === asSeq)
+    assert(table(TextOps.bpeTrainBatched(astral, merges = 3)) === asSeq)
   }
 
   test("bpeEncode: per-doc counts under the trained merges") {
