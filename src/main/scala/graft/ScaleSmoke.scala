@@ -210,6 +210,64 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--s11-only")) {
+      // ---- s11 incremental IVF maintenance: append must be BATCH-sized --
+      // Day-1 build over 99% of the corpus vs the 1% day-2 append. The
+      // append's input-records ledger must count ~(batch + centroids) —
+      // never the existing postings (a corpus-sized append is the rebuild
+      // s11 exists to avoid) — and the appended artifact must equal the
+      // frozen-centroid rebuild row-for-row (the d28 protocol).
+      val n = posArgs.lift(0).map(_.toLong).getOrElse(200000L)
+      val nlist = 128
+      var recsRead = 0L
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              recsRead += t.taskMetrics.inputMetrics.recordsRead
+        })
+      val cols = (0 until 64).map(i =>
+        (xxhash64(col("id"), lit(i)).cast("double") / 9.223372036854776e18))
+      val emb = spark.range(n)
+        .select(col("id").as("vec_id"), array(cols: _*).as("embedding")).persist()
+      emb.count()
+      val day1 = emb.filter(col("vec_id") % 100 =!= 0)
+      // the day-2 batch arrives as its OWN table (production ships a
+      // day's files, not a filter over the full corpus) — materialized
+      // so the append's input-records ledger counts exactly what the
+      // append reads: the batch + the frozen centroids, never postings
+      val batchDir = java.nio.file.Files.createTempDirectory("s11-batch").toString
+      emb.filter(col("vec_id") % 100 === 0).write.mode("overwrite").parquet(batchDir)
+      val day2 = spark.read.parquet(batchDir)
+      val grown = java.nio.file.Files.createTempDirectory("s11-grown").toString
+      val rebuilt = java.nio.file.Files.createTempDirectory("s11-rebuilt").toString
+      timed(s"s11_build_day1_99pct_$n") {
+        Similarity.buildIvfIndex(day1, grown, nlist); 0L
+      }
+      Thread.sleep(1000)
+      val b0 = recsRead
+      timed(s"s11_append_day2_1pct_$n") {
+        Similarity.appendIvfIndex(spark, day2, grown, batchId = "day2"); 0L
+      }
+      Thread.sleep(1000)
+      val appendRecs = recsRead - b0
+      timed(s"s11_rebuild_union_$n") {
+        Similarity.buildIvfIndex(emb, rebuilt, nlist,
+          centroidSource = Some(day1)); 0L
+      }
+      val g = spark.read.parquet(s"$grown/postings")
+        .select(col("vec_id"), col("cid").cast("long"))
+      val r = spark.read.parquet(s"$rebuilt/postings")
+        .select(col("vec_id"), col("cid").cast("long"))
+      val diff = g.exceptAll(r).count() + r.exceptAll(g).count()
+      println(s"""{"step":"s11_append_detail","corpus_records":$n,""" +
+        s""""batch_records":${n / 100},"append_input_records":$appendRecs,""" +
+        s""""append_eq_rebuild":${diff == 0L},"row_diff":$diff}""")
+      emb.unpersist()
+      spark.stop(); return
+    }
+
     if (args.contains("--bpe-scale")) {
       // ---- the r10 verdict's tokenizer scale-up, measured -------------
       // Three trainer shapes, one operator (property-proven identical):
@@ -974,8 +1032,8 @@ object ScaleSmoke {
       val zsrc = spark.range(nZ).select(
         pmod(xxhash64(col("id"), lit(61)), lit(1L << 20)).as("x"),
         pmod(xxhash64(col("id"), lit(62)), lit(1L << 20)).as("y"))
-      val zHashDir = "/tmp/graft_smoke_zhash"
-      val zClusDir = "/tmp/graft_smoke_zord"
+      val zHashDir = graft.RunDirs.dir("smoke_zhash").toString
+      val zClusDir = graft.RunDirs.dir("smoke_zord").toString
       timed("zorder_write_hash_20M") {
         zsrc.repartition(64).write.mode("overwrite").parquet(zHashDir); nZ
       }

@@ -253,6 +253,98 @@ object Multimodal {
       "s_sum", "ord_chk")
   }
 
+  /** The real-codec certification arm for FRAME SEQUENCES (m10) — what
+    * m09 did for audio, one codec over (r11 verdict #6): the JDK ships a
+    * real multi-frame GIF reader/writer in `javax.imageio`, so
+    * video-shaped data gets a genuine container round trip instead of
+    * the m03/m04 byte-block stand-in. Per document: synthesize
+    * `doc_id % 3 + 2` deterministic 8×6 grayscale frames (luminance
+    * `(doc_id·31 + f·17 + x·7 + y·13) mod 256` — ≤48 distinct colors per
+    * frame, inside GIF's 256-entry palette, so the indexed encoding is
+    * LOSSLESS), ENCODE them into one animated-GIF byte stream with
+    * `prepareWriteSequence`/`writeToSequence`, DECODE it back frame by
+    * frame, and recompute integer luminance stats from the decoded
+    * pixels — the order-sensitive checksum weights both pixel AND frame
+    * position, so a codec that reordered, dropped, or delta-composited
+    * frames breaks the hash. The oracle recomputes the same stats
+    * analytically from the formula (the m08/m09 gate). A failed decode
+    * or frame-count mismatch reports gif_valid=0 instead of throwing.
+    *
+    * Scale shape: identical to m08/m09 — one narrow mapPartitions pass
+    * over doc ids, codec work pipelines with the scan, zero shuffle. */
+  def gifRoundTrip(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8; val h = 6
+        val nf = (id % 3 + 2).toInt
+        def lum(f: Int, x: Int, y: Int): Int =
+          ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val l = lum(f, x, y)
+              img.setRGB(x, y, (l << 16) | (l << 8) | l)
+              x += 1
+            }
+            y += 1
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        wr.endWriteSequence()
+        ios.close()
+        wr.dispose()
+        val gif = baos.toByteArray
+        val stats =
+          try {
+            val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(gif))
+            rd.setInput(iis)
+            val got = rd.getNumImages(true)
+            if (got == nf) {
+              var sum = 0L; var chk = 0L
+              var ff = 0
+              while (ff < got) {
+                val back = rd.read(ff)
+                if (back.getWidth == w && back.getHeight == h) {
+                  var yy = 0
+                  while (yy < h) {
+                    var xx = 0
+                    while (xx < w) {
+                      val l = (back.getRGB(xx, yy) & 0xff).toLong
+                      sum += l
+                      chk += l * ((yy * w + xx) % 31 + 1) * (ff + 1)
+                      xx += 1
+                    }
+                    yy += 1
+                  }
+                }
+                ff += 1
+              }
+              rd.dispose(); iis.close()
+              Some((got.toLong, sum, chk))
+            } else { rd.dispose(); iis.close(); None }
+          } catch { case _: Exception => None }
+        stats match {
+          case Some((m, sum, chk)) => (id, m, 1, sum, chk)
+          case None => (id, 0L, 0, 0L, 0L)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "gif_valid", "lum_sum", "ord_chk")
+  }
+
   /** Deterministic frame sampling for "video" payloads: every `stride`-th
     * 16-byte block stands in for a frame. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
@@ -566,6 +658,30 @@ object Multimodal {
              |  CAST(sum(smp) AS BIGINT) AS s_sum,
              |  CAST(sum(smp * (i % 31 + 1)) AS BIGINT) AS ord_chk
              |FROM v GROUP BY doc_id, n
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- m10: multi-frame GIF round trip (frame sequences) --------------
+    // m09's certification pattern on the JDK's multi-frame codec:
+    // synthesize an animated GIF per document, decode it back, and
+    // recompute frame-and-pixel-order-sensitive luminance stats; the
+    // oracle derives the same stats analytically. Green == the container
+    // preserved every frame, in order, losslessly — the multimodal story
+    // covers image, audio, AND frame sequences with real codecs.
+    Q("m10_gif_roundtrip",
+      (s, dir) => gifRoundTrip(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS nf FROM documents),
+             |fs AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM d),
+             |xs AS (SELECT doc_id, nf, f, unnest(range(0, 8)) AS x FROM fs),
+             |px AS (SELECT doc_id, nf, f, x, unnest(range(0, 6)) AS y FROM xs),
+             |v AS (SELECT doc_id, nf, f,
+             |        (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256 AS l,
+             |        (y * 8 + x) % 31 + 1 AS pw
+             |      FROM px)
+             |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, 1 AS gif_valid,
+             |  CAST(sum(l) AS BIGINT) AS lum_sum,
+             |  CAST(sum(l * pw * (f + 1)) AS BIGINT) AS ord_chk
+             |FROM v GROUP BY doc_id, nf
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- m05: byte-exact payload dedup ---------------------------------

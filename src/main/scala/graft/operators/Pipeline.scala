@@ -488,9 +488,14 @@ object Pipeline {
     // over-fills real model contexts). Composition of library operators
     // unmodified: bpeEncode → packSequencesBy. One hash certifies
     // training, encoding, AND the resulting layout.
+    // r11 verdict #5: encodes against the SHARED trained-vocab artifact
+    // (one training run per process across t18/t19/e07); the oracle still
+    // replays training from source, so the hash certifies the loaded path.
     Q("e07_bpe_packing",
       (s, dir) => TextOps.packSequencesBy(
-          TextOps.bpeEncode(Tables.load(s, dir, "documents"), merges = 8)
+          TextOps.bpeEncodeWith(Tables.load(s, dir, "documents"),
+              TextOps.bpeLoadVocab(s,
+                TextOps.ensureTrainedArtifact(s, dir, merges = 8)))
             .select(col("doc_id"), col("bpe_tokens").as("n_tokens")),
           budgetTokens = 512, shards = 8)
         .orderBy(col("doc_id")),

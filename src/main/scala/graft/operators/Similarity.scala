@@ -182,28 +182,43 @@ object Similarity {
   private def ivfParts(emb: DataFrame, nlist: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val corpus = emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
+    val corpus = prepCorpus(emb)
+    val cents = prepCentroids(emb, nlist)
+    val scores = cellScores(corpus, cents)
+    (corpus, cents, scores, argmaxCell(scores))
+  }
+
+  /** (vec_id, e, nrm) with zero vectors dropped — the corpus-side shape
+    * every IVF stage shares. */
+  private def prepCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
       .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
-    val cents = emb.filter(col("vec_id") < nlist)
+
+  /** The deterministic first-`nlist` coarse quantizer — engine-portable
+    * (the oracle recomputes it as `vec_id < nlist`). */
+  private def prepCentroids(src: DataFrame, nlist: Int): DataFrame =
+    src.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
       .filter(VectorFns.nonZero(col("ce")))
       .withColumn("cnrm", VectorFns.norm(col("ce")))
-    // NARROW (vec_id, cid, ccos) rows — the probe window sorts this
-    // stream, and carrying vectors through that sort tripled knnJoin's
-    // wall at √n nlist (see BASELINE_SELF)
-    val scores = corpus.join(broadcast(cents))
+
+  /** NARROW (vec_id, cid, ccos) rows — the probe window sorts this
+    * stream, and carrying vectors through that sort tripled knnJoin's
+    * wall at √n nlist (see BASELINE_SELF). */
+  private def cellScores(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-    // nearest list per corpus vector: lexicographic max of (cos, -cid) =
-    // max cosine with min-cid tiebreak, as ONE map-side-combinable agg
-    val assigned = scores
+
+  /** Nearest list per corpus vector: lexicographic max of (cos, -cid) =
+    * max cosine with min-cid tiebreak, as ONE map-side-combinable agg. */
+  private def argmaxCell(scores: DataFrame): DataFrame =
+    scores
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), (-col("best.ncid")).as("cid"))
-    (corpus, cents, scores, assigned)
-  }
 
   /** PERSISTED IVF index build (s10) — the d28 artifact-lifecycle pattern
     * for ANN: an index a pipeline builds ONCE and probes many times,
@@ -213,13 +228,79 @@ object Similarity {
     * its `nprobe` cells' directories (dynamic partition pruning off the
     * probe join, q54's mechanism; at nlist ≈ √n the probe scans
     * nprobe/√n of the corpus instead of all of it). The write is
-    * mode=overwrite, so a retried build is idempotent. */
-  def buildIvfIndex(emb: DataFrame, dir: String, nlist: Int = 8): Unit = {
-    val (corpus, cents, _, assigned) = ivfParts(emb, nlist)
+    * mode=overwrite, so a retried build is idempotent.
+    *
+    * Day-2 lifecycle (s11): postings carry a second `batch_id` partition
+    * level (cid outermost — probe pruning keys on cid) so
+    * [[appendIvfIndex]] can land a later batch as a dynamic-partition
+    * overwrite of its own batch's leaves, d28's retry-idempotence
+    * mechanism. `centroidSource` is the production IVF training split:
+    * centroids are trained on a sample (or day 1) and FROZEN, and the
+    * full corpus is indexed against them — which is also exactly what
+    * makes append(day2) == rebuild(day1 ∪ day2, frozen cents): the
+    * per-vector assignment sees only its own vector and the frozen
+    * centroid table. */
+  def buildIvfIndex(emb: DataFrame, dir: String, nlist: Int = 8,
+      centroidSource: Option[DataFrame] = None,
+      batchId: String = "base"): Unit = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val corpus = prepCorpus(emb)
+    val cents = prepCentroids(centroidSource.getOrElse(emb), nlist)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.join(assigned, "vec_id")
-      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings")
+    corpus.join(argmaxCell(cellScores(corpus, cents)), "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+        lit(batchId).as("batch_id"))
+      .write.mode("overwrite").partitionBy("cid", "batch_id")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Append a day-2 embedding batch into a [[buildIvfIndex]] artifact —
+    * the r11-verdict gap: a production corpus grows daily, and the ANN
+    * index must grow with it WITHOUT a corpus-sized rebuild. Cells are
+    * assigned against the FROZEN day-1 centroids (read back from the
+    * artifact — the build's quantizer is the contract), so the append
+    * costs one batch×centroids broadcast score pass + a batch-sized
+    * write: never re-reads, never re-shuffles the existing postings
+    * (ScaleSmoke --s11-only measures the slope). Retry-safe the d28 way:
+    * the batch's rows land as a DYNAMIC overwrite of their own
+    * (cid, batch_id=<batchId>) leaves — assignment is deterministic, so
+    * a re-run rewrites the identical leaves instead of double-appending.
+    * An empty batch writes nothing and leaves the artifact untouched. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newEmb: DataFrame, dir: String, batchId: String): Unit = {
+    graft.plans.GraftFunctions.register(spark)
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+    val corpus = prepCorpus(newEmb)
+    corpus.join(argmaxCell(cellScores(corpus, cents)), "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+        lit(batchId).as("batch_id"))
+      .write.partitionBy("cid", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** Compact an IVF index into `outDir` — the lake-maintenance pass for
+    * s11's growth path (d28's compaction arm, layout-aware): daily
+    * appends leave one small file per (cid, batch) leaf, so after N days
+    * a probe of `nprobe` cells opens nprobe·N footers. The compactor
+    * rewrites postings clustered ONE TASK PER CELL (`repartition(cid)` →
+    * `partitionBy(cid)`), collapsing every cell to a single file while
+    * KEEPING the cid directory layout the probe's partition pruning
+    * needs; batch lineage survives as a data column (the d28
+    * compacted-copy convention — the live index's partition listing is
+    * the manifest, a compacted copy carries it in-row). Row-identical by
+    * construction: keys are never touched, and s12's oracle certifies
+    * probe-after-compact == rebuild-and-probe cross-engine. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, outDir: String): Unit = {
+    require(!(new java.io.File(outDir).getCanonicalPath + java.io.File.separator)
+        .startsWith(new java.io.File(dir).getCanonicalPath + java.io.File.separator),
+      s"compactIvfIndex: outDir ($outDir) must not be nested inside the index ($dir)")
+    spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$outDir/postings")
   }
 
   /** Declared layout of the [[buildIvfIndex]] artifacts — the index is a
@@ -240,7 +321,8 @@ object Similarity {
     org.apache.spark.sql.types.StructField("e",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
     org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType)))
+    org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.StringType)))
 
   /** Probe a [[buildIvfIndex]] artifact: same query protocol, scoring,
     * rounding, and tie-breaks as [[ivfTopK]], so probe-from-artifact ==
@@ -559,13 +641,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** s05's full-replay oracle — shared verbatim by s10: probing the
-    * PERSISTED index must hash identically to the rebuild-and-probe
-    * semantics this SQL defines. */
-  private val ivfTopKOracleSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  /** s05's full-replay oracle — shared verbatim by s10 and (with the
+    * centroid predicate restricted to the day-1 split) by s11: probing
+    * the PERSISTED index must hash identically to the rebuild-and-probe
+    * semantics this SQL defines. `centsWhere` picks the centroid rows —
+    * s05/s10 train on the whole corpus (`vec_id < 8`), s11 freezes
+    * day-1 centroids (`vec_id < 8 AND vec_id % 4 <> 3`) and assigns the
+    * union against them, exactly what build(day1) + append(day2)
+    * produces. */
+  private def ivfOracleSql(centsWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+             |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE $centsWhere),
              |ascore AS (SELECT e.vec_id, cid,
              |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
              |  FROM e CROSS JOIN cents),
@@ -590,6 +677,8 @@ object Similarity {
              |SELECT qid, vec_id, cos, rank
              |FROM ranked WHERE rank <= 10
              |ORDER BY qid, rank""".stripMargin
+
+  private val ivfTopKOracleSql: String = ivfOracleSql("vec_id < 8")
 
   val queries: Seq[Q] = Seq(
 
@@ -706,6 +795,55 @@ object Similarity {
           .orderBy(col("qid"), col("rank"))
       },
       Some(ivfTopKOracleSql)),
+
+    // ---- s11: INCREMENTAL IVF index maintenance --------------------------
+    // The day-2 story for s10 (r11 verdict's #1 missing piece): build the
+    // index on day 1 (vec_id % 4 <> 3), APPEND day 2 against the FROZEN
+    // day-1 centroids (one batch-sized score pass + a dynamic-partition
+    // overwrite of the batch's own leaves — the d28 retry mechanism,
+    // exercised here by running the append TWICE), then probe the grown
+    // artifact. The oracle replays rebuild-on-the-union with the same
+    // frozen centroids — append == rebuild holds exactly because cell
+    // assignment is a pure per-vector function of the frozen centroid
+    // table, and one hash certifies assignment, append idempotence, the
+    // artifact round trip, and the probe ranking together.
+    Q("s11_ivf_incremental",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val day1 = emb.filter(col("vec_id") % 4 =!= 3)
+        val day2 = emb.filter(col("vec_id") % 4 === 3)
+        val idx = graft.RunDirs.dir("s11").toString
+        buildIvfIndex(day1, idx, nlist = 8)
+        appendIvfIndex(s, day2, idx, batchId = "day2")
+        appendIvfIndex(s, day2, idx, batchId = "day2") // retried — idempotent
+        probeIvfIndex(s, idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3"))),
+
+    // ---- s12: IVF index compaction ---------------------------------------
+    // The maintenance pass s11's growth path accumulates toward: after a
+    // build + append the postings carry one file per (cid, batch) leaf;
+    // compaction rewrites them one-file-per-cell WITHOUT losing the cid
+    // layout partition pruning keys on. Probe-after-compact must equal
+    // rebuild-and-probe — same oracle as s11, so one hash certifies the
+    // compactor moved every row and changed none.
+    Q("s12_ivf_compaction",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val day1 = emb.filter(col("vec_id") % 4 =!= 3)
+        val day2 = emb.filter(col("vec_id") % 4 === 3)
+        val base = graft.RunDirs.dir("s12")
+        val idx = base.resolve("index").toString
+        val compacted = base.resolve("compact").toString
+        buildIvfIndex(day1, idx, nlist = 8)
+        appendIvfIndex(s, day2, idx, batchId = "day2")
+        compactIvfIndex(s, idx, compacted)
+        probeIvfIndex(s, compacted, emb.filter(col("vec_id") < 5),
+            k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3"))),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized

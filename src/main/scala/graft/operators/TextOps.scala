@@ -357,6 +357,97 @@ object TextOps {
       array_join(col("syms"), " ").as("syms_str"))
   }
 
+  // ---- persisted trained-tokenizer artifact (r11 verdict #5) ----------
+
+  /** Declared layout of the [[bpeSaveTrained]] artifacts — reads never
+    * infer (an empty-corpus training writes empty files; the s10 lesson). */
+  private val mergesSchema = new org.apache.spark.sql.types.StructType()
+    .add("step", org.apache.spark.sql.types.IntegerType)
+    .add("lhs", org.apache.spark.sql.types.StringType)
+    .add("rhs", org.apache.spark.sql.types.StringType)
+    .add("merged", org.apache.spark.sql.types.StringType)
+    .add("n", org.apache.spark.sql.types.LongType)
+  private val vocabSchema = new org.apache.spark.sql.types.StructType()
+    .add("w", org.apache.spark.sql.types.StringType)
+    .add("freq", org.apache.spark.sql.types.LongType)
+    .add("nsyms", org.apache.spark.sql.types.LongType)
+    .add("syms_str", org.apache.spark.sql.types.StringType)
+
+  /** Train ONCE, persist the result: the merge table (the tokenizer) and
+    * the trained vocabulary's per-word symbol counts (the encode table).
+    * Production trains a tokenizer once and SHIPS it — every consumer
+    * (encode, packing, budgeting) loads the artifact instead of
+    * re-running the training loop. Overwrite mode: a retried training
+    * run is idempotent (training is deterministic). */
+  def bpeSaveTrained(docs: org.apache.spark.sql.DataFrame, dir: String,
+      merges: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tbl, vocab) = bpeTrainCore(docs, merges)
+    tbl.toDF("step", "lhs", "rhs", "n")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.select(col("w"), col("freq").cast("long").as("freq"),
+        size(col("syms")).cast("long").as("nsyms"),
+        array_join(col("syms"), " ").as("syms_str"))
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** The trained merge table, loaded from a [[bpeSaveTrained]] artifact —
+    * row-identical to [[bpeTrain]] on the same corpus (strings and
+    * integers round-trip parquet losslessly). */
+  def bpeLoadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.schema(mergesSchema).parquet(s"$dir/merges")
+
+  /** The trained vocabulary, loaded from a [[bpeSaveTrained]] artifact. */
+  def bpeLoadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.schema(vocabSchema).parquet(s"$dir/vocab")
+
+  /** [[bpeEncode]] against a LOADED vocabulary — the production encode
+    * path: no training, one token explode + a vocabulary equi-join +
+    * a per-doc sum. Certified by t19: its hash is unchanged from the
+    * train-inline version, so encode-from-artifact == encode-after-
+    * training exactly. */
+  def bpeEncodeWith(docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val enc = vocab.select(col("w"), col("nsyms"))
+    val words = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("\u0001"))
+    val agg = words.join(enc, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("nsyms")).cast("long").as("bpe_tokens"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** One training run per (process, corpus, merges): t18 reads the merge
+    * table from this artifact, t19 and e07 (Pipeline) encode against its
+    * vocabulary — three gate queries, ONE training loop (r11 verdict #5;
+    * previously each re-ran all `merges` rounds). Keyed by source dir so
+    * a fuzz corpus or an empty-input sweep trains its own artifact; the
+    * artifact lives under this process's [[graft.RunDirs]] tree, so
+    * concurrent runs on one box never share state. */
+  private val trainedDirs =
+    scala.collection.mutable.HashMap.empty[(String, Int), String]
+  def ensureTrainedArtifact(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, merges: Int): String = trainedDirs.synchronized {
+    trainedDirs.getOrElseUpdate((srcDir, merges), {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+      val dir = graft.RunDirs.dir(s"bpe_m${merges}_$key").toString
+      bpeSaveTrained(Tables.load(spark, srcDir, "documents"), dir, merges)
+      dir
+    })
+  }
+
   /** The t20 certificate corpus: same-symbol runs at and past the stride
     * bug's divergence thresholds (order diverges at run 5, count at 6 —
     * ADVICE r10), a multi-char-symbol run, and l≠r alternations, with
@@ -1266,17 +1357,24 @@ object TextOps {
     // rounds over a delimited-symbol vocabulary with a bounded replace
     // fixpoint — see bpeTrain's scaladoc for the greedy-non-overlap
     // semantics and the loud-fail bound.
+    // r11 verdict #5: t18 now trains via the SHARED persisted artifact —
+    // one training run per process serves t18, t19, and e07; the query
+    // reads the merge table back through the declared schema, and the
+    // unchanged oracle hash certifies the artifact round trip.
     Q("t18_bpe_train",
-      (s, dir) => bpeTrain(Tables.load(s, dir, "documents"), merges = 8),
+      (s, dir) => bpeLoadMerges(s, ensureTrainedArtifact(s, dir, merges = 8)),
       Some(bpeTrainOracleSql(8))),
 
     // ---- t19: encode with the trained tokenizer --------------------------
     // Per-document token counts under t18's trained merges — the corpus
-    // cost model (see bpeEncode). One hash certifies training AND
-    // encoding: the oracle replays the 8 rounds, measures every word's
-    // trained symbol count, and rolls the corpus up per doc.
+    // cost model (see bpeEncode). Encodes against the LOADED trained
+    // vocabulary (the production path: the tokenizer ships as an
+    // artifact); the oracle still replays the full 8 training rounds from
+    // source, so one hash certifies training, the artifact round trip,
+    // AND encoding.
     Q("t19_bpe_encode",
-      (s, dir) => bpeEncode(Tables.load(s, dir, "documents"), merges = 8)
+      (s, dir) => bpeEncodeWith(Tables.load(s, dir, "documents"),
+          bpeLoadVocab(s, ensureTrainedArtifact(s, dir, merges = 8)))
         .orderBy(col("doc_id")),
       Some(bpeEncodeOracleSql(8))),
 

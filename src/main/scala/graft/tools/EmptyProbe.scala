@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object EmptyProbe {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val dir = if (args.length > 1) args(1) else "/tmp/graft_empty_sf"
+    val dir = if (args.length > 1) args(1)
+              else graft.RunDirs.dir("empty_sf").toString
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

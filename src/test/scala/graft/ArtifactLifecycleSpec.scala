@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle operators (build / append / probe over a FILESYSTEM
+  * artifact) meeting degenerate inputs — the class of bug s10 shipped in
+  * round 11 (`UNABLE_TO_INFER_SCHEMA` probing the fileless postings dir
+  * an empty partitioned build leaves behind). EmptyInputSpec gates every
+  * registered query's DEFAULT path on an empty corpus; this spec walks
+  * the lifecycle edges the registered arms don't reach: build-on-empty
+  * then probe, append-an-empty-batch, probe-with-zero-queries, and
+  * append-into-an-empty-build — for the IVF index (s10/s11), the LSH
+  * band index (d28), and the trained-tokenizer artifact (t18/t19/e07).
+  * Every arm asserts the operation is a structured no-op (empty result,
+  * schema intact, existing artifact untouched), never a throw.
+  */
+class ArtifactLifecycleSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def probeRows(dir: String, queries: DataFrame): Array[_] =
+    Similarity.probeIvfIndex(spark, dir, queries, k = 5, nprobe = 2).collect()
+
+  // ---- IVF index (s10 / s11) -------------------------------------------
+
+  test("IVF: build on an empty corpus, probe with real queries — empty result, no throw") {
+    val idx = tmp("alc-ivf-empty")
+    Similarity.buildIvfIndex(emb.limit(0), idx, nlist = 8)
+    assert(probeRows(idx, emb.filter($"vec_id" < 3)).isEmpty)
+  }
+
+  test("IVF: append an EMPTY batch — artifact byte-identical, probe unchanged") {
+    val idx = tmp("alc-ivf-appendempty")
+    Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    val before = probeRows(idx, emb.filter($"vec_id" < 3)).toSeq
+    Similarity.appendIvfIndex(spark, emb.limit(0), idx, batchId = "day2")
+    assert(probeRows(idx, emb.filter($"vec_id" < 3)).toSeq === before)
+  }
+
+  test("IVF: probe with ZERO queries — empty result, no throw") {
+    val idx = tmp("alc-ivf-zeroq")
+    Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    assert(probeRows(idx, emb.limit(0)).isEmpty)
+  }
+
+  test("IVF: append into an EMPTY build — no centroids means no postings, probe empty") {
+    // a build that saw zero rows trained zero centroids; a later batch
+    // has nothing to be assigned against, so the append is a structured
+    // no-op (the pipeline's real fix is re-training — which is buildIvfIndex
+    // itself) rather than a crash or a silently self-centroided index
+    val idx = tmp("alc-ivf-appendinto")
+    Similarity.buildIvfIndex(emb.limit(0), idx, nlist = 8)
+    Similarity.appendIvfIndex(spark, emb, idx, batchId = "day2")
+    assert(probeRows(idx, emb.filter($"vec_id" < 3)).isEmpty)
+  }
+
+  test("IVF: compact an EMPTY index — probe survives, empty result") {
+    val idx = tmp("alc-ivf-compact-src")
+    val out = tmp("alc-ivf-compact-dst")
+    Similarity.buildIvfIndex(emb.limit(0), idx, nlist = 8)
+    Similarity.compactIvfIndex(spark, idx, out)
+    assert(probeRows(out, emb.filter($"vec_id" < 3)).isEmpty)
+  }
+
+  // ---- LSH band index (d28 / d30) ----------------------------------------
+
+  test("incremental probe from an EMPTY index: only new-vs-new pairs can form") {
+    val idx = tmp("alc-d30-emptyidx")
+    Dedup.buildBandIndex(docs.limit(0), idx)
+    // no corpus: result must equal the batch's self-pairs alone — and on
+    // a tiny all-distinct batch that is simply "no throw, schema intact"
+    val out = Dedup.incrementalLshPairsFromIndex(spark, idx,
+      docs.filter($"doc_id" < 5))
+    assert(out.columns.toSeq === Seq("d1", "d2", "est_jaccard"))
+    out.count() // must execute without schema-inference failure
+  }
+
+  test("incremental probe with an EMPTY batch: empty result, index untouched") {
+    val idx = tmp("alc-d30-emptybatch")
+    Dedup.buildBandIndex(docs.filter($"doc_id" < 20), idx)
+    assert(Dedup.incrementalLshPairsFromIndex(spark, idx, docs.limit(0))
+      .count() === 0L)
+  }
+
+  test("band index: build on an empty corpus reads back empty with the declared schema") {
+    val idx = tmp("alc-band-empty")
+    Dedup.buildBandIndex(docs.limit(0), idx)
+    val back = Dedup.readBandIndex(spark, idx)
+    assert(back.count() === 0L)
+    assert(back.columns.toSet ===
+      Set("doc_id", "sig", "band", "bkey", "batch_id"))
+  }
+
+  test("band index: append a real batch into an empty build serves exactly the batch") {
+    val idx = tmp("alc-band-appendinto")
+    Dedup.buildBandIndex(docs.limit(0), idx)
+    val batch = docs.filter($"doc_id" < 10)
+    Dedup.appendBandIndex(batch, idx, batchId = "day2")
+    val back = Dedup.readBandIndex(spark, idx)
+    assert(back.select($"doc_id").distinct().count() ===
+      batch.count())
+    assert(back.filter($"batch_id" =!= "day2").count() === 0L)
+  }
+
+  test("band index: append an EMPTY batch leaves the artifact untouched") {
+    val idx = tmp("alc-band-appendempty")
+    Dedup.buildBandIndex(docs.filter($"doc_id" < 10), idx)
+    val before = Dedup.readBandIndex(spark, idx).collect().map(_.toSeq).toSet
+    Dedup.appendBandIndex(docs.limit(0), idx, batchId = "day2")
+    assert(Dedup.readBandIndex(spark, idx).collect().map(_.toSeq).toSet ===
+      before)
+  }
+
+  // ---- trained-tokenizer artifact (t18/t19/e07) --------------------------
+
+  test("BPE artifact: train on an empty corpus — loads empty, encode gives every doc a 0-count row") {
+    val dir = tmp("alc-bpe-empty")
+    TextOps.bpeSaveTrained(docs.limit(0), dir, merges = 4)
+    assert(TextOps.bpeLoadMerges(spark, dir).count() === 0L)
+    assert(TextOps.bpeLoadVocab(spark, dir).count() === 0L)
+    // encoding real docs against the empty vocabulary: every document
+    // keeps its row with zero counts (the left-join contract), because a
+    // downstream packer must see the full doc set either way
+    val enc = TextOps.bpeEncodeWith(docs.filter($"doc_id" < 5),
+      TextOps.bpeLoadVocab(spark, dir)).collect()
+    assert(enc.length === docs.filter($"doc_id" < 5).count().toInt)
+    assert(enc.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("BPE artifact: encode ZERO docs against a real vocabulary — empty result, no throw") {
+    val dir = tmp("alc-bpe-zerodocs")
+    TextOps.bpeSaveTrained(docs.filter($"doc_id" < 20), dir, merges = 4)
+    assert(TextOps.bpeEncodeWith(docs.limit(0),
+      TextOps.bpeLoadVocab(spark, dir)).count() === 0L)
+  }
+}

@@ -551,6 +551,14 @@ class PlanSpec extends AnyFunSuite {
       s"codec pass should pipeline with the scan, no shuffle:\n$plan")
   }
 
+  test("m10 GIF round trip is one narrow pass — zero exchanges") {
+    import graft.operators.Multimodal
+    val plan = executedPlan(Multimodal.gifRoundTrip(
+      Tables.load(spark, dir, "documents")))
+    assert(!plan.contains("Exchange"),
+      s"codec pass should pipeline with the scan, no shuffle:\n$plan")
+  }
+
   test("s10 probe scan statically prunes to the probed cell directories") {
     // the whole point of the cid-partitioned postings artifact: a probe
     // must read its nprobe cells' directories, not the corpus. The

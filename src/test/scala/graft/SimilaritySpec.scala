@@ -168,4 +168,82 @@ class SimilaritySpec extends AnyFunSuite {
       assert(top1(i) === 100L + i, s"base $i missed its twin: ${top1.get(i)}")
     }
   }
+
+  // ---- s11: incremental IVF index maintenance ---------------------------
+
+  private def postingsRows(dir: String): Set[(Long, Long, String)] =
+    spark.read.parquet(s"$dir/postings")
+      .select($"vec_id", $"cid".cast("long"), $"batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("s11: append(day2) == rebuild(union, frozen day-1 centroids), and a retried append is a no-op") {
+    val day1 = emb.filter($"vec_id" % 4 =!= 3)
+    val day2 = emb.filter($"vec_id" % 4 === 3)
+    val grown = java.nio.file.Files.createTempDirectory("s11-grown").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("s11-rebuilt").toString
+    Similarity.buildIvfIndex(day1, grown, nlist = 8)
+    Similarity.appendIvfIndex(spark, day2, grown, batchId = "day2")
+    val afterFirst = postingsRows(grown)
+    Similarity.appendIvfIndex(spark, day2, grown, batchId = "day2")
+    assert(postingsRows(grown) === afterFirst,
+      "retried append changed the artifact — dynamic overwrite not idempotent")
+    // rebuild the union against the SAME frozen day-1 centroids: cell
+    // assignment is a pure per-vector function of the centroid table, so
+    // postings must agree on every (vec_id, cid) — batch_id is lineage
+    Similarity.buildIvfIndex(emb, rebuilt, nlist = 8,
+      centroidSource = Some(day1))
+    assert(afterFirst.map(r => (r._1, r._2)) ===
+      postingsRows(rebuilt).map(r => (r._1, r._2)))
+    // and the probe over the grown artifact == the probe over the rebuild
+    def probe(dir: String) = Similarity
+      .probeIvfIndex(spark, dir, queries, k, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(probe(grown) === probe(rebuilt))
+  }
+
+  test("s11: probing ALL cells of the grown index == exact top-k on the grown corpus") {
+    // the recall gate on the union: with nprobe >= the frozen centroid
+    // count every posting list is probed, so the incremental index must
+    // reproduce the exact brute-force ranking over day1 UNION day2 —
+    // nothing was lost or double-indexed on the way in
+    val day1 = emb.filter($"vec_id" % 4 =!= 3)
+    val day2 = emb.filter($"vec_id" % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("s11-all").toString
+    Similarity.buildIvfIndex(day1, idx, nlist = 8)
+    Similarity.appendIvfIndex(spark, day2, idx, batchId = "day2")
+    val got = topkSet(Similarity.probeIvfIndex(spark, idx, queries, k, nprobe = 8))
+    assert(got === exact)
+    // and at the registered nprobe=2 the approximation keeps real signal
+    val r2 = recall(topkSet(
+      Similarity.probeIvfIndex(spark, idx, queries, k, nprobe = 2)))
+    info(s"s11 grown-index recall@10 (nprobe=2, 6 frozen day-1 cells): $r2")
+    assert(r2 >= 0.25, s"recall $r2 below the 2-of-6-cells floor")
+  }
+
+  test("s12: compaction collapses every cell to ONE file and keeps the cid layout") {
+    val day1 = emb.filter($"vec_id" % 4 =!= 3)
+    val day2 = emb.filter($"vec_id" % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("s12-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("s12-out").toString
+    Similarity.buildIvfIndex(day1, idx, nlist = 8)
+    Similarity.appendIvfIndex(spark, day2, idx, batchId = "day2")
+    Similarity.compactIvfIndex(spark, idx, out)
+    val cidDirs = new java.io.File(s"$out/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cidDirs.nonEmpty, "compacted postings lost the cid directory layout")
+    cidDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${d.getName}: ${parts.length} files after compaction, expected 1")
+    }
+    // row-identical through the rewrite (batch lineage kept as a column)
+    val before = spark.read.parquet(s"$idx/postings")
+      .select($"vec_id", $"cid".cast("long"), $"batch_id")
+      .collect().map(_.toSeq).toSet
+    val after = spark.read.parquet(s"$out/postings")
+      .select($"vec_id", $"cid".cast("long"), $"batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+  }
 }

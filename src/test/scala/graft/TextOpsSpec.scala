@@ -283,4 +283,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(packed(0L) === ((3L, 0L, 0L)))
     assert(packed(1L) === ((4L, 0L, 3L)))
   }
+
+  test("trained-vocab artifact: loaded merges == bpeTrain, encode-from-artifact == bpeEncode") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaa aaaa ab river bank", "en"),
+      (1L, "aaaa ab abab bank", "en"),
+      (2L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact").toString
+    TextOps.bpeSaveTrained(docs, dir, merges = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextOps.bpeLoadMerges(spark, dir)) ===
+      rows(TextOps.bpeTrain(docs, merges = 4)),
+      "merge table changed through the artifact round trip")
+    assert(rows(TextOps.bpeEncodeWith(docs, TextOps.bpeLoadVocab(spark, dir))) ===
+      rows(TextOps.bpeEncode(docs, merges = 4)),
+      "encode against the loaded vocabulary diverged from train-inline encode")
+    // a retried training run overwrites in place — idempotent
+    TextOps.bpeSaveTrained(docs, dir, merges = 4)
+    assert(rows(TextOps.bpeLoadMerges(spark, dir)) ===
+      rows(TextOps.bpeTrain(docs, merges = 4)))
+  }
 }
