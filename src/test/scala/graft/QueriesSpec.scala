@@ -35,7 +35,7 @@ class QueriesSpec extends AnyFunSuite {
     "d08_dup_clusters", "d09_bloom_filter", "d10_importance_sample",
     "d11_incremental_minhash", "d12_decontaminate", "d13_prefix_jaccard",
     "d14_incremental_dedup", "d15_dup_shingle_rate", "d16_containment",
-    "d28_band_index_lifecycle",
+    "d28_band_index_lifecycle", "d30_incremental_dedup_from_index",
     "d26_contamination_pairs", "i01_tolerant_ingest", "i02_quarantine_sink",
     "i04_ingest_circuit_breaker",
     "t18_bpe_train", "t19_bpe_encode", "t20_bpe_run_cert",
@@ -50,7 +50,7 @@ class QueriesSpec extends AnyFunSuite {
     "g12_link_prediction", "g13_personalized_pagerank",
     "g14_clustering_coefficient", "g15_graph_stats",
     "m01_media_meta", "m02_media_features", "m03_frame_sample", "m04_resize",
-    "m08_image_roundtrip", "m09_audio_roundtrip",
+    "m08_image_roundtrip", "m09_audio_roundtrip", "m10_gif_roundtrip",
     "m06_phash_neardup", "m07_interleave", "q44_keep_latest",
     "p01_profile", "p03_key_skew", "p06_moments", "p07_quantile_sketch",
     "p08_distinct_sketch", "p09_freq_sketch", "p10_correlation", "p11_drift",
@@ -80,7 +80,8 @@ class QueriesSpec extends AnyFunSuite {
     "q46_copurchase", "q48_densify", "q49_share", "q50_churn",
     "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
     "s05_ivf_topk", "s06_quantized_rerank", "s07_pq_adc",
-    "s10_ivf_index_lifecycle",
+    "s10_ivf_index_lifecycle", "s11_ivf_incremental", "s12_ivf_compaction",
+    "st16_stream_index_maintenance",
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
     "st08_funnel", "st10_disorder_audit", "st11_attribution",

@@ -81,6 +81,45 @@ class StreamingSpec extends AnyFunSuite {
       rows(graft.operators.Dedup.readBandIndex(spark, rebuildDir)))
   }
 
+  test("streaming IVF maintenance: foreachBatch append is replay-idempotent (st16)") {
+    // the ANN sibling of the band-index test above: an embedding stream
+    // maintains the persisted IVF index via appendIvfIndex, one call per
+    // micro-batch keyed by Spark's batchId; a simulated trigger retry
+    // must leave the artifact equal to the frozen-centroid rebuild
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val day1 = emb.filter(col("vec_id") % 4 =!= 3)
+    val day2 = emb.filter(col("vec_id") % 4 === 3)
+    val idxDir = Files.createTempDirectory("graft-ivf-stream").toString
+    Similarity.buildIvfIndex(day1, idxDir, nlist = 8)
+    val replay = Files.createTempDirectory("graft-ivf-replay").toString
+    day2.withColumn("part", col("vec_id") % 3).repartition(3, col("part"))
+      .drop("part").write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema(day2.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    var replayed = false
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Similarity.appendIvfIndex(spark, batch, idxDir, s"b$batchId")
+        if (batchId == 1 && !replayed) { // simulated mid-stream retry
+          replayed = true
+          Similarity.appendIvfIndex(spark, batch, idxDir, s"b$batchId")
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rebuildDir = Files.createTempDirectory("graft-ivf-rebuild").toString
+    Similarity.buildIvfIndex(emb, rebuildDir, nlist = 8,
+      centroidSource = Some(day1))
+    def rows(d: String) = spark.read.parquet(s"$d/postings")
+      .select(col("vec_id"), col("cid").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(replayed, "the simulated retry must have fired")
+    val maintained = rows(idxDir)
+    assert(maintained.nonEmpty)
+    assert(maintained === rows(rebuildDir))
+  }
+
   test("streaming ingest breaker: per-batch metrics == st15 ledger; poisoned chunk kills the query") {
     // st15's production form: readStream of raw lines → foreachBatch
     // { tolerant parse → quarantineRateMetrics → requireQuarantineRate }.
