@@ -342,7 +342,25 @@ object Similarity {
     * to the probed directories deterministically in every Spark version
     * and under AQE. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    probeIvfIndexFiltered(spark, dir, queries, k, nprobe, lit(true))
+
+  /** FILTERED vector search (s13): top-k among index vectors passing a
+    * predicate — the attribute-filtered ANN every production vector
+    * store headlines (category/tenant/date-scoped retrieval). The filter
+    * applies to the POSTINGS rows BEFORE ranking (pre-filtering), never
+    * to the ranked output: post-filtering a top-k returns < k rows
+    * whenever the filter is selective, which is the classic filtered-ANN
+    * bug. Cell pruning is untouched — the filter composes with the
+    * partition IN-list, so a scoped probe still reads only its nprobe
+    * cells' directories and drops ineligible rows at the scan. The
+    * recall caveat is structural and documented: under a selective
+    * filter the probed cells may hold fewer than k eligible candidates,
+    * and production raises nprobe with filter selectivity (the same
+    * knob/recall trade ScaleSmoke's curve measures unfiltered). */
+  def probeIvfIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, nprobe: Int,
+      postingsFilter: org.apache.spark.sql.Column): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
     val postings = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
@@ -365,6 +383,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     postings
       .filter(col("cid").isin(probedCells: _*))
+      .filter(postingsFilter)
       .join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
@@ -649,7 +668,8 @@ object Similarity {
     * day-1 centroids (`vec_id < 8 AND vec_id % 4 <> 3`) and assigns the
     * union against them, exactly what build(day1) + append(day2)
     * produces. */
-  private def ivfOracleSql(centsWhere: String): String =
+  private def ivfOracleSql(centsWhere: String,
+      candWhere: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
              |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
              |cents AS (SELECT vec_id AS cid, e AS ce FROM e WHERE $centsWhere),
@@ -670,7 +690,7 @@ object Similarity {
              |  JOIN assign a ON a.cid = qp.cid
              |  JOIN e qe ON qe.vec_id = qp.qid
              |  JOIN e ce2 ON ce2.vec_id = a.vec_id
-             |  WHERE qp.qid <> a.vec_id),
+             |  WHERE qp.qid <> a.vec_id AND ($candWhere)),
              |ranked AS (SELECT qid, vec_id, cos,
              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
              |  FROM scored)
@@ -870,6 +890,24 @@ object Similarity {
           .orderBy(col("qid"), col("rank"))
       },
       Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3"))),
+
+    // ---- s13: attribute-FILTERED vector search ---------------------------
+    // Top-k among index vectors passing a predicate (here the even-id
+    // half — standing in for category/tenant/date scoping), with the
+    // filter applied to postings BEFORE ranking so a selective scope
+    // still yields k eligible neighbors from the probed cells, never a
+    // post-filtered stub. The oracle replays the probe with the same
+    // candidate restriction; cell pruning composes with the filter.
+    Q("s13_ivf_filtered_search",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.RunDirs.dir("s13").toString
+        buildIvfIndex(emb, idx, nlist = 8)
+        probeIvfIndexFiltered(s, idx, emb.filter(col("vec_id") < 5), k = 10,
+            nprobe = 2, col("vec_id") % 2 === 0)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql("vec_id < 8", "a.vec_id % 2 = 0"))),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized

@@ -427,6 +427,36 @@ object TextOps {
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
   }
 
+  /** TOKENIZE with a loaded trained vocabulary (t22) — the actual token
+    * SEQUENCE, not just the counts: t19 prices a corpus (token counts
+    * drive packing/budgets), but the artifact a trainer finally consumes
+    * is the ordered token stream itself. Per document: every eligible
+    * word's trained symbol list, in word order, fingerprinted (md5 of
+    * the space-joined stream) so the oracle can certify the WHOLE
+    * sequence — content and order — in one hash without shipping
+    * doc-length strings through the gate output. Work is one positional
+    * token explode + a vocabulary equi-join + a per-doc ordered rollup;
+    * per-row memory is one document's token string (the t10/m08 per-doc
+    * class), never global. Docs with no eligible words keep a row with
+    * n_tokens=0 and the empty-stream fingerprint. */
+  def bpeTokenize(docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val enc = vocab.select(col("w"), col("nsyms"), col("syms_str"))
+    val words = docs.select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "" && !col("w").contains("\u0001"))
+    val agg = words.join(enc, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nsyms")).cast("long").as("n_tokens"),
+        md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("syms_str")))),
+            x => x.getField("syms_str")), " ")).as("tokens_fp"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("tokens_fp"), md5(lit(""))).as("tokens_fp"))
+  }
+
   /** One training run per (process, corpus, merges): t18 reads the merge
     * table from this artifact, t19 and e07 (Pipeline) encode against its
     * vocabulary — three gate queries, ONE training loop (r11 verdict #5;
@@ -837,6 +867,35 @@ object TextOps {
        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens
        |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** t22's oracle: the trained vocabulary's per-word SYMBOL STRINGS
+    * reassembled into each document's ordered token stream and
+    * fingerprinted — the oracle recomputes the identical md5 over the
+    * identical space-joined sequence, so one hash certifies content AND
+    * order of every document's trained tokens. */
+  private def bpeTokenizeOracleSql(merges: Int): String =
+    s"""WITH ${bpeChainSql(merges)},
+       |enc AS (SELECT w,
+       |    array_to_string(list_filter(str_split(s, chr(1)), x -> x <> ''),
+       |                    ' ') AS syms_str,
+       |    CAST(len(str_split(s, chr(1))) - 2 AS BIGINT) AS nsyms
+       |  FROM v$merges),
+       |dt AS (SELECT doc_id,
+       |    list_filter($toksSql,
+       |                x -> x <> '' AND strpos(x, chr(1)) = 0) AS t
+       |  FROM documents),
+       |tkd AS (SELECT doc_id, j AS pos, t[j + 1] AS w
+       |        FROM dt, unnest(range(0, len(t))) AS u(j)),
+       |seq AS (SELECT doc_id,
+       |    CAST(sum(nsyms) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(syms_str, ' ' ORDER BY pos)) AS tokens_fp
+       |  FROM tkd JOIN enc USING (w)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(tokens_fp, md5('')) AS tokens_fp
+       |FROM documents d LEFT JOIN seq USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** t20's oracle: the same training rounds over the inline certificate
@@ -1377,6 +1436,18 @@ object TextOps {
           bpeLoadVocab(s, ensureTrainedArtifact(s, dir, merges = 8)))
         .orderBy(col("doc_id")),
       Some(bpeEncodeOracleSql(8))),
+
+    // ---- t22: tokenize — the actual trained-token SEQUENCE --------------
+    // t19 prices the corpus; t22 emits what a trainer consumes: each
+    // document's ordered trained-token stream, fingerprinted so one hash
+    // certifies content AND order cross-engine. Tokenizes against the
+    // LOADED shared artifact (the production path); the oracle replays
+    // training from source and reassembles the same stream.
+    Q("t22_bpe_tokenize",
+      (s, dir) => bpeTokenize(Tables.load(s, dir, "documents"),
+          bpeLoadVocab(s, ensureTrainedArtifact(s, dir, merges = 8)))
+        .orderBy(col("doc_id")),
+      Some(bpeTokenizeOracleSql(8))),
 
     // ---- t20: same-symbol-run merge-application certificate -------------
     // Six training rounds over an INLINE corpus whose selected merges all

@@ -81,7 +81,8 @@ class QueriesSpec extends AnyFunSuite {
     "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
     "s05_ivf_topk", "s06_quantized_rerank", "s07_pq_adc",
     "s10_ivf_index_lifecycle", "s11_ivf_incremental", "s12_ivf_compaction",
-    "st16_stream_index_maintenance",
+    "s13_ivf_filtered_search",
+    "st16_stream_index_maintenance", "t22_bpe_tokenize",
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",
     "st08_funnel", "st10_disorder_audit", "st11_attribution",

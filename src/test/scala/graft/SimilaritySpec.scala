@@ -221,6 +221,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.25, s"recall $r2 below the 2-of-6-cells floor")
   }
 
+  test("s13: filtered probe over ALL cells == exact top-k over the eligible subset") {
+    // with every cell probed the only restriction left is the filter, so
+    // pre-filtering must reproduce brute force over the filtered corpus —
+    // the property post-filtering (rank first, filter after) fails
+    val idx = java.nio.file.Files.createTempDirectory("s13-idx").toString
+    Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    val got = topkSet(Similarity.probeIvfIndexFiltered(
+      spark, idx, queries, k, nprobe = 8, col("vec_id") % 2 === 0))
+    val exactEven = topkSet(Similarity.bruteForceTopK(
+      emb.filter($"vec_id" % 2 === 0), queries, k))
+    assert(got === exactEven)
+    // and every returned neighbor satisfies the predicate
+    assert(got.forall(_._2 % 2 == 0))
+  }
+
   test("s12: compaction collapses every cell to ONE file and keeps the cid layout") {
     val day1 = emb.filter($"vec_id" % 4 =!= 3)
     val day2 = emb.filter($"vec_id" % 4 === 3)

@@ -284,6 +284,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(packed(1L) === ((4L, 0L, 3L)))
   }
 
+  test("bpeTokenize: ordered trained-token stream, hand-computed fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaa ab aaaa", "en"),
+      (1L, "ab", "en"),
+      (2L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-tok").toString
+    // merges on this corpus: (a,a)->aa, (aa,aa)->aaaa, (a,b)->ab
+    TextOps.bpeSaveTrained(docs, dir, merges = 3)
+    val out = TextOps.bpeTokenize(docs, TextOps.bpeLoadVocab(spark, dir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc0: aaaa -> [aaaa], ab -> [ab], aaaa -> [aaaa] in WORD order
+    assert(out(0L) === ((3L, md5("aaaa ab aaaa"))))
+    assert(out(1L) === ((1L, md5("ab"))))
+    assert(out(2L) === ((0L, md5(""))))
+    // sequence fingerprint == the t19 count pricing on every doc
+    val counts = TextOps.bpeEncodeWith(docs, TextOps.bpeLoadVocab(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, (n, _)) => assert(counts(id) === n) }
+  }
+
   test("trained-vocab artifact: loaded merges == bpeTrain, encode-from-artifact == bpeEncode") {
     import spark.implicits._
     val docs = Seq(
