@@ -279,6 +279,32 @@ object Similarity {
       .mode("overwrite").parquet(s"$dir/postings")
   }
 
+  /** IVF index HEALTH stats (s14) — the monitoring hook that closes the
+    * build → append → compact → probe lifecycle: per cell, the occupancy
+    * split between the base build and appended batches plus the summed
+    * member-to-centroid cosine (integer micro-units — the s04/g12
+    * cross-engine convention). This is what tells a pipeline its FROZEN
+    * centroids have drifted: appended vectors piling into few cells
+    * (occupancy skew) or falling affinity (sum_ccos_micro / n trending
+    * down vs the base) are the retrain signals, and both come straight
+    * off the persisted artifact — one postings scan + a centroid
+    * broadcast, no corpus access, no index mutation. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
+    val postings = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+    postings.join(broadcast(cents), "cid")
+      .select(col("cid").cast("long").as("cid"), col("batch_id"),
+        round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(col("batch_id") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("batch_id") =!= "base", 1L).otherwise(0L)).as("n_new"),
+        sum(round(col("ccos") * 1000000, 0).cast("long")).as("sum_ccos_micro"))
+  }
+
   /** Compact an IVF index into `outDir` — the lake-maintenance pass for
     * s11's growth path (d28's compaction arm, layout-aware): daily
     * appends leave one small file per (cid, batch) leaf, so after N days
@@ -908,6 +934,40 @@ object Similarity {
           .orderBy(col("qid"), col("rank"))
       },
       Some(ivfOracleSql("vec_id < 8", "a.vec_id % 2 = 0"))),
+
+    // ---- s14: IVF index health stats -------------------------------------
+    // The drift monitor for the frozen-centroid lifecycle: per-cell
+    // occupancy split (base vs appended) and summed member-to-centroid
+    // affinity, read straight off the persisted artifact after a
+    // build + append. The oracle replays the assignment from source and
+    // aggregates identically — one hash certifies that what the monitor
+    // reads from disk is exactly what the assignment semantics say.
+    Q("s14_ivf_index_stats",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.RunDirs.dir("s14").toString
+        buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 3), idx, nlist = 8)
+        appendIvfIndex(s, emb.filter(col("vec_id") % 4 === 3), idx, "day2")
+        ivfIndexStats(s, idx).orderBy(col("cid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+             |cents AS (SELECT vec_id AS cid, e AS ce FROM e
+             |          WHERE vec_id < 8 AND vec_id % 4 <> 3),
+             |ascore AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents),
+             |abest AS (SELECT vec_id, max(ccos) AS best FROM ascore GROUP BY vec_id),
+             |assign AS (SELECT a.vec_id, min(cid) AS cid, min(a.ccos) AS ccos
+             |  FROM ascore a JOIN abest b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id)
+             |SELECT CAST(cid AS BIGINT) AS cid,
+             |  CAST(sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             |  CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |  CAST(sum(CAST(round(ccos * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_ccos_micro
+             |FROM assign
+             |GROUP BY cid
+             |ORDER BY cid""".stripMargin)),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized

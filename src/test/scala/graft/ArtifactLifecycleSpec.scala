@@ -65,6 +65,12 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(probeRows(idx, emb.filter($"vec_id" < 3)).isEmpty)
   }
 
+  test("IVF: stats over an EMPTY index — empty result, no throw") {
+    val idx = tmp("alc-ivf-stats-empty")
+    Similarity.buildIvfIndex(emb.limit(0), idx, nlist = 8)
+    assert(Similarity.ivfIndexStats(spark, idx).collect().isEmpty)
+  }
+
   test("IVF: compact an EMPTY index — probe survives, empty result") {
     val idx = tmp("alc-ivf-compact-src")
     val out = tmp("alc-ivf-compact-dst")

@@ -81,7 +81,7 @@ class QueriesSpec extends AnyFunSuite {
     "s01_cosine_topk", "s02_lsh_topk", "s03_lsh_multitable", "s04_quantize_int8",
     "s05_ivf_topk", "s06_quantized_rerank", "s07_pq_adc",
     "s10_ivf_index_lifecycle", "s11_ivf_incremental", "s12_ivf_compaction",
-    "s13_ivf_filtered_search",
+    "s13_ivf_filtered_search", "s14_ivf_index_stats",
     "st16_stream_index_maintenance", "t22_bpe_tokenize",
     "st01_window_hourly", "st02_sessionize", "st03_asof_join",
     "st05_threshold_alert", "st06_window_sliding", "st07_interval_join",

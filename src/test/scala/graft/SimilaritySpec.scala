@@ -236,6 +236,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(_._2 % 2 == 0))
   }
 
+  test("s14: index stats account for every vector and survive compaction") {
+    val day1 = emb.filter($"vec_id" % 4 =!= 3)
+    val day2 = emb.filter($"vec_id" % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("s14-idx").toString
+    Similarity.buildIvfIndex(day1, idx, nlist = 8)
+    Similarity.appendIvfIndex(spark, day2, idx, batchId = "day2")
+    val stats = Similarity.ivfIndexStats(spark, idx).collect()
+    val totalBase = stats.map(_.getLong(1)).sum
+    val totalNew = stats.map(_.getLong(2)).sum
+    // every non-zero vector of each split lands in exactly one cell
+    val d1n = day1.filter(graft.functions.VectorFns.nonZero(
+      graft.functions.VectorFns.toDouble($"embedding"))).count()
+    val d2n = day2.filter(graft.functions.VectorFns.nonZero(
+      graft.functions.VectorFns.toDouble($"embedding"))).count()
+    assert(totalBase === d1n)
+    assert(totalNew === d2n)
+    // the monitor reads the same truth off a compacted copy (lineage
+    // survives as a data column)
+    val out = java.nio.file.Files.createTempDirectory("s14-out").toString
+    Similarity.compactIvfIndex(spark, idx, out)
+    assert(Similarity.ivfIndexStats(spark, out).collect().map(_.toSeq).toSet ===
+      stats.map(_.toSeq).toSet)
+  }
+
   test("s12: compaction collapses every cell to ONE file and keeps the cid layout") {
     val day1 = emb.filter($"vec_id" % 4 =!= 3)
     val day2 = emb.filter($"vec_id" % 4 === 3)
