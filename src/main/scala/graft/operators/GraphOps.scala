@@ -681,7 +681,29 @@ object GraphOps {
     * anywhere, which is worth more at 100 TB than the dropped sub-ppb
     * precision. `iters` is fixed (no convergence test): each iteration is
     * one join + one aggregation, all map-side-combinable. */
-  def pageRankPpb(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRankPpb(edges: DataFrame, iters: Int = 3): DataFrame =
+    pageRankPpbCore(edges, iters, None)
+
+  /** WARM-START PageRank (g28) — the day-2 maintenance arm of
+    * [[pageRankPpb]], completing the incremental family (g25 degrees,
+    * g26 triangles, g27 components): after a batch of new edges, resume
+    * the integer fixed point FROM yesterday's ranks instead of the
+    * uniform vector. Contract (deterministic, oracle-replayable): nodes
+    * present in `init` keep their rank as the starting value; nodes new
+    * to the graph start at ⌊SCALE/N₂⌋ with N₂ the grown node count; the
+    * iteration itself is byte-identical to the cold loop over the grown
+    * graph. Warm-with-uniform == cold is property-proven, and the
+    * convergence VALUE is measured (GraphOpsSpec): after a small batch
+    * the warm iterate is strictly closer to the day-2 fixed point than
+    * the cold iterate at every round budget — at 100 TB that is the
+    * difference between 2 day-2 sweeps and re-paying the full cold
+    * schedule, with each sweep one join + one map-side-combinable agg. */
+  def pageRankPpbFrom(edges: DataFrame, init: DataFrame,
+      iters: Int): DataFrame =
+    pageRankPpbCore(edges, iters, Some(init))
+
+  private def pageRankPpbCore(edges: DataFrame, iters: Int,
+      init: Option[DataFrame]): DataFrame = {
     val SCALE = 1000000000L
     // localCheckpoint, NOT persist+unpersist: the returned plan is lazy,
     // so an unpersist-before-return would silently evaporate the cache
@@ -701,7 +723,18 @@ object GraphOps {
     // empty graph: no nodes to rank (and SCALE/n would divide by zero)
     if (n == 0)
       return deg.select(col("dnode").as("node"), lit(0L).as("rank_ppb")).limit(0)
-    var ranks = deg.select(col("dnode").as("node"), lit(SCALE / n).as("r"))
+    var ranks = init match {
+      case None =>
+        deg.select(col("dnode").as("node"), lit(SCALE / n).as("r"))
+      case Some(warm) =>
+        // day-1 ranks carry over; nodes the batch introduced start
+        // uniform on the GROWN node count (the documented contract)
+        deg.select(col("dnode").as("node"))
+          .join(warm.select(col("node"), col("rank_ppb").as("r0")),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("r0"), lit(SCALE / n)).as("r"))
+    }
     for (_ <- 1 to iters) {
       val contrib = sym.join(ranks, sym("src") === ranks("node"))
         .join(deg, sym("src") === col("dnode"))
@@ -1526,6 +1559,62 @@ object GraphOps {
               |  AS BIGINT) FROM comp
               |UNION ALL SELECT 'label_fold_mismatch', 0
               |ORDER BY metric""".stripMargin)),
+
+    // ---- g28: WARM-START PageRank maintenance ---------------------------
+    // The ranks sibling of g25/g26/g27: day-1 trains 3 cold rounds, the
+    // g26 batch split grows the graph, and day 2 resumes the integer
+    // fixed point FROM yesterday's ranks — 2 warm rounds on the grown
+    // graph instead of a fresh cold schedule. The oracle unrolls BOTH
+    // phases (day-1 r1..r3 over the old graph, then w1..w2 over the full
+    // graph warm-initialized via LEFT JOIN with uniform fill for new
+    // nodes), so every output rank matches bit-for-bit; GraphOpsSpec
+    // proves warm-with-uniform == cold and measures the convergence win.
+    Q("g28_incremental_pagerank", { (s, dir) =>
+        val canon = canonicalEdges(derivedEdges(s, dir))
+          .withColumn("is_batch", (graft.functions.PortableHash.baseHash(
+            concat_ws(",", col("u").cast("string"), col("v").cast("string")))
+            % 10) === 0)
+        val old = canon.filter(!col("is_batch"))
+          .select(col("u").as("src"), col("v").as("dst"))
+        val ranks1 = pageRankPpb(old, iters = 3)
+        pageRankPpbFrom(
+            canon.select(col("u").as("src"), col("v").as("dst")),
+            ranks1, iters = 2)
+          .orderBy(col("node"))
+      },
+      Some {
+        def rounds(k: Int, sym: String, deg: String, nn: String,
+            prev: String, out: String): String =
+          (1 to k).map { i =>
+            val p = if (i == 1) prev else s"$out${i - 1}"
+            s"""${out}c$i AS (SELECT s.dst AS node, sum(r.r // d.deg) AS cs
+               |     FROM $sym s JOIN $p r ON s.src = r.node
+               |     JOIN $deg d ON s.src = d.src GROUP BY s.dst),
+               |$out$i AS (SELECT node, (150000000 // n) + (85 * cs) // 100 AS r
+               |     FROM ${out}c$i, $nn)""".stripMargin
+          }.mkString(",\n")
+        s"""$derivedSql,
+           |f AS (SELECT u, v,
+           |  ${graft.functions.PortableHash.baseHashSql(
+                "u::VARCHAR || ',' || v::VARCHAR")} % 10 = 0 AS is_batch
+           |  FROM canon),
+           |o AS (SELECT u, v FROM f WHERE NOT is_batch),
+           |sym1 AS (SELECT u AS src, v AS dst FROM o
+           |         UNION ALL SELECT v, u FROM o),
+           |deg1 AS (SELECT src, count(*) AS deg FROM sym1 GROUP BY src),
+           |nn1 AS (SELECT count(*) AS n FROM deg1),
+           |r0 AS (SELECT src AS node, 1000000000 // n AS r FROM deg1, nn1),
+           |${rounds(3, "sym1", "deg1", "nn1", "r0", "r")},
+           |sym2 AS (SELECT u AS src, v AS dst FROM canon
+           |         UNION ALL SELECT v, u FROM canon),
+           |deg2 AS (SELECT src, count(*) AS deg FROM sym2 GROUP BY src),
+           |nn2 AS (SELECT count(*) AS n FROM deg2),
+           |w0 AS (SELECT d.src AS node, coalesce(r3.r, 1000000000 // n) AS r
+           |       FROM deg2 d CROSS JOIN nn2 LEFT JOIN r3 ON r3.node = d.src),
+           |${rounds(2, "sym2", "deg2", "nn2", "w0", "w")}
+           |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM w2
+           |ORDER BY node""".stripMargin
+      }),
 
     // g22: the degree-cap mitigation on the SAME hub graph g19 pays full
     // price on — cap 64 drops wedges through the 691-degree hub (and only

@@ -385,4 +385,35 @@ class GraphOpsSpec extends AnyFunSuite {
       (0L, 1L, 2L), (0L, 2L, 3L), (0L, 1L, 3L), (0L, 4L, 5L), (0L, 5L, 6L),
       (0L, 4L, 6L)))
   }
+
+  test("warm-start PageRank: warm-with-uniform == cold, and warm beats cold toward the day-2 fixed point") {
+    // random graph + small day-2 batch, deterministic seed
+    val rnd = new scala.util.Random(41)
+    val es = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+    val all = edgesDF(es)
+    val batchSize = es.size / 10
+    val old = edgesDF(es.dropRight(batchSize))
+    def ranksMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identity: warm-started from the uniform vector (iters=0 ranks) the
+    // loop must reproduce the cold run bit-for-bit — the code-path cert
+    val uniform = GraphOps.pageRankPpb(all, iters = 0)
+    assert(ranksMap(GraphOps.pageRankPpbFrom(all, uniform, iters = 3)) ===
+      ranksMap(GraphOps.pageRankPpb(all, iters = 3)))
+    // convergence value: resuming from day-1 ranks gets closer to the
+    // day-2 fixed point than the same round budget from cold, at every
+    // budget a maintenance pass would actually use
+    val ref = ranksMap(GraphOps.pageRankPpb(all, iters = 12))
+    val day1 = GraphOps.pageRankPpb(old, iters = 3)
+    def l1(m: Map[Long, Long]) =
+      ref.map { case (n, r) => math.abs(r - m.getOrElse(n, 0L)) }.sum
+    Seq(1, 2).foreach { k =>
+      val warm = l1(ranksMap(GraphOps.pageRankPpbFrom(all, day1, iters = k)))
+      val cold = l1(ranksMap(GraphOps.pageRankPpb(all, iters = k)))
+      info(s"L1 to fixed point after $k rounds: warm=$warm cold=$cold")
+      assert(warm < cold,
+        s"warm start not closer at $k rounds: warm=$warm cold=$cold")
+    }
+  }
 }

@@ -41,7 +41,7 @@ class QueriesSpec extends AnyFunSuite {
     "t18_bpe_train", "t19_bpe_encode", "t20_bpe_run_cert",
     "t21_bpe_fast_train", "e07_bpe_packing",
     "g25_degree_maintenance", "g26_incremental_triangles",
-    "g27_incremental_components",
+    "g27_incremental_components", "g28_incremental_pagerank",
     "d17_cluster_split", "d18_semantic_clusters", "e01_corpus_build",
     "e02_day_two", "e03_admission_diff", "e05_corpus_diff",
     "e06_corpus_datasheet", "s08_knn_join", "t17_gopher_repetition",
