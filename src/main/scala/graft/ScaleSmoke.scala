@@ -771,6 +771,33 @@ object ScaleSmoke {
         GraphOps.personalizedPageRankPpb(e, seedMod = 1000, iters = 3).count()
       }
 
+      // g28 warm-start PageRank maintenance at 5M edges: after a ~10%
+      // day-2 batch, two warm sweeps must land closer to the day-2 fixed
+      // point than two cold sweeps — and each sweep is the same
+      // one-join + one-map-side-agg cost, so the maintenance win is
+      // ROUNDS SAVED, not per-round price. L1 distances are computed
+      // distributed (never a 1M-node collect).
+      val g28old = e.filter((xxhash64(col("src"), col("dst")) % 10) =!= 0)
+      var day1Ranks: org.apache.spark.sql.DataFrame = null
+      timed("g28_day1_cold3_5M") {
+        day1Ranks = GraphOps.pageRankPpb(g28old, iters = 3).localCheckpoint()
+        day1Ranks.count()
+      }
+      val g28ref = GraphOps.pageRankPpb(e, iters = 8)
+        .toDF("node", "ref").localCheckpoint()
+      def l1(df: org.apache.spark.sql.DataFrame): Long = df
+        .join(g28ref, "node")
+        .agg(sum(abs(col("rank_ppb") - col("ref")))).head().getLong(0)
+      var l1Warm = -1L; var l1Cold = -1L
+      timed("g28_warm2_5M") {
+        l1Warm = l1(GraphOps.pageRankPpbFrom(e, day1Ranks, iters = 2)); l1Warm
+      }
+      timed("g28_cold2_5M") {
+        l1Cold = l1(GraphOps.pageRankPpb(e, iters = 2)); l1Cold
+      }
+      println(s"""{"step":"g28_warm_vs_cold","l1_warm_2_rounds":$l1Warm,""" +
+        s""""l1_cold_2_rounds":$l1Cold,"warm_closer":${l1Warm < l1Cold}}""")
+
       // p08 HLL registers over 20M keys (~1300x the sf0.01 gate): the
       // persisted artifact is <= 512 rows, so shuffle must stay KB-scale
       // no matter the corpus — the corpus-stationary evidence d12/d09/s05

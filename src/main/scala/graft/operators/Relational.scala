@@ -20,6 +20,24 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Money as DECIMAL — the fuzz-seed-116 lesson: `sum(price * (1 -
+    * discount))` over DOUBLEs adds 4-decimal quantities in
+    * engine-specific order, and a group whose EXACT sum ends in a
+    * half-cent (…xx5) rounds to a different cent depending on which
+    * side of the boundary the accumulated ulp error lands — a real
+    * divergence DuckDB caught on a resampled corpus (q03, seed 116;
+    * every revenue-style product-sum shared the latent bug). TPC-H
+    * prices ARE decimals; casting to DECIMAL(18,2) before the multiply
+    * makes every addend and the whole sum exact in both engines, the
+    * half-up round then operates on the exact value, and the final
+    * cast-to-double of an exact 2-decimal is identical everywhere.
+    * Plain sums of 2-decimal columns (`sum(l_extendedprice)`) are NOT
+    * affected: their exact sum is itself a 2-decimal number, 0.005 away
+    * from any rounding boundary — far beyond any accumulated error. */
+  private def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+  private val one2 = lit(1).cast("decimal(18,2)")
+
   /** Distribution window functions (ntile / percent_rank / cume_dist
     * numerators) over a LOW-CARDINALITY grouping, without ever sorting a
     * whole group in one task.
@@ -115,17 +133,25 @@ object Relational {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // exact-decimal numerator, then ONE double division — the avg
+          // sibling of the dec2 sums (sum-of-doubles ulps could straddle
+          // a 4dp half boundary)
+          round(sum(dec2(col("l_discount"))).cast("double") / count(lit(1)), 4)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
              |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+             |    AS sum_disc_price,
              |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_discount), 4) AS avg_disc,
+             |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             |    / count(*), 4) AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -159,12 +185,14 @@ object Relational {
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("l_orderkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(round(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))), 2)
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       Some("""SELECT l_orderkey,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -208,12 +236,14 @@ object Relational {
           .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
           .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          .agg(round(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))), 2)
+            .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -228,9 +258,11 @@ object Relational {
     Q("q06_cond_agg",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("promo_revenue"),
+        .agg(round(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))), 2)
+          .cast("double").as("promo_revenue"),
           count(lit(1)).as("n_rows")),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS promo_revenue,
              |  count(*) AS n_rows
              |FROM lineitem
              |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),

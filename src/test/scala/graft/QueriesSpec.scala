@@ -126,4 +126,26 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("revenue sums on a planted half-cent corpus: exact-decimal HALF_UP, order-independent (fuzz seed 116)") {
+    // seed 116 caught q03 rounding a group differently across engines:
+    // the exact decimal sum ended in a half-cent and the double
+    // accumulation's last ulp decided the cent. The dec2 formulation
+    // sums exactly, so the planted boundaries below have ONE correct
+    // answer both engines must produce.
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("halfcent").toString
+    // order 1: single addend 1.25 * 0.90 = 1.1250 -> HALF_UP 1.13
+    // order 2: two addends 0.55 * 0.95 = 0.5225 each, sum 1.0450 -> 1.05
+    Seq((1L, 1.25, 0.10), (2L, 0.55, 0.05), (2L, 0.55, 0.05))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    Seq((1L, 10L), (2L, 10L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    Seq((10L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir2/customer.parquet")
+    val rev = SparkEntry.queries("q03_join_agg")(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rev === Map(1L -> 1.13, 2L -> 1.05))
+  }
 }
