@@ -299,6 +299,69 @@ object Dedup {
   def readBandIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(bandIndexSchema).parquet(path)
 
+  /** TAKEDOWN through the persisted band index (d31 — r12 verdict #1):
+    * remove every band row of the given doc_ids by rewriting ONLY the
+    * batch partitions that contain them. A production training-data
+    * pipeline takes deletions (opt-out, license revocation) as routine
+    * input, and the only alternative on an append-only artifact is a
+    * corpus-sized rebuild. Cost is leaf-sized by construction:
+    *
+    *   1. one index probe finds the AFFECTED batch partitions — a
+    *      semi-join against the (broadcast) delete set, collected as a
+    *      bounded batch-id list (≤ #batches, the partition manifest);
+    *   2. survivors of those partitions only are anti-joined and
+    *      rewritten via dynamic-partition overwrite — untouched batches
+    *      are never read past the probe, never rewritten;
+    *   3. partitions left EMPTY are removed explicitly: a dynamic
+    *      overwrite only replaces partitions present in the written
+    *      data, so a fully-deleted batch would otherwise survive as its
+    *      old files (the classic delete-everything leak).
+    *
+    * The survivor set is localCheckpoint-ed (leaf-sized, bounded by the
+    * affected partitions) before the write because source and target are
+    * the same artifact — Spark refuses a read-from/overwrite-to cycle on
+    * lazy file lineage. Idempotent: a retried delete finds no affected
+    * partitions (or rewrites identical survivors) — d31 executes the
+    * retry under the oracle. Delete-then-probe == rebuild-without is
+    * certified cross-engine (d31); degenerate shapes (delete everything /
+    * nothing / twice) are pinned in ArtifactLifecycleSpec. In-place
+    * rewrite is non-atomic for a CONCURRENT reader — the versioned
+    * artifact ([[graft.sources.VersionedArtifact]]) is the publish
+    * mechanism for that; this is the single-writer maintenance form. */
+  def deleteFromBandIndex(spark: SparkSession, path: String,
+      docIds: DataFrame): Unit = {
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val idx = readBandIndex(spark, path)
+    val affected = idx.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("batch_id")).distinct().collect().map(_.getString(0))
+    if (affected.isEmpty) return
+    val survivors = idx
+      .filter(col("batch_id").isin(affected.toSeq: _*))
+      .join(ids, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val kept = survivors.select(col("batch_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (kept.nonEmpty)
+      survivors.write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path)
+    for (b <- affected if !kept(b)) deletePartitionDir(
+      java.nio.file.Paths.get(path, s"batch_id=$b"))
+  }
+
+  /** Recursive best-effort removal of one partition directory — the
+    * explicit leaf drop for partitions a dynamic overwrite cannot empty. */
+  private[operators] def deletePartitionDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(f =>
+        try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: Exception => () })
+    finally walk.close()
+  }
+
   /** The d14/d30 oracle: full from-scratch band rebuild, banded pair
     * join, signature-estimated Jaccard, restricted to pairs touching the
     * day-2 batch (doc_id % 10 == 0) — the quadrant contract both the
@@ -1641,6 +1704,41 @@ object Dedup {
                 |$sigCte,
                 |bands AS ($bandSelects)
                 |SELECT doc_id, band, bkey FROM bands
+                |ORDER BY doc_id, band""".stripMargin)
+      }),
+
+    // ---- d31: takedown through the persisted band index ----------------
+    // The deletion arm d28's append-only lifecycle was missing (r12
+    // verdict #1): build day 1, append day 2, then DELETE a doc set that
+    // spans both batches — the rewrite touches only the partitions that
+    // contain deleted docs, and a fully-emptied partition is dropped,
+    // not leaked. The delete runs TWICE (retry idempotence, the d28
+    // convention), and the oracle is the from-scratch rebuild WITHOUT
+    // the deleted docs: one hash certifies delete-then-read ==
+    // rebuild-without on the artifact that actually hits disk.
+    Q("d31_band_index_delete", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val idx = graft.RunDirs.dir("d31").resolve("index").toString
+        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idx)
+        appendBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 0), idx,
+          batchId = "day2")
+        val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"))
+        deleteFromBandIndex(s, idx, dels)
+        deleteFromBandIndex(s, idx, dels) // retried — finds nothing affected
+        readBandIndex(s, idx)
+          .select(col("doc_id"), col("band"), col("bkey"))
+          .orderBy(col("doc_id"), col("band"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects)
+                |SELECT doc_id, band, bkey FROM bands
+                |WHERE doc_id % 7 <> 0
                 |ORDER BY doc_id, band""".stripMargin)
       }),
 

@@ -684,30 +684,53 @@ object Relational {
     // output is the exact quantile plus a derived invariant: the
     // accuracy-10000 estimate lands within 1% of exact (rank error is
     // bounded by n/accuracy, a ~60-rank slack at sf0.1).
-    // PLAN NOTE: the exact `percentile` arms buffer each group's values
-    // in the final aggregate — q30 is a CERTIFICATION arm (like d05/q26),
-    // priced at the gate tier by contract; the scale paths for quantiles
-    // are q51's two-pass equi-depth ranks and p07's mergeable HDR sketch.
+    //
+    // The exact arm is a VALUE-DISTRIBUTION aggregate (r12 verdict #1):
+    // prices are 2-decimal, so per-row round(x*100) is an exact integer
+    // and the exact median is computable with bounded memory — groupBy
+    // (flag, cents) counts, cumulative pick of ranks ⌈n/2⌉ and ⌈(n+1)/2⌉
+    // (q51's equi-depth machinery). State is bounded by the DISTINCT
+    // cent domain, never the group's row count; the old
+    // `percentile(...)` arm materialized every group's full value list
+    // in one ObjectHashAggregate task (~200k values/group at sf0.1,
+    // OOM-class at 100×). The ×2 half-cent emission keeps the even-n
+    // midpoint an exact integer. The only remaining ObjectHashAggregate
+    // is percentile_approx ITSELF — the operator under test — whose
+    // state is the O(accuracy)-bounded sketch regardless of group size.
+    // PlanSpec pins the exact Percentile aggregate out of the plan.
     Q("q30_approx_quantile",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          // Median over exact integer cents, not raw doubles: prices are
-          // 2-decimal, so per-row round(x*100) is an exact integer, and
-          // both engines' interpolation formulas — Spark (1-d)*lo + d*hi,
-          // DuckDB lo + d*(hi-lo) — are bit-identical on integers at
-          // d=0.5 (all terms exact in FP). Raw-double medians differ by
-          // 1 ulp between the formulas, flipping floor() at cent
-          // boundaries. ×2 turns the exact X.0 / X.5 result into an int.
-          expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5D)")
-            .as("exact_cents"),
-          expr("percentile(l_extendedprice, 0.5D)").as("exact"),
-          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("approx"))
-        .select(col("l_returnflag"),
-          (col("exact_cents") * 2).cast("long").as("exact_p50_halfcents"),
-          (abs(col("approx") - col("exact")) <=
-            col("exact") * lit(0.01)).cast("int").as("within_tol"))
-        .orderBy(col("l_returnflag")),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+        val dist = li
+          .groupBy(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = dist
+          .withColumn("cum", sum(col("cnt")).over(Window
+            .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(Window
+            .partitionBy(col("l_returnflag"))))
+        // 1-indexed median ranks r1=(n+1) div 2, r2=(n+2) div 2; the
+        // value at rank r is the smallest cents whose cumulative count
+        // reaches r — halfcents = v(r1) + v(r2) is exact for odd and
+        // even group sizes alike.
+        val exact = cum.groupBy(col("l_returnflag"))
+          .agg(
+            min(when(col("cum") >= expr("(n + 1) DIV 2"), col("cents"))).as("lo"),
+            min(when(col("cum") >= expr("(n + 2) DIV 2"), col("cents"))).as("hi"))
+          .select(col("l_returnflag"),
+            (col("lo") + col("hi")).cast("long").as("exact_p50_halfcents"),
+            ((col("lo") + col("hi")).cast("double") / 200.0).as("exact"))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("approx"))
+        exact.join(approx, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_p50_halfcents"),
+            (abs(col("approx") - col("exact")) <=
+              col("exact") * lit(0.01)).cast("int").as("within_tol"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
              |  CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 2 AS BIGINT)
              |    AS exact_p50_halfcents,

@@ -268,6 +268,12 @@ object Similarity {
     * An empty batch writes nothing and leaves the artifact untouched. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       newEmb: DataFrame, dir: String, batchId: String): Unit = {
+    // "base" is the build's reserved batch id (r12 ADVICE): a dynamic
+    // overwrite at batch_id=base would silently REPLACE day-1 postings
+    // for the batch's cells with only the new rows, and ivfIndexStats
+    // would misclassify the survivors' base/new split.
+    require(batchId != "base",
+      "appendIvfIndex: batch id \"base\" is reserved for the build")
     graft.plans.GraftFunctions.register(spark)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
     val corpus = prepCorpus(newEmb)
@@ -277,6 +283,50 @@ object Similarity {
       .write.partitionBy("cid", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** TAKEDOWN through the persisted IVF index (s15 — r12 verdict #1):
+    * remove the given vec_ids from the postings by rewriting ONLY the
+    * (cid, batch_id) leaves that contain them — the deletion sibling of
+    * [[appendIvfIndex]]'s leaf-sized growth path, and the one routine
+    * production input an append-only artifact can't take without a
+    * corpus-sized rebuild. Mechanism (the d31 band-index protocol):
+    * one index probe semi-joins the broadcast delete set to find the
+    * affected leaves (collected — bounded by the delete set, the
+    * probed-cells convention); survivors of those leaves only are
+    * anti-joined, localCheckpoint-ed (leaf-sized; source and target are
+    * the same files), and dynamically overwritten; leaves left EMPTY
+    * are dropped explicitly, because a dynamic overwrite only replaces
+    * partitions present in the written data. The CENTROIDS are model
+    * parameters, not member data — they persist through a delete (the
+    * frozen-quantizer contract append relies on); refreshing them after
+    * heavy deletion is [[graft.operators.VersionedIvf.retrain]]'s job.
+    * Idempotent under retry (second run finds no affected leaves);
+    * delete-then-probe == rebuild-without is certified cross-engine by
+    * s15, degenerate shapes by ArtifactLifecycleSpec. In-place rewrite
+    * is for a single maintenance writer; concurrent-reader atomicity is
+    * the versioned artifact's job ([[graft.operators.VersionedIvf]]). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecIds: DataFrame): Unit = {
+    val ids = broadcast(vecIds.select(col("vec_id")).distinct())
+    val postings = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+    val affected = postings.join(ids, Seq("vec_id"), "left_semi")
+      .select(col("cid"), col("batch_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    if (affected.isEmpty) return
+    val leafPred = affected.map { case (c, b) =>
+      col("cid") === c && col("batch_id") === b }.reduce(_ || _)
+    val survivors = postings.filter(leafPred)
+      .join(ids, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val kept = survivors.select(col("cid"), col("batch_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    if (kept.nonEmpty)
+      survivors.write.partitionBy("cid", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$dir/postings")
+    for ((c, b) <- affected if !kept((c, b))) Dedup.deletePartitionDir(
+      java.nio.file.Paths.get(dir, "postings", s"cid=$c", s"batch_id=$b"))
   }
 
   /** IVF index HEALTH stats (s14) — the monitoring hook that closes the
@@ -319,9 +369,15 @@ object Similarity {
     * probe-after-compact == rebuild-and-probe cross-engine. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, outDir: String): Unit = {
-    require(!(new java.io.File(outDir).getCanonicalPath + java.io.File.separator)
-        .startsWith(new java.io.File(dir).getCanonicalPath + java.io.File.separator),
+    // containment must be checked BOTH ways (r12 ADVICE): outDir inside
+    // dir corrupts the index being read; dir inside outDir means the
+    // mode("overwrite") writes clobber the source mid-read.
+    val dirC = new java.io.File(dir).getCanonicalPath + java.io.File.separator
+    val outC = new java.io.File(outDir).getCanonicalPath + java.io.File.separator
+    require(!outC.startsWith(dirC),
       s"compactIvfIndex: outDir ($outDir) must not be nested inside the index ($dir)")
+    require(!dirC.startsWith(outC),
+      s"compactIvfIndex: the index ($dir) must not be nested inside outDir ($outDir)")
     spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
       .write.mode("overwrite").parquet(s"$outDir/centroids")
     spark.read.schema(postingsSchema).parquet(s"$dir/postings")
@@ -968,6 +1024,30 @@ object Similarity {
              |FROM assign
              |GROUP BY cid
              |ORDER BY cid""".stripMargin)),
+
+    // ---- s15: takedown through the persisted IVF index -------------------
+    // The deletion arm of the s10–s12 lifecycle (r12 verdict #1): build
+    // day 1 with frozen centroids, append day 2, then DELETE a vector
+    // set spanning both batches and probe the survivor index. Only the
+    // leaves containing deleted vectors are rewritten (emptied leaves
+    // dropped); the delete runs TWICE (retry idempotence). The oracle
+    // replays rebuild-on-the-union-without-the-deleted against the same
+    // frozen day-1 centroids — one hash certifies leaf-localized delete
+    // == rebuild-without, on the artifact that hits disk.
+    Q("s15_ivf_delete",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = graft.RunDirs.dir("s15").toString
+        buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 3), idx, nlist = 8)
+        appendIvfIndex(s, emb.filter(col("vec_id") % 4 === 3), idx, "day2")
+        val dels = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+        deleteFromIvfIndex(s, idx, dels)
+        deleteFromIvfIndex(s, idx, dels) // retried — finds nothing affected
+        probeIvfIndex(s, idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3",
+        "a.vec_id % 7 <> 0"))),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized

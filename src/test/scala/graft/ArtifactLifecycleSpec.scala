@@ -79,7 +79,75 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(probeRows(out, emb.filter($"vec_id" < 3)).isEmpty)
   }
 
+  test("IVF delete: EVERYTHING — probe empty, no leaked leaves, no throw") {
+    val idx = tmp("alc-ivf-del-all")
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 40), idx, nlist = 4)
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" < 40).select($"vec_id"))
+    assert(probeRows(idx, emb.filter($"vec_id" < 3)).isEmpty)
+    // the delete-everything leak: dynamic overwrite can't empty a leaf,
+    // so emptied leaves must be physically gone
+    val leaves = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(idx, "postings"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(leaves === 0L, "fully-deleted leaves left parquet files behind")
+  }
+
+  test("IVF delete: NOTHING (empty id set) — artifact untouched") {
+    val idx = tmp("alc-ivf-del-none")
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 40), idx, nlist = 4)
+    val before = probeRows(idx, emb.filter($"vec_id" < 3)).toSeq
+    Similarity.deleteFromIvfIndex(spark, idx, emb.limit(0).select($"vec_id"))
+    // ids absent from the index are a no-op too
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" > 100000).select($"vec_id"))
+    assert(probeRows(idx, emb.filter($"vec_id" < 3)).toSeq === before)
+  }
+
+  test("IVF delete: TWICE == once, and equals rebuild-without") {
+    val idxDel = tmp("alc-ivf-del-twice")
+    val idxRef = tmp("alc-ivf-del-ref")
+    val corpus = emb.filter($"vec_id" < 60)
+    Similarity.buildIvfIndex(corpus, idxDel, nlist = 4)
+    val dels = corpus.filter($"vec_id" % 3 === 0).select($"vec_id")
+    Similarity.deleteFromIvfIndex(spark, idxDel, dels)
+    Similarity.deleteFromIvfIndex(spark, idxDel, dels)
+    // rebuild WITHOUT the deleted ids against the SAME frozen centroids
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" % 3 =!= 0), idxRef,
+      nlist = 4, centroidSource = Some(corpus))
+    val qs = emb.filter($"vec_id" < 3)
+    assert(probeRows(idxDel, qs).toSeq === probeRows(idxRef, qs).toSeq)
+  }
+
   // ---- LSH band index (d28 / d30) ----------------------------------------
+
+  test("band delete: EVERYTHING — read-back empty, partitions dropped") {
+    val idx = tmp("alc-band-del-all")
+    Dedup.buildBandIndex(docs.filter($"doc_id" < 30), idx)
+    Dedup.appendBandIndex(docs.filter($"doc_id" >= 30 && $"doc_id" < 40),
+      idx, batchId = "day2")
+    Dedup.deleteFromBandIndex(spark, idx,
+      docs.filter($"doc_id" < 40).select($"doc_id"))
+    assert(Dedup.readBandIndex(spark, idx).count() === 0L)
+  }
+
+  test("band delete: NOTHING / missing ids — artifact untouched; TWICE == once") {
+    val idx = tmp("alc-band-del-none")
+    Dedup.buildBandIndex(docs.filter($"doc_id" < 30), idx)
+    val before = Dedup.readBandIndex(spark, idx).collect().map(_.toSeq).toSet
+    Dedup.deleteFromBandIndex(spark, idx, docs.limit(0).select($"doc_id"))
+    Dedup.deleteFromBandIndex(spark, idx,
+      docs.filter($"doc_id" > 100000).select($"doc_id"))
+    assert(Dedup.readBandIndex(spark, idx).collect().map(_.toSeq).toSet ===
+      before)
+    val dels = docs.filter($"doc_id" % 4 === 1).select($"doc_id")
+    Dedup.deleteFromBandIndex(spark, idx, dels)
+    val once = Dedup.readBandIndex(spark, idx).collect().map(_.toSeq).toSet
+    Dedup.deleteFromBandIndex(spark, idx, dels)
+    assert(Dedup.readBandIndex(spark, idx).collect().map(_.toSeq).toSet ===
+      once)
+    assert(once.nonEmpty && once.size < before.size)
+  }
 
   test("incremental probe from an EMPTY index: only new-vs-new pairs can form") {
     val idx = tmp("alc-d30-emptyidx")

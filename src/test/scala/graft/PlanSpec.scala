@@ -600,4 +600,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
       s"expected exactly the one chunk-key aggregation exchange:\n$finalPlan")
   }
+
+  test("q30 exact arm is a value-distribution aggregate — no whole-group Percentile buffer") {
+    // r12 verdict #1: the old exact arm's percentile(...) materialized
+    // every group's full value list in one ObjectHashAggregate task
+    // (linear in group size — OOM-class at the 100 TB design point).
+    // The distribution form bounds state by the distinct cent domain.
+    // percentile_approx (the operator under test) legitimately remains:
+    // its sketch state is O(accuracy), not O(group).
+    val plan = executedPlan(SparkEntry.queries("q30_approx_quantile")(spark, dir))
+    assert(!"[^_a-z]percentile\\(".r.findFirstIn(plan).isDefined,
+      s"exact Percentile aggregate (whole-group value buffer) in plan:\n$plan")
+    assert(plan.contains("percentile_approx"),
+      s"the approx sketch under certification vanished from the plan:\n$plan")
+  }
 }
