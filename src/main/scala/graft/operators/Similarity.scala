@@ -179,7 +179,7 @@ object Similarity {
     * two operators' oracles can never drift apart. Returns
     * (corpus, broadcast-ready centroids, per-(vector, cell) scores,
     * home-cell assignment). */
-  private def ivfParts(emb: DataFrame, nlist: Int)
+  private[operators] def ivfParts(emb: DataFrame, nlist: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val corpus = prepCorpus(emb)
@@ -190,14 +190,14 @@ object Similarity {
 
   /** (vec_id, e, nrm) with zero vectors dropped — the corpus-side shape
     * every IVF stage shares. */
-  private def prepCorpus(emb: DataFrame): DataFrame =
+  private[operators] def prepCorpus(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
       .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
 
   /** The deterministic first-`nlist` coarse quantizer — engine-portable
     * (the oracle recomputes it as `vec_id < nlist`). */
-  private def prepCentroids(src: DataFrame, nlist: Int): DataFrame =
+  private[operators] def prepCentroids(src: DataFrame, nlist: Int): DataFrame =
     src.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
       .filter(VectorFns.nonZero(col("ce")))
@@ -206,7 +206,7 @@ object Similarity {
   /** NARROW (vec_id, cid, ccos) rows — the probe window sorts this
     * stream, and carrying vectors through that sort tripled knnJoin's
     * wall at √n nlist (see BASELINE_SELF). */
-  private def cellScores(corpus: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def cellScores(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.join(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
@@ -214,7 +214,7 @@ object Similarity {
 
   /** Nearest list per corpus vector: lexicographic max of (cos, -cid) =
     * max cosine with min-cid tiebreak, as ONE map-side-combinable agg. */
-  private def argmaxCell(scores: DataFrame): DataFrame =
+  private[operators] def argmaxCell(scores: DataFrame): DataFrame =
     scores
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
@@ -393,12 +393,12 @@ object Similarity {
     * `UNABLE_TO_INFER_SCHEMA` (the round-11 EmptyInputSpec red). It also
     * pins the partition-column type: inference would read small cell-id
     * directory names back as INT while the builder wrote LONG cell ids. */
-  private val centroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] val centroidsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("ce",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
     org.apache.spark.sql.types.StructField("cnrm", org.apache.spark.sql.types.DoubleType)))
-  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("e",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
@@ -446,6 +446,22 @@ object Similarity {
     graft.plans.GraftFunctions.register(spark)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
     val postings = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+    val (qs, qprobe) = queryProbe(cents, queries, nprobe,
+      postings.schema("cid").dataType)
+    val probedCells = qprobe.select(col("cid")).distinct()
+      .collect().map(_.get(0))
+    rankProbe(postings.filter(col("cid").isin(probedCells: _*)),
+      qs, qprobe, k, postingsFilter)
+  }
+
+  /** Query-side probe protocol shared by the plain and VERSIONED probes
+    * ([[VersionedIvf.probe]]): the (query, probed-cell) pairs ranked with
+    * s05's exact conventions. `cidType` matches the postings side's
+    * cid type (an INFERRED partition column reads back as int for small
+    * cell ids) — casting the QUERY side keeps partition pruning alive. */
+  private[operators] def queryProbe(cents: DataFrame, queries: DataFrame,
+      nprobe: Int, cidType: org.apache.spark.sql.types.DataType)
+      : (DataFrame, DataFrame) = {
     val qs = queries.select(col("vec_id").as("qid"),
         VectorFns.toDouble(col("embedding")).as("qe"))
       .filter(VectorFns.nonZero(col("qe")))
@@ -456,15 +472,19 @@ object Similarity {
         round(VectorFns.dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 6)
           .as("ccos"))
       .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
-      // match the INFERRED partition-column type (int for small cell
-      // ids): a cast on the partition column side would block pruning
-      .select(col("qid"),
-        col("cid").cast(postings.schema("cid").dataType).as("cid"))
-    val probedCells = qprobe.select(col("cid")).distinct()
-      .collect().map(_.get(0))
+      .select(col("qid"), col("cid").cast(cidType).as("cid"))
+    (qs, qprobe)
+  }
+
+  /** Candidate ranking shared by the plain and versioned probes —
+    * `postings` arrives already restricted to the probed cells (isin on
+    * the partition column, or the versioned manifest's explicit leaf
+    * selection). One definition of the scoring/tie-break protocol. */
+  private[operators] def rankProbe(postings: DataFrame, qs: DataFrame,
+      qprobe: DataFrame, k: Int,
+      postingsFilter: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     postings
-      .filter(col("cid").isin(probedCells: _*))
       .filter(postingsFilter)
       .join(broadcast(qprobe.join(qs, "qid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
@@ -1048,6 +1068,107 @@ object Similarity {
       },
       Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3",
         "a.vec_id % 7 <> 0"))),
+
+    // ---- s16: VERSIONED index lifecycle (atomic snapshot publish) --------
+    // The r12 verdict-#2 mechanism end-to-end: every operation lands a
+    // complete snapshot (immutable leaves + manifest) and atomically
+    // flips the CURRENT pointer, so a reader never observes a
+    // half-committed append/delete/compaction. This walks build(day1) →
+    // append(day2a) → REPLAYED append(day2a — exactly-once by manifest
+    // membership, no dynamic-overwrite needed) → append(day2b) →
+    // delete(%7) → compact (a real swap, not a copy) → HARD vacuum
+    // (keep only the live version) → probe. The oracle is the same
+    // frozen-centroid rebuild-without-the-deleted as s15: one hash
+    // certifies the whole versioned chain — snapshot reads, exactly-once
+    // append, leaf-localized delete, swap compaction, and that vacuum
+    // reclaimed nothing the live version serves. Crash-window semantics
+    // (stage without publish serves the prior version) are pinned in
+    // ArtifactLifecycleSpec.
+    Q("s16_ivf_versioned_lifecycle",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = graft.RunDirs.dir("s16").toString
+        VersionedIvf.build(emb.filter(col("vec_id") % 4 =!= 3), root, nlist = 8)
+        VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 3), root, "day2a")
+        VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 3), root, "day2a")
+        VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 7), root, "day2b")
+        VersionedIvf.delete(s, root,
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+        VersionedIvf.compact(s, root)
+        VersionedIvf.vacuum(root, keepVersions = 1)
+        VersionedIvf.probe(s, root, emb.filter(col("vec_id") < 5),
+            k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3",
+        "a.vec_id % 7 <> 0"))),
+
+    // ---- s17: retrain — the acting arm of s14's drift monitor ------------
+    // r12 verdict #3: the monitor reports drift; retrain ACTS on it.
+    // One exact Lloyd step: new centroid = coordinate-wise mean of each
+    // cell's current members over exact integer micro-units (bit-portable
+    // in any engine — the determinism that makes a TRAINING step
+    // oracle-checkable at all), then the corpus re-indexes against the
+    // new quantizer into a fresh version. The oracle replays the whole
+    // thing from source: first-8 centroids → assignment → micro-integer
+    // means → new centroids → re-assignment → probe. One hash certifies
+    // the trained doubles, the re-assignment, and the probe ranking.
+    // Recall-recovery on an actually-drifted corpus is measured in
+    // ScaleSmoke --retrain-only (the monitor→retrain→recall loop).
+    Q("s17_ivf_retrain",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = graft.RunDirs.dir("s17").toString
+        VersionedIvf.build(emb, root, nlist = 8)
+        VersionedIvf.retrain(s, root)
+        VersionedIvf.probe(s, root, emb.filter(col("vec_id") < 5),
+            k = 10, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+             |cents0 AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+             |ascore0 AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents0),
+             |abest0 AS (SELECT vec_id, max(ccos) AS best FROM ascore0 GROUP BY vec_id),
+             |assign0 AS (SELECT a.vec_id, min(cid) AS cid
+             |  FROM ascore0 a JOIN abest0 b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id),
+             |memb AS (SELECT a.cid, e.e FROM assign0 a JOIN e ON e.vec_id = a.vec_id),
+             |sums AS (SELECT cid, j,
+             |    SUM(CAST(round(e[j + 1] * 1000000) AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM memb, range(0, 64) t(j) GROUP BY cid, j),
+             |cents1 AS (SELECT cid,
+             |    list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS ce
+             |  FROM sums GROUP BY cid),
+             |cents1nz AS (SELECT cid, ce FROM cents1
+             |  WHERE list_dot_product(ce, ce) > 0),
+             |ascore1 AS (SELECT e.vec_id, cid,
+             |    round(list_cosine_similarity(e.e, ce), 6) AS ccos
+             |  FROM e CROSS JOIN cents1nz),
+             |abest1 AS (SELECT vec_id, max(ccos) AS best FROM ascore1 GROUP BY vec_id),
+             |assign1 AS (SELECT a.vec_id, min(cid) AS cid
+             |  FROM ascore1 a JOIN abest1 b ON a.vec_id = b.vec_id AND a.ccos = b.best
+             |  GROUP BY a.vec_id),
+             |qprobe AS (SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS pr
+             |    FROM ascore1 WHERE vec_id < 5) WHERE pr <= 2),
+             |scored AS (SELECT qp.qid, a.vec_id,
+             |    round(list_cosine_similarity(qe.e, ce2.e), 6) AS cos
+             |  FROM qprobe qp
+             |  JOIN assign1 a ON a.cid = qp.cid
+             |  JOIN e qe ON qe.vec_id = qp.qid
+             |  JOIN e ce2 ON ce2.vec_id = a.vec_id
+             |  WHERE qp.qid <> a.vec_id),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin)),
 
     // ---- s04: int8 embedding quantization ------------------------------
     // Checked as scale + integer checksum + leading lanes: the quantized

@@ -65,9 +65,13 @@ object VersionedArtifact {
     }
   }
 
-  /** The name the NEXT commit will take: max staged-or-committed + 1 —
-    * so a retried crashed writer restages the SAME version (its data
-    * dirs, named by version, overwrite cleanly instead of leaking). */
+  /** The name the NEXT commit will take: max staged-or-committed + 1.
+    * A writer that crashed BEFORE staging retries under the same name —
+    * its version-named data dirs overwrite cleanly instead of leaking.
+    * One that crashed between stage and publish leaves an orphan
+    * manifest; the retry takes the next name, and the orphan (now ≤ the
+    * eventually-published CURRENT) ages out of the retention window at
+    * the next [[vacuumDataDirs]]. */
   def nextName(root: String): String = {
     val cur = listVersions(root).lastOption
       .map(_.stripPrefix("v").toLong).getOrElse(0L)

@@ -196,6 +196,98 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
       before)
   }
 
+  // ---- versioned IVF index (s16/s17) -------------------------------------
+
+  private def vprobe(root: String, queries: DataFrame): Seq[_] =
+    operators.VersionedIvf.probe(spark, root, queries, k = 5, nprobe = 2)
+      .orderBy($"qid", $"rank").collect().toSeq
+
+  test("versioned: a writer that dies MID-APPEND leaves the prior snapshot serving") {
+    val root = tmp("alc-vivf-crash")
+    val corpus = emb.filter($"vec_id" < 60)
+    operators.VersionedIvf.build(corpus, root, nlist = 4)
+    val qs = emb.filter($"vec_id" < 3)
+    val before = vprobe(root, qs)
+    // simulate the crash window: the writer landed data AND staged the
+    // manifest but died before the pointer flip — readers must resolve
+    // the OLD version untouched
+    val orphanData = java.nio.file.Paths.get(root, "data", "v00000002-append",
+      "cid=0", "batch_id=day2")
+    java.nio.file.Files.createDirectories(orphanData)
+    java.nio.file.Files.writeString(orphanData.resolve("part-garbage.parquet"),
+      "not parquet at all")
+    graft.sources.VersionedArtifact.stage(root, "v00000002", Seq(
+      "centroids data/v00000001-cents",
+      "batch base", "batch day2",
+      "leaf 0 day2 data/v00000002-append/cid=0/batch_id=day2"))
+    assert(vprobe(root, qs) === before,
+      "a staged-but-unpublished version leaked into the read path")
+    // the RETRIED append commits a fresh version past the orphan and wins
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 60 && $"vec_id" < 80), root, "day2")
+    val after = vprobe(root, qs)
+    assert(after !== before, "retried append after the crash never landed")
+  }
+
+  test("versioned: vacuum never touches what the live version serves") {
+    val root = tmp("alc-vivf-vacuum")
+    val corpus = emb.filter($"vec_id" < 60)
+    operators.VersionedIvf.build(corpus, root, nlist = 4)
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 60 && $"vec_id" < 80), root, "day2")
+    operators.VersionedIvf.compact(spark, root)
+    val qs = emb.filter($"vec_id" < 3)
+    val before = vprobe(root, qs)
+    val removed = operators.VersionedIvf.vacuum(root, keepVersions = 1)
+    // superseded build/append postings are reclaimed; the compacted
+    // segment and the centroids the live manifest references survive
+    assert(removed.exists(_.contains("-build")),
+      s"vacuum reclaimed nothing: $removed")
+    assert(!removed.exists(_.contains("-compact")))
+    assert(!removed.exists(_.contains("-cents")))
+    assert(vprobe(root, qs) === before, "vacuum broke the live snapshot")
+    // idempotent: nothing left to reclaim
+    assert(operators.VersionedIvf.vacuum(root, keepVersions = 1).isEmpty)
+  }
+
+  test("versioned: exactly-once append — a replayed batch id is a metadata no-op") {
+    val root = tmp("alc-vivf-replay")
+    operators.VersionedIvf.build(emb.filter($"vec_id" < 60), root, nlist = 4)
+    val batch = emb.filter($"vec_id" >= 60 && $"vec_id" < 80)
+    val v1 = operators.VersionedIvf.append(spark, batch, root, "day2")
+    val v2 = operators.VersionedIvf.append(spark, batch, root, "day2")
+    assert(v1 === v2, "replayed append committed a new version")
+    assert(graft.sources.VersionedArtifact.currentName(root) === Some(v1))
+  }
+
+  test("versioned: degenerate lifecycle — empty build, append-into-empty, retrain-on-empty") {
+    val root = tmp("alc-vivf-empty")
+    operators.VersionedIvf.build(emb.limit(0), root, nlist = 4)
+    assert(vprobe(root, emb.filter($"vec_id" < 3)).isEmpty)
+    // no centroids trained: a later batch has nothing to assign against
+    operators.VersionedIvf.append(spark, emb.filter($"vec_id" < 20), root, "day2")
+    assert(vprobe(root, emb.filter($"vec_id" < 3)).isEmpty)
+    // retrain over zero postings: commits an empty quantizer, no throw
+    operators.VersionedIvf.retrain(spark, root)
+    assert(vprobe(root, emb.filter($"vec_id" < 3)).isEmpty)
+    // delete on empty: metadata no-op
+    operators.VersionedIvf.delete(spark, root, emb.limit(0).select($"vec_id"))
+    assert(vprobe(root, emb.filter($"vec_id" < 3)).isEmpty)
+  }
+
+  test("versioned: delete-everything then probe — empty, and batch ids stay committed") {
+    val root = tmp("alc-vivf-delall")
+    val corpus = emb.filter($"vec_id" < 40)
+    operators.VersionedIvf.build(corpus, root, nlist = 4)
+    operators.VersionedIvf.delete(spark, root, corpus.select($"vec_id"))
+    assert(vprobe(root, emb.filter($"vec_id" < 3)).isEmpty)
+    // the committed "base" batch id survives the takedown — a replayed
+    // build-batch append would still be refused as already-committed
+    val m = operators.VersionedIvf.currentManifest(root).get
+    assert(m.batches === Seq("base"))
+    assert(m.leaves.isEmpty)
+  }
+
   // ---- trained-tokenizer artifact (t18/t19/e07) --------------------------
 
   test("BPE artifact: train on an empty corpus — loads empty, encode gives every doc a 0-count row") {
