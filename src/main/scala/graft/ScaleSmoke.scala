@@ -268,6 +268,158 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--s15-only")) {
+      // ---- s15 takedown: delete cost must be LEAF-sized, not corpus ----
+      // Build a 128-cell index over n vectors, delete a ~200-id takedown
+      // set, and ledger the two cost components separately: the
+      // affected-leaf DETECTION is one column-pruned scan of the
+      // postings (vec_id + zero-IO partition columns — ~8 B/row, the
+      // price of not keeping a vec->leaf sidecar), while the REWRITE
+      // touches only the leaves that contained deleted ids. The
+      // comparison arm is the only alternative an append-only artifact
+      // offers: a full rebuild-without. Correctness: deleted index ==
+      // rebuild-without row-for-row (the s11 exceptAll protocol).
+      val n = posArgs.lift(0).map(_.toLong).getOrElse(200000L)
+      val nlist = 128
+      var recsRead = 0L; var bytesWritten = 0L
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              recsRead += t.taskMetrics.inputMetrics.recordsRead
+              bytesWritten += t.taskMetrics.outputMetrics.bytesWritten
+            }
+        })
+      val cols = (0 until 64).map(i =>
+        (xxhash64(col("id"), lit(i)).cast("double") / 9.223372036854776e18))
+      val emb = spark.range(n)
+        .select(col("id").as("vec_id"), array(cols: _*).as("embedding")).persist()
+      emb.count()
+      val idx = java.nio.file.Files.createTempDirectory("s15-idx").toString
+      val ref = java.nio.file.Files.createTempDirectory("s15-ref").toString
+      timed(s"s15_build_$n") { Similarity.buildIvfIndex(emb, idx, nlist); 0L }
+      // the takedown set: ~n/4000 scattered ids, shipped as its own tiny
+      // table — small vs the 128 cells, so the affected-leaf fraction
+      // (and hence the rewrite bytes) stays well under the corpus
+      val delDir = java.nio.file.Files.createTempDirectory("s15-dels").toString
+      emb.filter(col("vec_id") % 4000 === 7).select(col("vec_id"))
+        .write.mode("overwrite").parquet(delDir)
+      val dels = spark.read.parquet(delDir)
+      Thread.sleep(1000)
+      val (r0, w0) = (recsRead, bytesWritten)
+      timed(s"s15_delete_${n}_ids_${n / 4000}") {
+        Similarity.deleteFromIvfIndex(spark, idx, dels); 0L
+      }
+      Thread.sleep(1000)
+      val (delRecs, delBytes) = (recsRead - r0, bytesWritten - w0)
+      val (r1, w1) = (recsRead, bytesWritten)
+      timed(s"s15_rebuild_without_$n") {
+        Similarity.buildIvfIndex(
+          emb.join(dels, Seq("vec_id"), "left_anti"), ref, nlist,
+          centroidSource = Some(emb)); 0L
+      }
+      Thread.sleep(1000)
+      val (rbRecs, rbBytes) = (recsRead - r1, bytesWritten - w1)
+      val g = spark.read.parquet(s"$idx/postings")
+        .select(col("vec_id"), col("cid").cast("long"))
+      val r = spark.read.parquet(s"$ref/postings")
+        .select(col("vec_id"), col("cid").cast("long"))
+      val diff = g.exceptAll(r).count() + r.exceptAll(g).count()
+      println(s"""{"step":"s15_delete_detail","corpus_records":$n,""" +
+        s""""deleted_ids":${n / 4000},"delete_input_records":$delRecs,""" +
+        s""""delete_bytes_written":$delBytes,""" +
+        s""""rebuild_input_records":$rbRecs,"rebuild_bytes_written":$rbBytes,""" +
+        s""""delete_eq_rebuild":${diff == 0L},"row_diff":$diff}""")
+      require(diff == 0L, "in-place delete diverged from rebuild-without")
+      emb.unpersist()
+      spark.stop(); return
+    }
+
+    if (args.contains("--retrain-only")) {
+      // ---- s17 retrain: the monitor→retrain→recall loop, measured ------
+      // The r12 verdict's ask: prove the drift monitor's numbers trigger
+      // an action that provably helps. Day 1 is a clustered corpus; the
+      // day-2 batch arrives from FOUR UNRELATED cluster centers (real
+      // drift, not noise). Appending against the frozen day-1 quantizer
+      // tanks both monitor signals (appended-mass affinity, occupancy
+      // skew) and recall@10 for day-2 queries; one exact Lloyd step
+      // (VersionedIvf.retrain) must recover recall. The run FAILS unless
+      // recall_after >= recall_before.
+      val nBase = posArgs.lift(0).map(_.toLong).getOrElse(100000L)
+      val nDrift = nBase / 5
+      def centerDim(clusterKey: org.apache.spark.sql.Column, i: Int) =
+        (pmod(xxhash64(clusterKey, lit(i + 500)), lit(2001L))
+          - 1000).cast("double") / 1000.0
+      def noiseDim(i: Int) =
+        (pmod(xxhash64(col("id"), lit(i)), lit(201L))
+          - 100).cast("double") / 1000.0
+      def member(clusterKey: org.apache.spark.sql.Column)
+          : Seq[org.apache.spark.sql.Column] =
+        (0 until 64).map(i => centerDim(clusterKey, i) + noiseDim(i))
+      val day1 = spark.range(nBase).select(col("id").as("vec_id"),
+        array(member(pmod(col("id"), lit(8))): _*).as("embedding")).persist()
+      // the drifted batch: four clusters each centered at the MIDPOINT of
+      // two day-1 cluster directions — exactly where the frozen quantizer
+      // is worst: members straddle the two cells' boundary, so at
+      // nprobe=1 a query misses the neighbors that landed across it. A
+      // mild orthogonal offset (key+100) keeps the drift population a
+      // real new cluster, not a day-1 mixture.
+      val driftKey = pmod(col("id"), lit(4))
+      val day2 = spark.range(nDrift)
+        .select((col("id") + nBase).as("vec_id"),
+          array((0 until 64).map(i =>
+            (centerDim(driftKey * 2, i) + centerDim(driftKey * 2 + 1, i))
+              / 2.0
+              + centerDim(driftKey + 100, i) / 4.0
+              + noiseDim(i)): _*).as("embedding"))
+        .persist()
+      day1.count(); day2.count()
+      val union = day1.unionByName(day2).persist()
+      val queries = day2.filter(col("vec_id") % (nDrift / 50) === 1).persist()
+      val nq = queries.count()
+      val root = java.nio.file.Files.createTempDirectory("s17-root").toString
+      timed(s"s17_build_day1_$nBase") {
+        graft.operators.VersionedIvf.build(day1, root, nlist = 8); 0L
+      }
+      timed(s"s17_append_drifted_$nDrift") {
+        graft.operators.VersionedIvf.append(spark, day2, root, "day2"); 0L
+      }
+      def affinity(): (Double, Double, Double) = {
+        val s = graft.operators.VersionedIvf.stats(spark, root)
+          .agg(sum(col("n_base")), sum(col("n_new")), sum(col("sum_ccos_micro")),
+            max(col("n_base") + col("n_new")), count(lit(1)))
+          .head()
+        val (nb, nn, micro) = (s.getLong(0), s.getLong(1), s.getLong(2))
+        val skew = s.getLong(3).toDouble / ((nb + nn).toDouble / s.getLong(4))
+        (micro.toDouble / ((nb + nn) * 1e6), skew, nn.toDouble / (nb + nn))
+      }
+      val exact = Similarity.bruteForceTopK(union, queries, 10)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(): Double = {
+        // nprobe=1: the setting where quantizer quality IS recall — a
+        // boundary-straddling cluster loses every neighbor across the
+        // boundary (nprobe=2 would paper over a 2-cell straddle)
+        val got = graft.operators.VersionedIvf
+          .probe(spark, root, queries, k = 10, nprobe = 1)
+          .select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(exact).size.toDouble / exact.size
+      }
+      val (affB, skewB, _) = affinity()
+      val recallB = recallOf()
+      timed(s"s17_retrain_${nBase + nDrift}") {
+        graft.operators.VersionedIvf.retrain(spark, root); 0L
+      }
+      val (affA, skewA, _) = affinity()
+      val recallA = recallOf()
+      println(f"""{"step":"s17_retrain_detail","n_base":$nBase,"n_drift":$nDrift,"n_queries":$nq,"affinity_before":$affB%.4f,"affinity_after":$affA%.4f,"occupancy_skew_before":$skewB%.2f,"occupancy_skew_after":$skewA%.2f,"recall_before":$recallB%.4f,"recall_after":$recallA%.4f}""")
+      require(recallA >= recallB,
+        f"retrain REGRESSED recall: $recallB%.4f -> $recallA%.4f")
+      spark.stop(); return
+    }
+
     if (args.contains("--bpe-scale")) {
       // ---- the r10 verdict's tokenizer scale-up, measured -------------
       // Three trainer shapes, one operator (property-proven identical):

@@ -823,6 +823,39 @@ object GraphOps {
     reach.groupBy(col("root")).agg(count(lit(1)).as("reach_n"))
   }
 
+  /** Bounded walk COUNTS from one source, aggregated per end node (g29 —
+    * r12 verdict #5): the iterative operator form of g10's recursive
+    * CTE. The CTE carries ONE ROW PER WALK (Σ degree³ rows at 3 hops —
+    * a multiset that grows deg^k and dies at 100×); this frontier folds
+    * the multiset as it grows: state is `(node, walk_count)` — bounded
+    * by the NODE SET — and each hop is one equi-join with the edge
+    * table plus one map-side-combinable sum, [[khopReach]]'s shape with
+    * counts instead of distinct. The depth-0 walk (the source itself)
+    * counts, matching the CTE's anchor row; g10 stays registered as the
+    * SQL-feature pin, g29 is the form the library runs at scale, and
+    * g29's oracle IS g10's recursive CTE — the cross-engine proof the
+    * fold equals the row-per-walk enumeration. */
+  def boundedWalkCounts(edges: DataFrame, source: Long, hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+      .localCheckpoint() // scanned once per hop on BOTH plan arms
+    // the seed node as a RANGE attribute, not a lit(): a constant-folded
+    // seed turns hop 1's equi condition into a pushed filter and the
+    // join into a nested loop — harmless on one row, but the plan shape
+    // must be the one a multi-source variant (a real seed table) gets
+    var frontier = spark.range(source, source + 1)
+      .select(col("id").as("node"), lit(1L).as("cnt"))
+    var acc = frontier
+    for (_ <- 1 to hops) {
+      frontier = frontier.join(sym, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(col("dst").as("node"), col("cnt"))
+      acc = acc.unionByName(frontier)
+    }
+    acc.groupBy(col("node")).agg(sum(col("cnt")).as("n_walks"))
+  }
+
   /** HyperBall (Boldi & Vigna 2013): the k-hop neighborhood function from
     * per-node HLL registers instead of reached-pair sets. Every node
     * starts with the register row of its own key; each round folds each
@@ -1081,6 +1114,35 @@ object GraphOps {
                 |GROUP BY node
                 |ORDER BY node""".stripMargin('|'))
       },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+             |  FROM lineitem WHERE l_linenumber = 1),
+             |canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             |          FROM e WHERE src <> dst),
+             |sym AS (SELECT u AS src, v AS dst FROM canon
+             |        UNION ALL SELECT v, u FROM canon),
+             |walk AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+             |  UNION ALL
+             |  SELECT s.dst AS node, w.depth + 1 AS depth
+             |  FROM walk w JOIN sym s ON w.node = s.src
+             |  WHERE w.depth < 3)
+             |SELECT node, count(*) AS n_walks
+             |FROM walk
+             |GROUP BY node
+             |ORDER BY node""".stripMargin)),
+
+    // ---- g29: bounded walk counts as an aggregated frontier fold --------
+    // The operator form of g10 (r12 verdict #5): identical semantics —
+    // walks of length ≤ 3 from node 0, counted per end node — but the
+    // state per hop is (node, count), bounded by the node set, instead
+    // of the CTE's one-row-per-walk multiset (Σ deg³ rows). The oracle
+    // is g10's recursive CTE verbatim: a green hash is the cross-engine
+    // proof the count fold equals the walk enumeration. PlanSpec pins
+    // the per-hop joins equi and the fold aggregated.
+    Q("g29_bounded_walk_counts",
+      (s, dir) => boundedWalkCounts(derivedEdges(s, dir), source = 0L, hops = 3)
+        .orderBy(col("node")),
       Some("""WITH RECURSIVE e AS (
              |  SELECT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
              |  FROM lineitem WHERE l_linenumber = 1),

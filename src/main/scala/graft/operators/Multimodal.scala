@@ -280,34 +280,49 @@ object Multimodal {
         val nf = (id % 3 + 2).toInt
         def lum(f: Int, x: Int, y: Int): Int =
           ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
-        val baos = new java.io.ByteArrayOutputStream()
-        val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-        wr.setOutput(ios)
-        wr.prepareWriteSequence(null)
-        var f = 0
-        while (f < nf) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val l = lum(f, x, y)
-              img.setRGB(x, y, (l << 16) | (l << 8) | l)
-              x += 1
+        // Frames are PRE-INDEXED into an explicit 256-gray palette
+        // (r12 ADVICE): a TYPE_INT_RGB source leaves palettization to
+        // the writer's internal quantizer — exact on this JDK only
+        // because distinct colors ≤ 256, an undocumented behavior a
+        // different JRE may not share. With an IndexColorModel raster
+        // the writer never quantizes, so losslessness is by
+        // construction, not by vendor luck. Encode failures degrade to
+        // gif_valid=0 like decode failures — a codec gap must be a
+        // visible data property, never a task kill.
+        val gray = Array.tabulate[Byte](256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+        val gif: Array[Byte] =
+          try {
+            val baos = new java.io.ByteArrayOutputStream()
+            val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            wr.setOutput(ios)
+            wr.prepareWriteSequence(null)
+            var f = 0
+            while (f < nf) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0, lum(f, x, y))
+                  x += 1
+                }
+                y += 1
+              }
+              wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
             }
-            y += 1
-          }
-          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        wr.endWriteSequence()
-        ios.close()
-        wr.dispose()
-        val gif = baos.toByteArray
+            wr.endWriteSequence()
+            ios.close()
+            wr.dispose()
+            baos.toByteArray
+          } catch { case _: Exception => Array.empty[Byte] }
         val stats =
           try {
+            if (gif.isEmpty) throw new java.io.IOException("encode failed")
             val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(gif))

@@ -417,14 +417,23 @@ object TextOps {
     val words = docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "" && !col("w").contains("\u0001"))
-    val agg = words.join(enc, "w")
+    // LEFT join + explicit n_oov (r12 ADVICE): the production path is
+    // NEW documents against a shipped day-1 vocabulary, and an inner
+    // join silently dropped out-of-vocabulary words from the counts --
+    // an invisible undercount on any corpus the artifact wasn't trained
+    // on. n_words/bpe_tokens keep their matched-words semantics; n_oov
+    // is the caller's gate signal (the tokenizer sibling of s14's
+    // quantizer-drift stats -- both feed a retrain decision).
+    val agg = words.join(enc, Seq("w"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_words"),
-        sum(col("nsyms")).cast("long").as("bpe_tokens"))
+      .agg(count(col("nsyms")).cast("long").as("n_words"),
+        coalesce(sum(col("nsyms")), lit(0L)).cast("long").as("bpe_tokens"),
+        count(when(col("nsyms").isNull, 1)).cast("long").as("n_oov"))
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
   /** TOKENIZE with a loaded trained vocabulary (t22) — the actual token
@@ -466,12 +475,39 @@ object TextOps {
     * concurrent runs on one box never share state. */
   private val trainedDirs =
     scala.collection.mutable.HashMap.empty[(String, Int), String]
+
+  /** Cheap corpus fingerprint: file listing + sizes + mtimes of the
+    * documents table (one directory listing — metadata-scale, the
+    * FileSystem.listStatus a lake catalog does anyway). Keying the
+    * trained-artifact cache on CONTENT identity, not path identity
+    * (r12 ADVICE): a corpus regenerated in place within one process
+    * (fuzz reseed, fixture rewrite) changes sizes/mtimes, so t18/t19/
+    * t22/e07 retrain instead of silently encoding against the stale
+    * vocabulary. */
+  private def corpusFingerprint(srcDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(srcDir, "documents.parquet")
+    val entries: Seq[String] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSeq.sorted
+        finally w.close()
+      } else if (java.nio.file.Files.exists(p))
+        Seq(s"${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      else Seq("absent")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((srcDir + "\n" + entries.mkString("\n")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   def ensureTrainedArtifact(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, merges: Int): String = trainedDirs.synchronized {
-    trainedDirs.getOrElseUpdate((srcDir, merges), {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_))
-        .mkString.take(12)
+    val key = corpusFingerprint(srcDir)
+    trainedDirs.getOrElseUpdate((key, merges), {
       val dir = graft.RunDirs.dir(s"bpe_m${merges}_$key").toString
       bpeSaveTrained(Tables.load(spark, srcDir, "documents"), dir, merges)
       dir
@@ -860,13 +896,24 @@ object TextOps {
        |        GROUP BY doc_id)""".stripMargin
 
   /** t19's oracle: the trained vocabulary's per-word symbol counts joined
-    * back to the per-doc token stream — see [[bpeEncode]]. */
+    * back to the per-doc token stream — see [[bpeEncode]]. The OOV count
+    * replays the Spark side's ELIGIBLE-word filter ('' and delimiter
+    * words excluded before the vocabulary join) and left-joins, so a
+    * vocabulary gap shows up as a real n_oov mismatch, not silence. */
   private def bpeEncodeOracleSql(merges: Int): String =
-    s"""WITH ${bpeDocCountsSql(merges)}
+    s"""WITH ${bpeDocCountsSql(merges)},
+       |tke AS (SELECT doc_id, w FROM tkd
+       |        WHERE w <> '' AND strpos(w, chr(1)) = 0),
+       |oov AS (SELECT doc_id,
+       |        CAST(count(*) - count(nsyms) AS BIGINT) AS n_oov
+       |        FROM tke LEFT JOIN enc USING (w)
+       |        GROUP BY doc_id)
        |SELECT d.doc_id AS doc_id,
        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
-       |  CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+       |  CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+       |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov
        |FROM documents d LEFT JOIN agg USING (doc_id)
+       |LEFT JOIN oov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** t22's oracle: the trained vocabulary's per-word SYMBOL STRINGS

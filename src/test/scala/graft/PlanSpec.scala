@@ -601,6 +601,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the one chunk-key aggregation exchange:\n$finalPlan")
   }
 
+  test("g29 walk-count fold: equi joins per hop, aggregated frontier, no nested loop") {
+    // r12 verdict #5: g10's recursive CTE carries one row per walk
+    // (Σ deg³); the operator form must fold counts per hop — equi joins
+    // against the edge table and hash aggregates, never a cartesian.
+    val plan = executedPlan(
+      SparkEntry.queries("g29_bounded_walk_counts")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"walk expansion degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"no aggregated fold — the plan is carrying the walk multiset:\n$plan")
+  }
+
   test("q30 exact arm is a value-distribution aggregate — no whole-group Percentile buffer") {
     // r12 verdict #1: the old exact arm's percentile(...) materialized
     // every group's full value list in one ObjectHashAggregate task

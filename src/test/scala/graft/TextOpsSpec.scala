@@ -254,6 +254,17 @@ class TextOpsSpec extends AnyFunSuite {
       "sequential must treat the emoji as ONE symbol")
     assert(table(TextOps.bpeTrainFast(astral, merges = 3)) === asSeq)
     assert(table(TextOps.bpeTrainBatched(astral, merges = 3)) === asSeq)
+
+    // CJK extension B (r12 verdict #6): same two-code-unit class as the
+    // emoji but from the CJK astral block, as a repeated RUN — the shape
+    // where a code-unit split would also corrupt the stride machinery.
+    val cjkB = Seq((0L, "𠀀𠀀𠀀a 𠀀a b"))
+      .toDF("doc_id", "text")
+    val cbSeq = table(TextOps.bpeTrain(cjkB, merges = 3))
+    assert(cbSeq.head._2 === "𠀀",
+      "sequential must treat the ext-B char as ONE symbol")
+    assert(table(TextOps.bpeTrainFast(cjkB, merges = 3)) === cbSeq)
+    assert(table(TextOps.bpeTrainBatched(cjkB, merges = 3)) === cbSeq)
   }
 
   test("bpeEncode: per-doc counts under the trained merges") {
@@ -322,9 +333,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(TextOps.bpeLoadMerges(spark, dir)) ===
       rows(TextOps.bpeTrain(docs, merges = 4)),
       "merge table changed through the artifact round trip")
-    assert(rows(TextOps.bpeEncodeWith(docs, TextOps.bpeLoadVocab(spark, dir))) ===
+    // counts compare on the shared columns; the artifact path ALSO emits
+    // n_oov (zero on the training corpus by construction — every
+    // eligible word is in its own vocabulary)
+    val fromArtifact = TextOps.bpeEncodeWith(docs,
+      TextOps.bpeLoadVocab(spark, dir))
+    assert(rows(fromArtifact.select("doc_id", "n_words", "bpe_tokens")) ===
       rows(TextOps.bpeEncode(docs, merges = 4)),
       "encode against the loaded vocabulary diverged from train-inline encode")
+    assert(fromArtifact.filter($"n_oov" =!= 0L).count() === 0L,
+      "n_oov nonzero on the vocabulary's own training corpus")
+    // and a genuinely out-of-vocabulary doc REPORTS its OOV words
+    val oov = TextOps.bpeEncodeWith(
+      Seq((9L, "zzz aaaa unknownword")).toDF("doc_id", "text"),
+      TextOps.bpeLoadVocab(spark, dir)).collect().head
+    assert(oov.getAs[Long]("n_oov") === 2L &&
+      oov.getAs[Long]("n_words") === 1L,
+      s"OOV accounting wrong: $oov")
     // a retried training run overwrites in place — idempotent
     TextOps.bpeSaveTrained(docs, dir, merges = 4)
     assert(rows(TextOps.bpeLoadMerges(spark, dir)) ===

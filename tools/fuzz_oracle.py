@@ -35,7 +35,14 @@ EDGE_DOCS = [
     "word",                               # single token: no bigrams/shingles
     "the the the the the",                # max repetition, all stopwords
     "a!b@c#d$e%f^g&h*",                   # punctuation-heavy, fails quality
-    "héllo wörld 中文 café straße",  # unicode
+    "héllo wörld 中文 café straße",  # unicode (BMP)
+    # SUPPLEMENTARY-PLANE text (r12 verdict #6): every char below is one
+    # code point but TWO UTF-16 code units — the class the code-point
+    # split fix (batched/fast BPE) addressed; pinning it in EDGE_DOCS
+    # means any regression to code-unit slicing breaks the next seed.
+    "🚀🚀 emoji 🎉 pair 👨‍👩‍👧 zwj",      # emoji incl. a ZWJ family sequence
+    "𠀀𠀁𠀂 cjk 𪛔𪛕 extb 𠀀𠀁𠀂",          # CJK extension B, repeated run
+    "mix 🚀x𠀀y🎉 mash",                   # supplementary chars inside a word
     "tab\tand\nnewline  and   runs",      # whitespace runs collapse
     ("longdoc " * 300).strip(),           # 300 identical tokens
 ]

@@ -114,6 +114,12 @@ if rec["value"] > 2 * floor:
     sys.exit(1)
 print(f"bench ok: {rec['value']:.1f}s over {len(rec['queries'])} queries "
       f"(floor {floor}s)")
+# r12 verdict #7: a loaded-box total is floors-only — say so in the gate
+# log so nobody reads it as a headline number.
+if not rec.get("headline_ok", True):
+    print(f"  NOTE: artifact tagged {rec.get('load_tag')} "
+          f"(load_start {rec.get('load_start')}) — valid for the 2x floor "
+          f"gate, NOT headline-comparable; rerun idle for a headline total")
 # r10 verdict #5: make phantom per-query regressions machine-visible.
 # Compare each median against the last COMMITTED artifact; flag >2x
 # moves, annotated with this run's own min/max spread so a noisy
