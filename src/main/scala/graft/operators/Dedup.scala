@@ -200,7 +200,7 @@ object Dedup {
     * band, the signature array riding along so candidate pairs score
     * in-row. This IS the persisted LSH index of an incremental pipeline:
     * appending a day's documents appends their band rows. */
-  private def bandTable(docs: DataFrame, bands: Int): DataFrame = {
+  private[operators] def bandTable(docs: DataFrame, bands: Int): DataFrame = {
     val rows = K / bands
     val sig = minhashSignature(docs)
       .select(col("doc_id"), array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
@@ -288,7 +288,7 @@ object Dedup {
     * partitionBy write of zero rows emits only _SUCCESS). `batch_id` is
     * resolved from partition directories on the live index and from the
     * data column on a compacted copy. */
-  private val bandIndexSchema = new org.apache.spark.sql.types.StructType()
+  private[operators] val bandIndexSchema = new org.apache.spark.sql.types.StructType()
     .add("doc_id", org.apache.spark.sql.types.LongType)
     .add("sig", org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType))
@@ -1727,6 +1727,44 @@ object Dedup {
         deleteFromBandIndex(s, idx, dels)
         deleteFromBandIndex(s, idx, dels) // retried — finds nothing affected
         readBandIndex(s, idx)
+          .select(col("doc_id"), col("band"), col("bkey"))
+          .orderBy(col("doc_id"), col("band"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects)
+                |SELECT doc_id, band, bkey FROM bands
+                |WHERE doc_id % 7 <> 0
+                |ORDER BY doc_id, band""".stripMargin)
+      }),
+
+    // ---- d32: VERSIONED band-index lifecycle (atomic snapshot publish) --
+    // s16's protocol on the dedup artifact: build(day1) → append(day2) →
+    // REPLAYED append (exactly-once by manifest membership) →
+    // delete(%7) twice (idempotent) → compact-swap → HARD vacuum →
+    // read the live snapshot. Same from-scratch rebuild-without oracle
+    // as d31 — one hash certifies snapshot reads, the no-op replay,
+    // leaf-localized delete, swap compaction, and that vacuum reclaimed
+    // nothing the live version serves.
+    Q("d32_band_versioned_lifecycle", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val root = graft.RunDirs.dir("d32").toString
+        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), root, "day2")
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), root, "day2")
+        val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"))
+        VersionedBand.delete(s, root, dels)
+        VersionedBand.delete(s, root, dels)
+        VersionedBand.compact(s, root)
+        VersionedBand.vacuum(root, keepVersions = 1)
+        VersionedBand.readLive(s, root)
           .select(col("doc_id"), col("band"), col("bkey"))
           .orderBy(col("doc_id"), col("band"))
       }, {

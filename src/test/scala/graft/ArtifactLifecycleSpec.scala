@@ -288,6 +288,30 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(m.leaves.isEmpty)
   }
 
+  test("versioned band: crash window serves prior snapshot; replay no-op; empty build") {
+    val root = tmp("alc-vband")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 30), root)
+    val before = operators.VersionedBand.readLive(spark, root)
+      .collect().map(_.toSeq).toSet
+    // crash window: stage a manifest without flipping — readers keep v1
+    graft.sources.VersionedArtifact.stage(root, "v00000002", Seq(
+      "batch base", "batch day2",
+      "leaf day2 data/v00000002-append/batch_id=day2"))
+    assert(operators.VersionedBand.readLive(spark, root)
+      .collect().map(_.toSeq).toSet === before)
+    // exactly-once: the same batch id twice commits once
+    val batch = docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+    val v1 = operators.VersionedBand.append(spark, batch, root, "day2")
+    val v2 = operators.VersionedBand.append(spark, batch, root, "day2")
+    assert(v1 === v2)
+    // empty build: read-back empty with declared schema, no throw
+    val root2 = tmp("alc-vband-empty")
+    operators.VersionedBand.build(docs.limit(0), root2)
+    assert(operators.VersionedBand.readLive(spark, root2).count() === 0L)
+    operators.VersionedBand.delete(spark, root2, docs.limit(0).select($"doc_id"))
+    assert(operators.VersionedBand.readLive(spark, root2).count() === 0L)
+  }
+
   // ---- trained-tokenizer artifact (t18/t19/e07) --------------------------
 
   test("BPE artifact: train on an empty corpus — loads empty, encode gives every doc a 0-count row") {
