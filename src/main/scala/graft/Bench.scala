@@ -73,9 +73,17 @@ object Bench {
     "t05_tfidf", "p07_quantile_sketch", "p13_mad_outliers",
     "st04_stream_dedup", "m06_phash_neardup", "e01_corpus_build")
 
-  private def loadAvg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  /** (1-min, 5-min) load averages. BOTH matter for qualification: after
+    * a long job train the 1-min figure dips under the threshold minutes
+    * before the box is genuinely quiet, and a bench started in that dip
+    * still runs smeared (the round-13 re-gate measured 248.7 s "idle"
+    * at load1 0.28 / load5 3.2 vs the true 182.0 s — every p-series
+    * query uniformly ~2×). */
+  private def loadAvg(): (Double, Double) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+      (f(0).toDouble, f(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
   /** Evaluate the query's FULL output, not `df.count()`: stacking a
     * count aggregate on top lets Catalyst prune the final projections
@@ -118,18 +126,24 @@ object Bench {
     // never mistake a contaminated total for a regression.
     val headlineMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_MAXLOAD", "0.3").toDouble
+    // the 5-min average must ALSO have decayed: 1.0 means "no more than
+    // one core's worth of ambient work over the last five minutes" — a
+    // recently-busy box passes the 1-min dip long before it passes this
+    val headline5Max =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_MAXLOAD5", "1.0").toDouble
+    def quiet(l: (Double, Double)) = l._1 <= headlineMax && l._2 <= headline5Max
     val waitStart = System.nanoTime()
     var load = loadAvg()
-    while (load > headlineMax && (System.nanoTime() - waitStart) / 1e9 < maxWait) {
-      System.err.println(f"bench: load $load%.1f > headline $headlineMax%.1f, waiting for idle box...")
+    while (!quiet(load) && (System.nanoTime() - waitStart) / 1e9 < maxWait) {
+      System.err.println(f"bench: load ${load._1}%.1f/5m ${load._2}%.1f > headline $headlineMax%.1f/$headline5Max%.1f, waiting for idle box...")
       Thread.sleep(15000)
       load = loadAvg()
     }
-    val loadAtStart = load
+    val (loadAtStart, load5AtStart) = load
     if (loadAtStart > maxLoad)
       System.err.println(f"bench: WARNING — starting under load $loadAtStart%.1f; timings suspect")
-    else if (loadAtStart > headlineMax)
-      System.err.println(f"bench: load $loadAtStart%.1f > $headlineMax%.1f — artifact will be tagged loaded-floors-only")
+    else if (!quiet(load))
+      System.err.println(f"bench: load $loadAtStart%.1f/5m $load5AtStart%.1f — artifact will be tagged loaded-floors-only")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -204,12 +218,14 @@ object Bench {
     val certQs = results.collect { case (k, _, _, _, _, _) if certTierQueries(k) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val headlineOk = loadAtStart >= 0 && loadAtStart <= headlineMax
+    val headlineOk = loadAtStart >= 0 && loadAtStart <= headlineMax &&
+      load5AtStart >= 0 && load5AtStart <= headline5Max
     val loadTag = if (headlineOk) "idle" else "loaded-floors-only"
     val meta = s""""unit":"sec","runs":$runs,"stat":"median","errors":$errs,""" +
       s""""cert_sf":"$certDir","cert_queries":$certQs,""" +
       s""""headline_ok":$headlineOk,"load_tag":"$loadTag",""" +
-      f""""load_start":$loadAtStart%.2f,"load_end":$loadAtEnd%.2f,"sf":"$sfDir""""
+      f""""load_start":$loadAtStart%.2f,"load5_start":$load5AtStart%.2f,""" +
+      f""""load_end":${loadAtEnd._1}%.2f,"sf":"$sfDir""""
     val fullLine = s"""{"metric":"total","value":${num(total)},$meta,"queries":$qs,"spread_min_max":$spread,"shuffle_bytes":$sh}"""
     // the full record is the committed artifact...
     if (only.isEmpty) {
