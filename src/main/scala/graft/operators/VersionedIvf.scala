@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.VersionedArtifact
+import graft.sources.{CommitConflictException, VersionedArtifact}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -16,14 +16,32 @@ import graft.functions.VectorFns
   * observes one committed snapshot even while a writer lands the next
   * one, and a writer that crashes mid-operation leaves the prior version
   * serving — its half-landed data dirs are invisible (no manifest names
-  * them) and get reclaimed by [[vacuum]] once superseded or by the
-  * retried writer overwriting its own deterministically-named staging.
+  * them) and get reclaimed by [[vacuum]] once superseded.
+  *
+  * CONCURRENT WRITERS (r13 verdict #1): every commit records the BASE
+  * version it was derived from and publishes via [[VersionedArtifact]]'s
+  * compare-and-swap, so two writers racing (a streaming appender vs a
+  * periodic compactor, two appenders) produce exactly one winner per
+  * version and a retryable [[CommitConflictException]] for the loser —
+  * never a lost update. [[append]] RETRIES internally: on a conflict it
+  * re-reads the live snapshot, re-checks batch membership (the other
+  * writer may have committed the same batch), reuses its already-written
+  * segment when the quantizer is unchanged (a conflict with another
+  * append/delete/compact costs one metadata round), and re-assigns the
+  * batch only if a retrain/rebuild won the race and moved the centroids.
+  * The maintenance ops (build/delete/compact/retrain) surface the
+  * conflict to their scheduler — a coordinator that lost to an append
+  * re-runs against the grown snapshot by re-invoking the op. Segment
+  * dirs are writer-unique (`data/<ver>-<op>-w<pid>…`), so racing writers
+  * never cross-write one directory; a crashed writer's half-landed
+  * segment is an orphan vacuum reclaims once its version tag is
+  * superseded.
   *
   * Manifest lines (plain text — the format is this object's contract):
   * {{{
-  *   centroids data/<ver>-cents
+  *   centroids data/<ver>-cents-<w>
   *   batch <batchId>                            — committed batch ids
-  *   leaf <cid> <batchLabel> data/<ver>-<op>/cid=<cid>[/batch_id=<b>]
+  *   leaf <cid> <batchLabel> data/<ver>-<op>-<w>/cid=<cid>[/batch_id=<b>]
   * }}}
   * A leaf is one immutable directory holding one cell's postings from
   * one operation; `batchLabel` is the physical batch partition ("base",
@@ -32,17 +50,24 @@ import graft.functions.VectorFns
   * membership — a replayed foreachBatch trigger whose id is already
   * committed is a no-op even after a compaction has rewritten the
   * physical leaves (the in-place index can't offer that: its only
-  * idempotence is the dynamic-overwrite rewrite itself).
+  * idempotence is the dynamic-overwrite rewrite itself). A full
+  * [[build]] over an existing artifact CARRIES FORWARD the committed
+  * batch ids (r13 ADVICE), so exactly-once survives a rebuild whose
+  * corpus already contains those batches' rows.
   *
   * Scale shape: append/delete write only batch/affected-leaf-sized data;
   * a new version's manifest REFERENCES the untouched leaves instead of
   * copying them (the Iceberg/Delta snapshot shape), so commit cost is
-  * metadata-sized. A probe reads the nprobe probed cells' leaf dirs by
-  * explicit manifest selection — stronger than catalog partition pruning
-  * (nothing to mis-estimate) and exactly the collected-IN-list
-  * convention the in-place probe already pins. Reference for semantics:
-  * the in-place operators in [[Similarity]]; s16/s17 certify the whole
-  * versioned chain against the same frozen-centroid rebuild oracle.
+  * metadata-sized (measured in `ScaleSmoke --s16-only`). A probe reads
+  * the nprobe probed cells' leaf dirs by explicit manifest selection —
+  * stronger than catalog partition pruning (nothing to mis-estimate) and
+  * exactly the collected-IN-list convention the in-place probe already
+  * pins. Reads accept `asOf` — a published version name — for pinned
+  * (time-travel) scans: a long-running consumer keeps one snapshot while
+  * maintenance publishes past it, protected by vacuum's grace window.
+  * Reference for semantics: the in-place operators in [[Similarity]];
+  * s16/s17 certify the whole versioned chain against the same
+  * frozen-centroid rebuild oracle.
   */
 object VersionedIvf {
 
@@ -77,12 +102,38 @@ object VersionedIvf {
 
   /** The live snapshot, if the artifact has ever committed. */
   def currentManifest(root: String): Option[Manifest] =
-    VersionedArtifact.currentName(root)
-      .map(v => parse(VersionedArtifact.readManifest(root, v)))
+    currentSnapshot(root).map(_._2)
 
-  private def liveManifest(root: String): Manifest =
-    currentManifest(root).getOrElse(throw new IllegalStateException(
+  /** (version, manifest) resolved TOGETHER — the pointer is read once and
+    * that version's (immutable) manifest parsed, so a concurrent flip
+    * between the two reads can never pair a new name with an old body. */
+  private def currentSnapshot(root: String): Option[(String, Manifest)] =
+    VersionedArtifact.currentName(root)
+      .map(v => (v, parse(VersionedArtifact.readManifest(root, v))))
+
+  private def liveSnapshot(root: String): (String, Manifest) =
+    currentSnapshot(root).getOrElse(throw new IllegalStateException(
       s"no committed version under $root — build first"))
+
+  /** Resolve the manifest a read should serve: CURRENT, or — for a
+    * pinned (time-travel) reader — an explicitly named PUBLISHED version
+    * still inside vacuum's retention window. */
+  private def resolveManifest(root: String, asOf: Option[String]): Manifest =
+    asOf match {
+      case None => liveSnapshot(root)._2
+      case Some(v) =>
+        require(VersionedArtifact.publishedVersions(root).contains(v),
+          s"asOf $v: not a published (or still-retained) version under $root")
+        parse(VersionedArtifact.readManifest(root, v))
+    }
+
+  /** A writer-unique segment suffix: racing writers must never address
+    * the same staging directory (two Spark overwrite-writes to one path
+    * corrupt both). Orphans from crashed attempts are version-tagged and
+    * age out via [[vacuum]]. */
+  private val segSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def segToken(): String =
+    s"w${ProcessHandle.current().pid()}x${segSeq.incrementAndGet()}"
 
   // ---- physical IO -----------------------------------------------------
 
@@ -136,15 +187,21 @@ object VersionedIvf {
     else parts.reduce(_ unionByName _)
   }
 
+  /** The postings a snapshot serves, as one DataFrame — the read the
+    * spec/ledger arms certify against the rebuild oracle. */
+  def livePostings(spark: SparkSession, root: String,
+      asOf: Option[String] = None): DataFrame =
+    readLeaves(spark, root, resolveManifest(root, asOf).leaves)
+
   private def readCentroids(spark: SparkSession, root: String,
       m: Manifest): DataFrame =
     spark.read.schema(Similarity.centroidsSchema)
       .parquet(s"$root/${m.centroids}")
 
   /** Score + assign a corpus against centroids and land it as one
-    * partitioned segment; returns the segment's leaves. Deterministic
-    * staging name (version + op): a retried crashed writer overwrites
-    * its own orphan instead of leaking a fresh dir per attempt. */
+    * partitioned segment; returns the segment's leaves. The segment name
+    * carries the writer token, so concurrent writers never collide on a
+    * staging directory. */
   private def writeSegment(spark: SparkSession, corpus: DataFrame,
       cents: DataFrame, root: String, segRel: String,
       batchId: Option[String]): Seq[Leaf] = {
@@ -165,21 +222,32 @@ object VersionedIvf {
 
   /** Build version 1 (or a full rebuild as version n+1): centroids +
     * postings land under the new version's data dirs, then the pointer
-    * flips. `centroidSource` is the frozen-training split, as in
-    * [[Similarity.buildIvfIndex]]. Returns the committed version. */
+    * flips (CAS against the pre-build version — a rebuild that lost a
+    * race to another writer surfaces [[CommitConflictException]]).
+    * `centroidSource` is the frozen-training split, as in
+    * [[Similarity.buildIvfIndex]]. On a REBUILD over an existing
+    * artifact the prior manifest's committed batch ids carry forward
+    * (r13 ADVICE): a replayed append of a batch whose rows the rebuild
+    * corpus already contains stays a no-op. Returns the committed
+    * version. */
   def build(emb: DataFrame, root: String, nlist: Int = 8,
       centroidSource: Option[DataFrame] = None): String = {
     val spark = emb.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    val prior = currentSnapshot(root)
+    val base = prior.map(_._1)
     val ver = VersionedArtifact.nextName(root)
-    val centsRel = s"data/$ver-cents"
+    val w = segToken()
+    val centsRel = s"data/$ver-cents-$w"
     val corpus = Similarity.prepCorpus(emb)
     val cents = Similarity.prepCentroids(centroidSource.getOrElse(emb), nlist)
     cents.write.mode("overwrite").parquet(s"$root/$centsRel")
     val leaves = writeSegment(spark, corpus, cents, root,
-      s"data/$ver-build", Some("base"))
+      s"data/$ver-build-$w", Some("base"))
+    val batches =
+      (prior.map(_._2.batches).getOrElse(Seq.empty) :+ "base").distinct
     VersionedArtifact.stage(root, ver,
-      render(Manifest(centsRel, leaves, Seq("base"))))
+      render(Manifest(centsRel, leaves, batches)), base)
     VersionedArtifact.publish(root, ver)
     ver
   }
@@ -188,24 +256,53 @@ object VersionedIvf {
     * work, metadata-sized commit. EXACTLY-ONCE by manifest membership:
     * a batch id the live version already committed returns without
     * writing (the replayed-foreachBatch contract, surviving compaction
-    * because the id is carried in the manifest, not the dir layout). */
+    * because the id is carried in the manifest, not the dir layout).
+    * Retries internally on a commit conflict (see the object doc): the
+    * written segment is reused unless a racing retrain/rebuild moved the
+    * centroids, in which case the batch re-assigns against the new
+    * quantizer before re-staging. */
   def append(spark: SparkSession, newEmb: DataFrame, root: String,
       batchId: String): String = {
     require(batchId != "base" && batchId != "*",
       s"append: batch id '$batchId' is reserved")
     graft.plans.GraftFunctions.register(spark)
-    val m = liveManifest(root)
-    val cur = VersionedArtifact.currentName(root).get
-    if (m.batches.contains(batchId)) return cur
-    val ver = VersionedArtifact.nextName(root)
     val corpus = Similarity.prepCorpus(newEmb)
-    val newLeaves = writeSegment(spark, corpus,
+    var (base, m) = liveSnapshot(root)
+    if (m.batches.contains(batchId)) return base
+    // segment written once against the base quantizer; re-derived below
+    // only if the quantizer itself moved
+    var segCents = m.centroids
+    var newLeaves = writeSegment(spark, corpus,
       readCentroids(spark, root, m), root,
-      s"data/$ver-append", Some(batchId))
-    VersionedArtifact.stage(root, ver, render(Manifest(m.centroids,
-      m.leaves ++ newLeaves, m.batches :+ batchId)))
-    VersionedArtifact.publish(root, ver)
-    ver
+      s"data/${VersionedArtifact.nextName(root)}-append-${segToken()}",
+      Some(batchId))
+    var attempt = 0
+    while (true) {
+      val ver = VersionedArtifact.nextName(root)
+      try {
+        VersionedArtifact.stage(root, ver, render(Manifest(m.centroids,
+          m.leaves ++ newLeaves, m.batches :+ batchId)), Some(base))
+        VersionedArtifact.publish(root, ver)
+        return ver
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > 20) throw e
+          val (base2, m2) = liveSnapshot(root)
+          if (m2.batches.contains(batchId)) return base2 // raced duplicate
+          if (m2.centroids != segCents) {
+            // a retrain/rebuild won the race: cell assignment is a
+            // function of the quantizer, so the segment must re-derive
+            segCents = m2.centroids
+            newLeaves = writeSegment(spark, corpus,
+              readCentroids(spark, root, m2), root,
+              s"data/${VersionedArtifact.nextName(root)}-append-${segToken()}",
+              Some(batchId))
+          }
+          base = base2; m = m2
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** TAKEDOWN, snapshot-isolated: survivors of ONLY the leaves holding
@@ -216,11 +313,12 @@ object VersionedIvf {
     * committed batch ids are KEPT so a post-takedown replay of that
     * batch is still a no-op. The affected-leaf probe is one
     * pushdown-filtered scan of the live postings (min/max stats prune
-    * most files at scale); the REWRITE is affected-leaf-sized. */
+    * most files at scale); the REWRITE is affected-leaf-sized. Commits
+    * by CAS — a concurrent committed writer surfaces a retryable
+    * [[CommitConflictException]] to the takedown scheduler. */
   def delete(spark: SparkSession, root: String, vecIds: DataFrame): String = {
     graft.plans.GraftFunctions.register(spark)
-    val m = liveManifest(root)
-    val cur = VersionedArtifact.currentName(root).get
+    val (base, m) = liveSnapshot(root)
     val ids = broadcast(vecIds.select(col("vec_id")).distinct())
     // which leaves hold a deleted id: per-segment reads tagged with the
     // leaf-identifying (segment, cid, batch) key
@@ -239,17 +337,17 @@ object VersionedIvf {
           hit += l.path
       }
     }
-    if (hit.isEmpty) return cur
+    if (hit.isEmpty) return base
     val (affected, untouched) = m.leaves.partition(l => hit(l.path))
     val ver = VersionedArtifact.nextName(root)
-    val segRel = s"data/$ver-delete"
+    val segRel = s"data/$ver-delete-${segToken()}"
     val survivors = readLeaves(spark, root, affected)
       .join(ids, Seq("vec_id"), "left_anti")
     survivors.write.mode("overwrite").partitionBy("cid", "batch_id")
       .parquet(s"$root/$segRel")
     val newLeaves = listLeafDirs(root, segRel)
     VersionedArtifact.stage(root, ver, render(Manifest(m.centroids,
-      untouched ++ newLeaves, m.batches)))
+      untouched ++ newLeaves, m.batches)), Some(base))
     VersionedArtifact.publish(root, ver)
     ver
   }
@@ -258,16 +356,19 @@ object VersionedIvf {
     * writes a copy with no publish protocol): the live postings rewrite
     * one-task-per-cell into a single segment — one file per cell, batch
     * lineage in-row — and the pointer flips to it. Probes in flight keep
-    * the old leaves; the superseded dirs wait for [[vacuum]]. */
+    * the old leaves; the superseded dirs wait for [[vacuum]]. Commits by
+    * CAS — losing to a concurrent append surfaces a retryable
+    * [[CommitConflictException]] (re-run compaction over the grown
+    * snapshot; the appender can never lose ITS leaves to us). */
   def compact(spark: SparkSession, root: String): String = {
-    val m = liveManifest(root)
+    val (base, m) = liveSnapshot(root)
     val ver = VersionedArtifact.nextName(root)
-    val segRel = s"data/$ver-compact"
+    val segRel = s"data/$ver-compact-${segToken()}"
     readLeaves(spark, root, m.leaves)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$root/$segRel")
     VersionedArtifact.stage(root, ver, render(Manifest(m.centroids,
-      listLeafDirs(root, segRel), m.batches)))
+      listLeafDirs(root, segRel), m.batches)), Some(base))
     VersionedArtifact.publish(root, ver)
     ver
   }
@@ -287,11 +388,12 @@ object VersionedIvf {
     * `ScaleSmoke --retrain-only`. Cells emptied of members (or with an
     * exactly-zero mean, e.g. an antipodal pair) drop out of the new
     * quantizer — deterministically, because the zero test is on exact
-    * integers. */
+    * integers. CAS-committed, like [[compact]]. */
   def retrain(spark: SparkSession, root: String): String = {
     graft.plans.GraftFunctions.register(spark)
-    val m = liveManifest(root)
+    val (base, m) = liveSnapshot(root)
     val ver = VersionedArtifact.nextName(root)
+    val w = segToken()
     val live = readLeaves(spark, root, m.leaves)
     // exact per-(cell, coordinate) micro-sums -> bit-portable means
     val sums = live
@@ -307,35 +409,38 @@ object VersionedIvf {
       .select(col("cid"), transform(col("jcv"), x => x.getField("cv")).as("ce"))
       .filter(VectorFns.nonZero(col("ce")))
       .withColumn("cnrm", VectorFns.norm(col("ce")))
-    val centsRel = s"data/$ver-cents"
+    val centsRel = s"data/$ver-cents-$w"
     cents1.write.mode("overwrite").parquet(s"$root/$centsRel")
     val centsBack = spark.read.schema(Similarity.centroidsSchema)
       .parquet(s"$root/$centsRel") // the artifact IS the quantizer
     val corpus = live.select(col("vec_id"), col("e"), col("nrm"), col("batch_id"))
     val newLeaves = writeSegment(spark, corpus, centsBack, root,
-      s"data/$ver-retrain", None)
+      s"data/$ver-retrain-$w", None)
     VersionedArtifact.stage(root, ver,
-      render(Manifest(centsRel, newLeaves, m.batches)))
+      render(Manifest(centsRel, newLeaves, m.batches)), Some(base))
     VersionedArtifact.publish(root, ver)
     ver
   }
 
   // ---- read path -------------------------------------------------------
 
-  /** Probe the LIVE version — s05's exact protocol over manifest-named
-    * leaves: the pointer resolves once, probed cells select manifest
-    * entries explicitly (nprobe cells' dirs read, nothing else), and the
-    * ranking is [[Similarity.rankProbe]] — identical scoring, rounding
-    * and tie-breaks, so versioned probe == in-place probe == rebuild
-    * oracle (s16). */
+  /** Probe the LIVE version (or, with `asOf`, a pinned published one) —
+    * s05's exact protocol over manifest-named leaves: the pointer
+    * resolves once, probed cells select manifest entries explicitly
+    * (nprobe cells' dirs read, nothing else), and the ranking is
+    * [[Similarity.rankProbe]] — identical scoring, rounding and
+    * tie-breaks, so versioned probe == in-place probe == rebuild oracle
+    * (s16). A pinned reader is unaffected by concurrent publishes and by
+    * vacuum inside the retention grace window. */
   def probe(spark: SparkSession, root: String, queries: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame =
-    probeFiltered(spark, root, queries, k, nprobe, lit(true))
+      nprobe: Int = 2, asOf: Option[String] = None): DataFrame =
+    probeFiltered(spark, root, queries, k, nprobe, lit(true), asOf)
 
   def probeFiltered(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int, nprobe: Int, postingsFilter: Column): DataFrame = {
+      k: Int, nprobe: Int, postingsFilter: Column,
+      asOf: Option[String] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val m = liveManifest(root)
+    val m = resolveManifest(root, asOf)
     val cents = readCentroids(spark, root, m)
     val (qs, qprobe) = Similarity.queryProbe(cents, queries, nprobe,
       org.apache.spark.sql.types.LongType)
@@ -349,7 +454,7 @@ object VersionedIvf {
     * aggregation over the manifest-resolved postings. */
   def stats(spark: SparkSession, root: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val m = liveManifest(root)
+    val m = liveSnapshot(root)._2
     readLeaves(spark, root, m.leaves).join(broadcast(readCentroids(spark, root, m)), "cid")
       .select(col("cid"), col("batch_id"),
         round(VectorFns.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)

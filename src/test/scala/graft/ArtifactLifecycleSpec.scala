@@ -219,7 +219,8 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     graft.sources.VersionedArtifact.stage(root, "v00000002", Seq(
       "centroids data/v00000001-cents",
       "batch base", "batch day2",
-      "leaf 0 day2 data/v00000002-append/cid=0/batch_id=day2"))
+      "leaf 0 day2 data/v00000002-append/cid=0/batch_id=day2"),
+      base = Some("v00000001"))
     assert(vprobe(root, qs) === before,
       "a staged-but-unpublished version leaked into the read path")
     // the RETRIED append commits a fresh version past the orphan and wins
@@ -296,7 +297,8 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     // crash window: stage a manifest without flipping — readers keep v1
     graft.sources.VersionedArtifact.stage(root, "v00000002", Seq(
       "batch base", "batch day2",
-      "leaf day2 data/v00000002-append/batch_id=day2"))
+      "leaf day2 data/v00000002-append/batch_id=day2"),
+      base = Some("v00000001"))
     assert(operators.VersionedBand.readLive(spark, root)
       .collect().map(_.toSeq).toSet === before)
     // exactly-once: the same batch id twice commits once
@@ -310,6 +312,188 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(operators.VersionedBand.readLive(spark, root2).count() === 0L)
     operators.VersionedBand.delete(spark, root2, docs.limit(0).select($"doc_id"))
     assert(operators.VersionedBand.readLive(spark, root2).count() === 0L)
+  }
+
+  // ---- concurrent writers (r13 verdict #1) -------------------------------
+
+  test("CAS publish: a writer whose base was superseded is refused — no committed line is ever lost") {
+    import graft.sources.{CommitConflictException, VersionedArtifact => VA}
+    val root = tmp("alc-cas")
+    VA.stage(root, "v00000001", Seq("payload w0"), base = None)
+    VA.publish(root, "v00000001")
+    // W1 and W2 both derive from v1; W1 claims v2, W2 (seeing v2 staged)
+    // claims v3 — still derived from v1
+    VA.stage(root, "v00000002", Seq("payload w0", "payload w1"),
+      base = Some("v00000001"))
+    VA.stage(root, "v00000003", Seq("payload w0", "payload w2"),
+      base = Some("v00000001"))
+    VA.publish(root, "v00000002") // W1 wins
+    // W2's manifest was derived from v1 — committing it would DROP W1's
+    // line (the lost update); publish must refuse and surface a retry
+    intercept[CommitConflictException] { VA.publish(root, "v00000003") }
+    assert(VA.currentName(root) === Some("v00000002"))
+    assert(VA.readManifest(root, "v00000002").contains("payload w1"))
+    assert(!VA.listVersions(root).contains("v00000003"),
+      "the losing stage must be removed, not left pinning data dirs")
+    // W2 retries from the NEW live snapshot: merged manifest commits
+    val retry = VA.nextName(root)
+    VA.stage(root, retry,
+      Seq("payload w0", "payload w1", "payload w2"), base = Some("v00000002"))
+    VA.publish(root, retry)
+    assert(VA.currentName(root) === Some(retry))
+    assert(VA.readManifest(root, retry).toSet ===
+      Set("payload w0", "payload w1", "payload w2"),
+      "after the retry every writer's committed line survives")
+  }
+
+  test("CAS stage: two writers racing to the SAME version name — exactly one claims it") {
+    import graft.sources.{CommitConflictException, VersionedArtifact => VA}
+    val root = tmp("alc-cas-name")
+    VA.stage(root, "v00000001", Seq("base payload"), base = None)
+    VA.publish(root, "v00000001")
+    VA.stage(root, "v00000002", Seq("writer one"), base = Some("v00000001"))
+    intercept[CommitConflictException] {
+      VA.stage(root, "v00000002", Seq("writer two"), base = Some("v00000001"))
+    }
+    assert(VA.readManifest(root, "v00000002") === Seq("writer one"),
+      "the second stage must never overwrite the first writer's manifest")
+  }
+
+  test("versioned IVF: stale compactor racing a committed append cannot drop the appended leaves") {
+    // the exact r13 lost-update scenario, deterministically interleaved:
+    // a compactor derives its manifest from v1; an appender commits v2
+    // first; the compactor's publish must refuse — v2's leaves survive
+    import graft.sources.{CommitConflictException, VersionedArtifact => VA}
+    val root = tmp("alc-vivf-stale-compact")
+    operators.VersionedIvf.build(emb.filter($"vec_id" < 60), root, nlist = 4)
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 60 && $"vec_id" < 80), root, "day2") // v2 commits
+    val staleLines = VA.readManifest(root, "v00000001") // compactor's stale view
+    val ver = VA.nextName(root)
+    VA.stage(root, ver, staleLines, base = Some("v00000001"))
+    intercept[CommitConflictException] { VA.publish(root, ver) }
+    val liveIds = operators.VersionedIvf.livePostings(spark, root)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert((60L until 80L).forall(liveIds.contains),
+      "the committed append's leaves were lost to the stale compactor")
+  }
+
+  test("versioned IVF: two concurrent appenders — both batches commit, none lost") {
+    val root = tmp("alc-vivf-race")
+    val seqRoot = tmp("alc-vivf-race-seq")
+    operators.VersionedIvf.build(emb.filter($"vec_id" < 60), root, nlist = 4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(lo: Int, hi: Int, id: String) = new Thread(() =>
+      try operators.VersionedIvf.append(spark,
+        emb.filter($"vec_id" >= lo && $"vec_id" < hi), root, id)
+      catch { case t: Throwable => failures.add(t) })
+    val t1 = appender(60, 80, "day2a")
+    val t2 = appender(80, 100, "day2b")
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(failures.isEmpty, s"appender threw: ${failures.peek()}")
+    val m = operators.VersionedIvf.currentManifest(root).get
+    assert(m.batches.toSet === Set("base", "day2a", "day2b"))
+    // the racing artifact serves exactly what the sequential one does
+    operators.VersionedIvf.build(emb.filter($"vec_id" < 60), seqRoot, nlist = 4)
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 60 && $"vec_id" < 80), seqRoot, "day2a")
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 80 && $"vec_id" < 100), seqRoot, "day2b")
+    val qs = emb.filter($"vec_id" < 3)
+    assert(vprobe(root, qs) === vprobe(seqRoot, qs),
+      "racing appenders diverged from the sequential artifact")
+  }
+
+  // ---- pinned (asOf) reads + published-only retention --------------------
+
+  test("versioned: a pinned asOf reader is unaffected by publishes and survives default-grace vacuum") {
+    val root = tmp("alc-vivf-asof")
+    val qs = emb.filter($"vec_id" < 3)
+    operators.VersionedIvf.build(emb.filter($"vec_id" < 60), root, nlist = 4)
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 60 && $"vec_id" < 80), root, "day2")
+    val pinned = graft.sources.VersionedArtifact.currentName(root).get // v2
+    def pinnedProbe() = operators.VersionedIvf
+      .probe(spark, root, qs, k = 5, nprobe = 2, asOf = Some(pinned))
+      .orderBy($"qid", $"rank").collect().toSeq
+    val r1 = pinnedProbe()
+    operators.VersionedIvf.compact(spark, root) // CURRENT moves to v3
+    assert(pinnedProbe() === r1, "a publish changed a pinned reader's view")
+    operators.VersionedIvf.vacuum(root) // default grace keeps the pin
+    assert(pinnedProbe() === r1, "grace-window vacuum broke a pinned reader")
+    // outside the window the pin fails LOUDLY, never silently re-resolves
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 100 && $"vec_id" < 110), root, "day3")
+    operators.VersionedIvf.vacuum(root, keepVersions = 1)
+    intercept[IllegalArgumentException] { pinnedProbe() }
+    // band artifact: same contract on readLive(asOf)
+    val broot = tmp("alc-vband-asof")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 30), broot)
+    val bpin = graft.sources.VersionedArtifact.currentName(broot).get
+    val b1 = operators.VersionedBand.readLive(spark, broot, asOf = Some(bpin))
+      .collect().map(_.toSeq).toSet
+    operators.VersionedBand.append(spark,
+      docs.filter($"doc_id" >= 30 && $"doc_id" < 40), broot, "day2")
+    assert(operators.VersionedBand.readLive(spark, broot, asOf = Some(bpin))
+      .collect().map(_.toSeq).toSet === b1)
+  }
+
+  test("vacuum: a staged-but-never-published orphan cannot consume a retention-grace slot") {
+    // r13 ADVICE: an orphan manifest (crashed writer, version <= CURRENT
+    // after the retry commits past it) must not displace the real
+    // previous published version from the grace window
+    import graft.sources.{VersionedArtifact => VA}
+    val root = tmp("alc-vivf-orphan-grace")
+    val qs = emb.filter($"vec_id" < 3)
+    operators.VersionedIvf.build(emb.filter($"vec_id" < 60), root, nlist = 4) // v1
+    val v1 = VA.currentName(root).get
+    val r1 = operators.VersionedIvf
+      .probe(spark, root, qs, k = 5, nprobe = 2, asOf = Some(v1))
+      .orderBy($"qid", $"rank").collect().toSeq
+    // a writer stages v2 and dies before publish; the retried append
+    // commits v3 (nextName skips the orphan)
+    VA.stage(root, "v00000002", VA.readManifest(root, v1), base = Some(v1))
+    operators.VersionedIvf.append(spark,
+      emb.filter($"vec_id" >= 60 && $"vec_id" < 80), root, "day2") // v3
+    assert(VA.currentName(root) === Some("v00000003"))
+    operators.VersionedIvf.vacuum(root, keepVersions = 2)
+    // the grace window is {v1, v3} — PUBLISHED versions — never {v2, v3}:
+    // a reader that resolved v1 just before the flip must still finish
+    assert(VA.listVersions(root).contains(v1),
+      "the orphan displaced the real previous published version")
+    assert(!VA.listVersions(root).contains("v00000002"),
+      "the never-published orphan manifest must be swept")
+    assert(operators.VersionedIvf
+      .probe(spark, root, qs, k = 5, nprobe = 2, asOf = Some(v1))
+      .orderBy($"qid", $"rank").collect().toSeq === r1,
+      "vacuum reclaimed data the grace-window version still serves")
+  }
+
+  test("versioned: a full REBUILD carries committed batch ids — replayed append stays a no-op") {
+    // r13 ADVICE: rebuild used to reset the batch list, so a replayed
+    // foreachBatch trigger after a rebuild whose corpus already contained
+    // the batch re-committed it — duplicate postings in the live snapshot
+    val root = tmp("alc-vivf-rebuild-batches")
+    val day1 = emb.filter($"vec_id" < 60)
+    val day2 = emb.filter($"vec_id" >= 60 && $"vec_id" < 80)
+    operators.VersionedIvf.build(day1, root, nlist = 4)
+    operators.VersionedIvf.append(spark, day2, root, "day2")
+    // full rebuild over the union (the corpus already contains day2 rows)
+    val rebuilt = operators.VersionedIvf.build(day1.unionByName(day2), root,
+      nlist = 4)
+    val replay = operators.VersionedIvf.append(spark, day2, root, "day2")
+    assert(replay === rebuilt, "replayed batch re-committed after a rebuild")
+    val ids = operators.VersionedIvf.livePostings(spark, root)
+      .groupBy($"vec_id").count().filter($"count" > 1).count()
+    assert(ids === 0L, "duplicate postings after post-rebuild replay")
+    // band sibling
+    val broot = tmp("alc-vband-rebuild-batches")
+    val bday1 = docs.filter($"doc_id" < 30)
+    val bday2 = docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+    operators.VersionedBand.build(bday1, broot)
+    operators.VersionedBand.append(spark, bday2, broot, "day2")
+    val brebuilt = operators.VersionedBand.build(bday1.unionByName(bday2), broot)
+    assert(operators.VersionedBand.append(spark, bday2, broot, "day2") === brebuilt)
   }
 
   // ---- trained-tokenizer artifact (t18/t19/e07) --------------------------
