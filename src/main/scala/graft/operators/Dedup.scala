@@ -417,6 +417,24 @@ object Dedup {
         .select(col("doc_id"), col("sig"), col("band"), col("bkey")),
       bandTable(batch, bands))
 
+  /** d30's probe over a COMMITTED [[VersionedBand]] snapshot (d33 — r13
+    * verdict #4): the corpus side resolves the artifact's CURRENT pointer
+    * (or a pinned `asOf` version) and reads only manifest-named leaves,
+    * so the daily dedup pass is safe to run WHILE maintenance writers
+    * append/compact/take down — it observes one committed snapshot, never
+    * a half-landed batch. This makes the versioned artifact the primary
+    * production dedup path; the in-place d28/d30 family remains the
+    * single-writer maintenance form. Same quadrant contract
+    * (new-vs-corpus + new-vs-new, never old-vs-old) and the same
+    * from-scratch rebuild oracle as d14/d30. */
+  def incrementalLshPairsFromVersioned(spark: SparkSession, root: String,
+      batch: DataFrame, bands: Int = 8,
+      asOf: Option[String] = None): DataFrame =
+    incrementalPairsCore(
+      VersionedBand.readLive(spark, root, asOf)
+        .select(col("doc_id"), col("sig"), col("band"), col("bkey")),
+      bandTable(batch, bands))
+
   private def incrementalPairsCore(cb: DataFrame, nb: DataFrame): DataFrame = {
     val newVsCorpus = cb.as("a").join(broadcast(nb.as("b")),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
@@ -1779,6 +1797,32 @@ object Dedup {
                 |WHERE doc_id % 7 <> 0
                 |ORDER BY doc_id, band""".stripMargin)
       }),
+
+    // ---- d33: incremental dedup probing the VERSIONED band index -------
+    // The d30 shape over a COMMITTED VersionedBand snapshot (r13 verdict
+    // #4): day 1 builds v1, day 2 appends (and REPLAYS — exactly-once by
+    // manifest membership), and the day-3 batch probes CURRENT. The
+    // corpus side is resolved through the atomic pointer and read from
+    // manifest-named leaves only, so this exact query is safe to run
+    // concurrently with the maintenance writers d32 exercises — the
+    // versioned artifact is the PRIMARY dedup path, not a parallel
+    // stack. Oracle: the same full from-scratch rebuild as d14/d30
+    // (pairs touching the doc_id % 10 == 0 batch over the whole corpus
+    // — day1 ∪ day2 IS doc_id % 10 <> 0), so one hash certifies the
+    // snapshot read, the replay no-op, and the probe quadrant together.
+    Q("d33_incremental_dedup_versioned", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val root = graft.RunDirs.dir("d33").toString
+        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+          pmod(col("doc_id"), lit(10)) =!= 5), root)
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 5), root, "day2")
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 5), root, "day2") // replayed
+        incrementalLshPairsFromVersioned(s, root,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .orderBy(col("d1"), col("d2"))
+      }, Some(incrementalPairsOracleSql)),
 
     // ---- st14: streaming incremental dedup (registered batch form) -----
     // The same probe StreamingSpec runs under readStream: new docs

@@ -605,17 +605,65 @@ object Relational {
              |ORDER BY l_returnflag""".stripMargin)),
 
     // ---- q26: exact interpolated percentiles per group -----------------
-    // Spark `percentile` and DuckDB `quantile_cont` share the same
-    // definition (linear interpolation at p·(n-1)); 4dp rounding absorbs
-    // the last-ulp difference between their interpolation formulas.
+    // DuckDB `quantile_cont`'s definition (linear interpolation at
+    // p·(n−1)), computed as a VALUE-DISTRIBUTION aggregate — q30's
+    // machinery generalized from the median to arbitrary p (r13 verdict
+    // #3): the old exact-`Percentile` arms materialized every group's
+    // full value list in one ObjectHashAggregate task (~200k values/group
+    // at sf0.1, linear in data — OOM-class at the 100 TB design point).
+    // Both columns are bounded-domain (l_quantity integers 1–50,
+    // l_extendedprice 2-decimal cents), so groupBy (flag, scaled-integer
+    // value) counts + cumulative ranks pick the two bracketing order
+    // statistics with state bounded by the DISTINCT value domain, never
+    // the group's row count. With h = p·(n−1) written as hnum/pDen, the
+    // bracketing 1-indexed ranks are ⌊h⌋+1 and ⌈h⌉+1 and the interpolated
+    // value is (v_lo·(pDen−m) + v_hi·m) / (pDen·scale) with m = hnum mod
+    // pDen — all exact integers until one final double division, so the
+    // emitted double is the correctly-rounded rational and 4dp rounding
+    // agrees with quantile_cont's double interpolation (the true values
+    // have ≤ 4 decimals, so the rounding boundary is never in play).
+    // PlanSpec pins the exact Percentile aggregate out of the plan.
     Q("q26_percentile",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5D)"), 4).as("qty_p50"),
-          round(expr("percentile(l_quantity, 0.95D)"), 4).as("qty_p95"),
-          round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("price_p50"))
-        .orderBy(col("l_returnflag")),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+        // per-(flag, value) counts → cumulative ranks → for each spec
+        // (pNum/pDen, output name) the two bracketing order statistics
+        def pctls(vExpr: org.apache.spark.sql.Column, scale: Int,
+            specs: Seq[(Int, Int, String)]): DataFrame = {
+          val cum = li
+            .groupBy(col("l_returnflag"),
+              round(vExpr * scale).cast("long").as("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("cum", sum(col("cnt")).over(Window
+              .partitionBy(col("l_returnflag")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("n", sum(col("cnt")).over(Window
+              .partitionBy(col("l_returnflag"))))
+          val aggs = specs.flatMap { case (pNum, pDen, out) =>
+            val hnum = lit(pNum) * (col("n") - 1)
+            val m = pmod(hnum, lit(pDen))
+            val loRank = floor(hnum / lit(pDen)).cast("long") + 1
+            val hiRank = loRank + when(m > 0, 1L).otherwise(0L)
+            Seq(
+              min(when(col("cum") >= loRank, col("v"))).as(s"__${out}_lo"),
+              min(when(col("cum") >= hiRank, col("v"))).as(s"__${out}_hi"),
+              max(m).as(s"__${out}_m")) // m is constant per group
+          }
+          val picked = cum.groupBy(col("l_returnflag"))
+            .agg(aggs.head, aggs.tail: _*)
+          picked.select(col("l_returnflag") +: specs.map {
+            case (_, pDen, out) =>
+              round((col(s"__${out}_lo") * (lit(pDen) - col(s"__${out}_m")) +
+                col(s"__${out}_hi") * col(s"__${out}_m")).cast("double") /
+                (pDen.toDouble * scale), 4).as(out)
+          }: _*)
+        }
+        pctls(col("l_quantity"), 1, Seq((1, 2, "qty_p50"), (19, 20, "qty_p95")))
+          .join(pctls(col("l_extendedprice"), 100, Seq((1, 2, "price_p50"))),
+            "l_returnflag")
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
              |  round(quantile_cont(l_quantity, 0.95), 4) AS qty_p95,

@@ -969,26 +969,32 @@ object Similarity {
 
     // ---- st16: streaming IVF index maintenance (registered batch form) --
     // The production composition of s11 + foreachBatch: an embedding
-    // stream maintains the persisted ANN index, one appendIvfIndex per
-    // micro-batch keyed by Spark's own batchId. foreachBatch's sink
+    // stream maintains the persisted ANN index, one VersionedIvf.append
+    // per micro-batch keyed by Spark's own batchId. foreachBatch's sink
     // contract is at-least-once — a failed trigger REPLAYS its batch
-    // with the same id — and the dynamic-partition-overwrite append
-    // makes that replay a no-op, so the maintained index is exactly-once
-    // by construction. This registered form splits day 2 into two
-    // content-derived micro-batches (vec_id mod 8 ∈ {3, 7}), REPLAYS the
-    // second, and probes; the oracle is s11's frozen-centroid rebuild —
-    // one hash certifies chunked-append ∪ == one-shot append == rebuild.
-    // StreamingSpec runs the real readStream → foreachBatch form with a
-    // mid-stream retry and asserts the artifact equals the rebuild.
+    // with the same id — and the VERSIONED artifact (r13 verdict #2: a
+    // live writer must give concurrent probes snapshot isolation, which
+    // the in-place dynamic-overwrite append cannot) makes that replay a
+    // manifest-membership no-op: exactly-once that survives compaction,
+    // plus CAS commits so the appender can race a maintenance writer.
+    // This registered form splits day 2 into two content-derived
+    // micro-batches (vec_id mod 8 ∈ {3, 7}), REPLAYS the second, and
+    // probes the live snapshot; the oracle is s11's frozen-centroid
+    // rebuild — one hash certifies chunked-append ∪ == one-shot append
+    // == rebuild. StreamingSpec runs the real readStream → foreachBatch
+    // form with a mid-stream retry and asserts the replay is a manifest
+    // no-op (version count unchanged) and the artifact equals the
+    // rebuild. The in-place append keeps its registered coverage via
+    // s10–s15.
     Q("st16_stream_index_maintenance",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val idx = graft.RunDirs.dir("st16").toString
-        buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 3), idx, nlist = 8)
-        appendIvfIndex(s, emb.filter(col("vec_id") % 8 === 3), idx, "mb0")
-        appendIvfIndex(s, emb.filter(col("vec_id") % 8 === 7), idx, "mb1")
-        appendIvfIndex(s, emb.filter(col("vec_id") % 8 === 7), idx, "mb1") // replayed trigger
-        probeIvfIndex(s, idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+        val root = graft.RunDirs.dir("st16").toString
+        VersionedIvf.build(emb.filter(col("vec_id") % 4 =!= 3), root, nlist = 8)
+        VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 3), root, "mb0")
+        VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 7), root, "mb1")
+        VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 7), root, "mb1") // replayed trigger — manifest no-op
+        VersionedIvf.probe(s, root, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
           .orderBy(col("qid"), col("rank"))
       },
       Some(ivfOracleSql("vec_id < 8 AND vec_id % 4 <> 3"))),

@@ -627,4 +627,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("percentile_approx"),
       s"the approx sketch under certification vanished from the plan:\n$plan")
   }
+
+  test("q26 exact percentiles are value-distribution aggregates — no Percentile, no ObjectHashAggregate") {
+    // r13 verdict #3 (the registry's one `weak`): q26's three exact
+    // interpolated percentiles used the same whole-group-buffering
+    // Percentile the q30 fix removed. The distribution rewrite bounds
+    // state by the distinct value domain; with it, NO ObjectHashAggregate
+    // remains anywhere in q26's plan — so the q30 fix comment's "the only
+    // remaining ObjectHashAggregate is percentile_approx itself" now
+    // holds for the whole registry, not just q30's plan.
+    val plan = executedPlan(SparkEntry.queries("q26_percentile")(spark, dir))
+    assert(!"[^_a-z]percentile\\(".r.findFirstIn(plan).isDefined,
+      s"exact Percentile aggregate (whole-group value buffer) in plan:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"an object-state aggregate survived the distribution rewrite:\n$plan")
+  }
 }
