@@ -126,11 +126,15 @@ object Bench {
     // never mistake a contaminated total for a regression.
     val headlineMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_MAXLOAD", "0.3").toDouble
-    // the 5-min average must ALSO have decayed: 1.0 means "no more than
-    // one core's worth of ambient work over the last five minutes" — a
-    // recently-busy box passes the 1-min dip long before it passes this
+    // the 5-min average must ALSO have decayed: a recently-busy box
+    // passes the 1-min dip long before it passes this. 0.6 (r13 verdict
+    // #9 — tightened from 1.0): the r13 headline qualified at load5 0.98
+    // and still carried +8% ambient smear over the true-idle ledger, so
+    // "no more than one core's worth over five minutes" is not quiet
+    // enough for a comparable headline; true idle runs on this box show
+    // load5 well under 0.5
     val headline5Max =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_MAXLOAD5", "1.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_MAXLOAD5", "0.6").toDouble
     def quiet(l: (Double, Double)) = l._1 <= headlineMax && l._2 <= headline5Max
     val waitStart = System.nanoTime()
     var load = loadAvg()

@@ -347,6 +347,12 @@ object ScaleSmoke {
       // (VersionedIvf.retrain) must recover recall. The run FAILS unless
       // recall_after >= recall_before.
       val nBase = posArgs.lift(0).map(_.toLong).getOrElse(100000L)
+      // r13 ADVICE: below 250 the query-sampling stride nDrift/50 is zero
+      // and the modulo (then recall's division) fails opaquely — fail
+      // fast with the actual constraint instead
+      require(nBase >= 250,
+        s"--retrain-only needs nBase >= 250 (got $nBase): the query " +
+          "sampling stride (nBase/5)/50 would be zero")
       val nDrift = nBase / 5
       def centerDim(clusterKey: org.apache.spark.sql.Column, i: Int) =
         (pmod(xxhash64(clusterKey, lit(i + 500)), lit(2001L))
@@ -376,7 +382,8 @@ object ScaleSmoke {
         .persist()
       day1.count(); day2.count()
       val union = day1.unionByName(day2).persist()
-      val queries = day2.filter(col("vec_id") % (nDrift / 50) === 1).persist()
+      val queries = day2
+        .filter(col("vec_id") % math.max(1L, nDrift / 50) === 1).persist()
       val nq = queries.count()
       val root = java.nio.file.Files.createTempDirectory("s17-root").toString
       timed(s"s17_build_day1_$nBase") {

@@ -296,28 +296,34 @@ object Multimodal {
             val baos = new java.io.ByteArrayOutputStream()
             val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
             val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-            wr.setOutput(ios)
-            wr.prepareWriteSequence(null)
-            var f = 0
-            while (f < nf) {
-              val img = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-              val raster = img.getRaster
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  raster.setSample(x, y, 0, lum(f, x, y))
-                  x += 1
+            // close/dispose in finally (r13 ADVICE): the degraded
+            // gif_valid=0 path must not leak the writer or its
+            // file-cache temp file once per failing row
+            try {
+              wr.setOutput(ios)
+              wr.prepareWriteSequence(null)
+              var f = 0
+              while (f < nf) {
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+                val raster = img.getRaster
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    raster.setSample(x, y, 0, lum(f, x, y))
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+                f += 1
               }
-              wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-              f += 1
+              wr.endWriteSequence()
+            } finally {
+              try ios.close() catch { case _: Exception => () }
+              try wr.dispose() catch { case _: Exception => () }
             }
-            wr.endWriteSequence()
-            ios.close()
-            wr.dispose()
             baos.toByteArray
           } catch { case _: Exception => Array.empty[Byte] }
         val stats =
@@ -326,31 +332,35 @@ object Multimodal {
             val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(gif))
-            rd.setInput(iis)
-            val got = rd.getNumImages(true)
-            if (got == nf) {
-              var sum = 0L; var chk = 0L
-              var ff = 0
-              while (ff < got) {
-                val back = rd.read(ff)
-                if (back.getWidth == w && back.getHeight == h) {
-                  var yy = 0
-                  while (yy < h) {
-                    var xx = 0
-                    while (xx < w) {
-                      val l = (back.getRGB(xx, yy) & 0xff).toLong
-                      sum += l
-                      chk += l * ((yy * w + xx) % 31 + 1) * (ff + 1)
-                      xx += 1
+            try {
+              rd.setInput(iis)
+              val got = rd.getNumImages(true)
+              if (got == nf) {
+                var sum = 0L; var chk = 0L
+                var ff = 0
+                while (ff < got) {
+                  val back = rd.read(ff)
+                  if (back.getWidth == w && back.getHeight == h) {
+                    var yy = 0
+                    while (yy < h) {
+                      var xx = 0
+                      while (xx < w) {
+                        val l = (back.getRGB(xx, yy) & 0xff).toLong
+                        sum += l
+                        chk += l * ((yy * w + xx) % 31 + 1) * (ff + 1)
+                        xx += 1
+                      }
+                      yy += 1
                     }
-                    yy += 1
                   }
+                  ff += 1
                 }
-                ff += 1
-              }
-              rd.dispose(); iis.close()
-              Some((got.toLong, sum, chk))
-            } else { rd.dispose(); iis.close(); None }
+                Some((got.toLong, sum, chk))
+              } else None
+            } finally {
+              try rd.dispose() catch { case _: Exception => () }
+              try iis.close() catch { case _: Exception => () }
+            }
           } catch { case _: Exception => None }
         stats match {
           case Some((m, sum, chk)) => (id, m, 1, sum, chk)

@@ -15,6 +15,7 @@ a mismatch is a real cross-engine divergence the fixture gate missed.
 """
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -140,6 +141,44 @@ def gen_corpus(seed: int, out: str) -> None:
         pq.write_table(table, f"{out}/{t}.parquet")
 
 
+def pin_rundirs_fixtures(verify_out: str) -> None:
+    """Copy Verify's per-pid RunDirs fixture trees into the fuzz run's own
+    directory and rewrite the interpolated paths in oracle_sql.json.
+
+    The Verify JVM interpolates paths under /tmp/graft_<user>-<pid> into
+    the oracle SQL (i01/i02/i04/st15 fixtures etc.); after that JVM exits,
+    ANY other graft JVM's RunDirs.reapStale deletes the now-dead pid's
+    tree — round 13 hit 4 phantom "No files found" fails when an sbt test
+    run overlapped the window between the Verify phase and the DuckDB
+    compare. Pinning the fixtures here (and pointing the SQL at the
+    pinned copies) makes the compare immune to concurrent graft JVMs.
+    """
+    osql_path = os.path.join(verify_out, "oracle_sql.json")
+    with open(osql_path) as f:
+        osql = f.read()
+    # the RunDirs root: /tmp/graft_<user>-<pid> — the trailing -<pid> is
+    # required so the fuzz corpus dir (/tmp/graft_fuzz_<seed>, no dash)
+    # is never rewritten
+    roots = sorted(set(re.findall(r"/tmp/graft_[^/\"']*-\d+", osql)))
+    pinned = 0
+    for root in roots:
+        if not os.path.isdir(root):
+            # already reaped — leave the original path so the compare
+            # fails with the true location, not a phantom pinned one
+            print(f"WARNING: RunDirs tree {root} already gone before "
+                  "pinning — a concurrent graft JVM reaped it", flush=True)
+            continue
+        dst = os.path.join(verify_out, "pinned_" + os.path.basename(root))
+        shutil.copytree(root, dst, dirs_exist_ok=True)
+        osql = osql.replace(root, dst)
+        pinned += 1
+    if pinned:
+        with open(osql_path, "w") as f:
+            f.write(osql)
+        print(f"pinned {pinned} RunDirs tree(s) into {verify_out}",
+              flush=True)
+
+
 def main():
     seeds = [int(a) for a in sys.argv[1:]] or [1, 2, 3]
     rc = 0
@@ -163,6 +202,7 @@ def main():
         if errs:
             print(f"seed {seed}: queries threw: {errs}")
             rc = 1
+        pin_rundirs_fixtures(verify_out)
         # GRAFT_FUZZ_SKIP_ORACLES: comma-separated query names to EXCLUDE
         # from the DuckDB compare (the engine side above still ran them —
         # errors.json is checked unfiltered). As of round 10 NO tier needs
