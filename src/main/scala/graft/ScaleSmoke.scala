@@ -336,6 +336,126 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--s16-only")) {
+      // ---- s16 versioned chain: the commit must be METADATA-sized ------
+      // The r13 verdict's ask: the versioned artifact's claim that a
+      // commit references untouched leaves instead of copying them was
+      // asserted from the code, never measured. Ledger every hop of the
+      // chain at 200k × 64-dim: append (bytes written ≈ the 1% batch,
+      // never the corpus), the REPLAYED append (a pure metadata no-op:
+      // zero bytes, zero new versions), delete (affected-leaf-sized),
+      // compact (corpus-sized by design — it rewrites the layout),
+      // manifest sizes (the actual commit payload), and vacuum's
+      // reclaimed bytes. Correctness arm: the final live snapshot equals
+      // the frozen-centroid rebuild-without row-for-row.
+      val n = posArgs.lift(0).map(_.toLong).getOrElse(200000L)
+      val nlist = 128
+      var recsRead = 0L; var bytesWritten = 0L
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              recsRead += t.taskMetrics.inputMetrics.recordsRead
+              bytesWritten += t.taskMetrics.outputMetrics.bytesWritten
+            }
+        })
+      def du(dir: String): Long = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(p)) return 0L
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+        finally w.close()
+      }
+      val cols = (0 until 64).map(i =>
+        (xxhash64(col("id"), lit(i)).cast("double") / 9.223372036854776e18))
+      val emb = spark.range(n)
+        .select(col("id").as("vec_id"), array(cols: _*).as("embedding")).persist()
+      emb.count()
+      val day1 = emb.filter(col("vec_id") % 100 =!= 0)
+      val batchDir = java.nio.file.Files.createTempDirectory("s16-batch").toString
+      emb.filter(col("vec_id") % 100 === 0).write.mode("overwrite").parquet(batchDir)
+      val day2 = spark.read.parquet(batchDir)
+      val root = java.nio.file.Files.createTempDirectory("s16-root").toString
+      val ref = java.nio.file.Files.createTempDirectory("s16-ref").toString
+      import graft.operators.VersionedIvf
+      import graft.sources.VersionedArtifact
+      def manifestBytes(v: String): Long =
+        java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, "versions", s"$v.mf"))
+      timed(s"s16_build_day1_99pct_$n") {
+        VersionedIvf.build(day1, root, nlist); 0L
+      }
+      Thread.sleep(1000)
+      val (r0, w0) = (recsRead, bytesWritten)
+      var vAppend = ""
+      timed(s"s16_append_day2_1pct_$n") {
+        vAppend = VersionedIvf.append(spark, day2, root, "day2"); 0L
+      }
+      Thread.sleep(1000)
+      val (appendRecs, appendBytes) = (recsRead - r0, bytesWritten - w0)
+      val appendMfBytes = manifestBytes(vAppend)
+      // the REPLAYED trigger: committed-batch-id membership makes it a
+      // metadata no-op — measure that it truly writes and commits nothing
+      val versionsBefore = VersionedArtifact.publishedVersions(root).size
+      val (wr0) = bytesWritten
+      val tR = System.nanoTime()
+      VersionedIvf.append(spark, day2, root, "day2")
+      val replaySec = (System.nanoTime() - tR) / 1e9
+      Thread.sleep(1000)
+      val replayBytes = bytesWritten - wr0
+      val replayNoop = VersionedArtifact.publishedVersions(root).size == versionsBefore
+      // takedown: ~n/4000 scattered ids (the s15 protocol)
+      val delDir = java.nio.file.Files.createTempDirectory("s16-dels").toString
+      emb.filter(col("vec_id") % 4000 === 7).select(col("vec_id"))
+        .write.mode("overwrite").parquet(delDir)
+      val dels = spark.read.parquet(delDir)
+      val (r1, w1) = (recsRead, bytesWritten)
+      timed(s"s16_delete_${n}_ids_${n / 4000}") {
+        VersionedIvf.delete(spark, root, dels); 0L
+      }
+      Thread.sleep(1000)
+      val (delRecs, delBytes) = (recsRead - r1, bytesWritten - w1)
+      val w2 = bytesWritten
+      timed(s"s16_compact_$n") { VersionedIvf.compact(spark, root); 0L }
+      Thread.sleep(1000)
+      val compactBytes = bytesWritten - w2
+      val duBefore = du(s"$root/data")
+      val reclaimed = VersionedIvf.vacuum(root, keepVersions = 1)
+      val duAfter = du(s"$root/data")
+      // correctness: live snapshot == frozen-centroid rebuild-without
+      timed(s"s16_rebuild_without_$n") {
+        Similarity.buildIvfIndex(
+          emb.join(dels, Seq("vec_id"), "left_anti"), ref, nlist,
+          centroidSource = Some(day1)); 0L
+      }
+      val g = VersionedIvf.livePostings(spark, root)
+        .select(col("vec_id"), col("cid"))
+      val r = spark.read.parquet(s"$ref/postings")
+        .select(col("vec_id"), col("cid").cast("long"))
+      val diff = g.exceptAll(r).count() + r.exceptAll(g).count()
+      println(s"""{"step":"s16_versioned_detail","corpus_records":$n,""" +
+        s""""batch_records":${n / 100},"append_input_records":$appendRecs,""" +
+        s""""append_bytes_written":$appendBytes,""" +
+        s""""append_manifest_bytes":$appendMfBytes,""" +
+        f""""replay_sec":$replaySec%.3f,"replay_bytes_written":$replayBytes,""" +
+        s""""replay_is_metadata_noop":$replayNoop,""" +
+        s""""deleted_ids":${n / 4000},"delete_input_records":$delRecs,""" +
+        s""""delete_bytes_written":$delBytes,""" +
+        s""""compact_bytes_written":$compactBytes,""" +
+        s""""vacuum_reclaimed_dirs":${reclaimed.size},""" +
+        s""""vacuum_reclaimed_bytes":${duBefore - duAfter},""" +
+        s""""data_bytes_live":$duAfter,""" +
+        s""""versioned_eq_rebuild":${diff == 0L},"row_diff":$diff}""")
+      require(replayNoop, "replayed append committed a new version")
+      require(diff == 0L, "versioned chain diverged from rebuild-without")
+      emb.unpersist()
+      spark.stop(); return
+    }
+
     if (args.contains("--retrain-only")) {
       // ---- s17 retrain: the monitor→retrain→recall loop, measured ------
       // The r12 verdict's ask: prove the drift monitor's numbers trigger
