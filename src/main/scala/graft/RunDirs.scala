@@ -93,4 +93,24 @@ object RunDirs {
   /** A named artifact dir under this process's root, created on demand. */
   def dir(name: String): java.nio.file.Path =
     mkOwned(root.resolve(name))
+
+  /** [[dir]], WIPED clean first — for registered queries over VERSIONED
+    * artifacts. A versioned build is deliberately NOT a reset (a rebuild
+    * carries committed batch ids forward so replayed appends stay no-ops
+    * — the exactly-once contract), so re-executing such a query against
+    * the previous execution's root would silently no-op its own appends;
+    * Bench executes every registered query four times in one JVM. These
+    * queries therefore start from an empty root on every execution. */
+  def freshDir(name: String): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val p = dir(name)
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.filter(_ != p).foreach { f =>
+        try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: Exception => () }
+      }
+    finally walk.close()
+    p
+  }
 }

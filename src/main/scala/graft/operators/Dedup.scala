@@ -1770,7 +1770,7 @@ object Dedup {
     // nothing the live version serves.
     Q("d32_band_versioned_lifecycle", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
-        val root = graft.RunDirs.dir("d32").toString
+        val root = graft.RunDirs.freshDir("d32").toString
         VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
         VersionedBand.append(s,
           docs.filter(pmod(col("doc_id"), lit(10)) === 0), root, "day2")
@@ -1812,7 +1812,7 @@ object Dedup {
     // snapshot read, the replay no-op, and the probe quadrant together.
     Q("d33_incremental_dedup_versioned", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
-        val root = graft.RunDirs.dir("d33").toString
+        val root = graft.RunDirs.freshDir("d33").toString
         VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
           pmod(col("doc_id"), lit(10)) =!= 5), root)
         VersionedBand.append(s,

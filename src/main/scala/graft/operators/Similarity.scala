@@ -989,7 +989,7 @@ object Similarity {
     Q("st16_stream_index_maintenance",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val root = graft.RunDirs.dir("st16").toString
+        val root = graft.RunDirs.freshDir("st16").toString
         VersionedIvf.build(emb.filter(col("vec_id") % 4 =!= 3), root, nlist = 8)
         VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 3), root, "mb0")
         VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 7), root, "mb1")
@@ -1093,7 +1093,7 @@ object Similarity {
     Q("s16_ivf_versioned_lifecycle",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val root = graft.RunDirs.dir("s16").toString
+        val root = graft.RunDirs.freshDir("s16").toString
         VersionedIvf.build(emb.filter(col("vec_id") % 4 =!= 3), root, nlist = 8)
         VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 3), root, "day2a")
         VersionedIvf.append(s, emb.filter(col("vec_id") % 8 === 3), root, "day2a")
@@ -1124,7 +1124,7 @@ object Similarity {
     Q("s17_ivf_retrain",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val root = graft.RunDirs.dir("s17").toString
+        val root = graft.RunDirs.freshDir("s17").toString
         VersionedIvf.build(emb, root, nlist = 8)
         VersionedIvf.retrain(s, root)
         VersionedIvf.probe(s, root, emb.filter(col("vec_id") < 5),

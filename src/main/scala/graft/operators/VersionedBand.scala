@@ -99,16 +99,9 @@ object VersionedBand {
     * keeps one snapshot while maintenance publishes past it, protected
     * by vacuum's retention grace window. */
   def readLive(spark: SparkSession, root: String,
-      asOf: Option[String] = None): DataFrame = {
-    val m = asOf match {
-      case None => liveSnapshot(root)._2
-      case Some(v) =>
-        require(VersionedArtifact.publishedVersions(root).contains(v),
-          s"asOf $v: not a published (or still-retained) version under $root")
-        parse(VersionedArtifact.readManifest(root, v))
-    }
-    readLeaves(spark, root, m.leaves)
-  }
+      asOf: Option[String] = None): DataFrame =
+    readLeaves(spark, root,
+      parse(VersionedArtifact.resolveManifestLines(root, asOf)).leaves)
 
   private def readLeaves(spark: SparkSession, root: String,
       leaves: Seq[Leaf]): DataFrame = {

@@ -115,17 +115,11 @@ object VersionedIvf {
     currentSnapshot(root).getOrElse(throw new IllegalStateException(
       s"no committed version under $root — build first"))
 
-  /** Resolve the manifest a read should serve: CURRENT, or — for a
-    * pinned (time-travel) reader — an explicitly named PUBLISHED version
-    * still inside vacuum's retention window. */
+  /** Resolve the manifest a read should serve: CURRENT, or a pinned
+    * (time-travel) PUBLISHED version — the rule lives in
+    * [[VersionedArtifact.resolveManifestLines]]. */
   private def resolveManifest(root: String, asOf: Option[String]): Manifest =
-    asOf match {
-      case None => liveSnapshot(root)._2
-      case Some(v) =>
-        require(VersionedArtifact.publishedVersions(root).contains(v),
-          s"asOf $v: not a published (or still-retained) version under $root")
-        parse(VersionedArtifact.readManifest(root, v))
-    }
+    parse(VersionedArtifact.resolveManifestLines(root, asOf))
 
   /** A writer-unique segment suffix: racing writers must never address
     * the same staging directory (two Spark overwrite-writes to one path

@@ -42,19 +42,38 @@ final class CommitConflictException(msg: String)
   *     committed leaves: the classic lost update) gets a retryable
   *     conflict and its orphan manifest removed.
   * Exactly one writer wins each version; a loser retries from the new
-  * live snapshot. Published versions are recorded in an append-only
-  * `versions/PUBLISHED` log (written under the commit lock), so
-  * [[vacuumDataDirs]] can tell a committed version from a
+  * live snapshot.
+  *
+  * The CURRENT pointer file IS the publish history: each publish
+  * rewrites it (atomically, via rename) with the new version APPENDED
+  * as the last line, so the live pointer and the served-version log can
+  * never disagree — there is no crash window in which a version is
+  * logged but never served or served but never logged. The history lets
+  * [[vacuumDataDirs]] tell a genuinely served version from a
   * staged-but-never-published crash orphan (r13 ADVICE: an orphan must
-  * not consume a retention-grace slot).
+  * not consume a retention-grace slot) and lets [[publishedVersions]]
+  * validate pinned asOf reads. The history is truncated to the last
+  * [[historyKeep]] entries at each publish — far beyond any retention
+  * window — so the pointer file stays bounded on an indefinitely
+  * maintained artifact.
+  *
+  * The commit lock is an OS file lock (flock semantics via
+  * `FileChannel.tryLock`), taken after a per-root JVM monitor: the OS
+  * releases it when the holding process dies, so there is no stale-pid
+  * heuristic to race on (a pid-liveness check is both breakable — a
+  * waiter can evict a live holder that reacquired between the read and
+  * the break — and wedgeable under pid reuse). A wedged-but-alive
+  * holder surfaces as a retryable conflict at the acquisition deadline.
   *
   * Layout under an artifact root:
   * {{{
-  *   <root>/CURRENT              — the live version name, e.g. "v00000003"
-  *   <root>/.commit.lock         — transient publish lock (holder pid inside)
+  *   <root>/CURRENT              — publish history, one version per line;
+  *                                 the LAST line is the live version
+  *   <root>/.commit.lock         — the flock file (never deleted: unlinking
+  *                                 a locked file would split-brain a later
+  *                                 opener onto a fresh inode)
   *   <root>/versions/<name>.mf   — that version's manifest (caller-authored
   *                                 lines after the #base protocol line)
-  *   <root>/versions/PUBLISHED   — append-only log of published versions
   *   <root>/data/<ver>-<op>.../  — immutable data dirs, tagged with the
   *                                 version current when the writer started
   *                                 (ties orphans to writers for vacuum)
@@ -71,18 +90,26 @@ object VersionedArtifact {
 
   private def currentFile(root: String): Path = Paths.get(root, "CURRENT")
   private def versionsDir(root: String): Path = Paths.get(root, "versions")
-  private def publishedLog(root: String): Path =
-    versionsDir(root).resolve("PUBLISHED")
   def dataDir(root: String): Path = Paths.get(root, "data")
 
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** The live version name, if the artifact has ever committed. */
-  def currentName(root: String): Option[String] = {
+  /** Publish-history bound: CURRENT keeps this many trailing entries —
+    * orders of magnitude past any retention window, while keeping the
+    * pointer file O(1) on an indefinitely maintained artifact. */
+  private val historyKeep = 1024
+
+  /** The CURRENT file's publish history, oldest first; empty if the
+    * artifact has never committed. The last entry is the live version. */
+  private def currentHistory(root: String): Seq[String] = {
     val f = currentFile(root)
-    if (Files.exists(f)) Some(Files.readString(f).trim).filter(_.nonEmpty)
-    else None
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  /** The live version name, if the artifact has ever committed. */
+  def currentName(root: String): Option[String] =
+    currentHistory(root).lastOption
 
   /** Manifest lines of a committed version — protocol lines (`#…`) are
     * this object's, never surfaced to the caller's parser. */
@@ -116,23 +143,37 @@ object VersionedArtifact {
     }
   }
 
-  /** Versions that were actually PUBLISHED (pointer flipped to them), in
-    * ascending order, restricted to ones whose manifest still exists and
-    * that are at-or-before CURRENT (an entry logged by a writer that
-    * crashed between the log append and the pointer flip is not yet
-    * published). CURRENT itself is always included — it is published by
-    * definition, even if a pre-log-format writer flipped it. */
-  def publishedVersions(root: String): Seq[String] =
-    currentName(root) match {
-      case None => Seq.empty
-      case Some(cur) =>
-        val have = listVersions(root).toSet
-        val logged =
-          if (!Files.exists(publishedLog(root))) Seq.empty
-          else Files.readAllLines(publishedLog(root)).asScala.toSeq
-            .map(_.trim).filter(_.nonEmpty)
-        (logged.filter(v => have.contains(v) && v <= cur) :+ cur)
-          .distinct.sorted
+  /** Versions that were actually PUBLISHED (the pointer flipped to them
+    * at some point — the CURRENT file's own history), ascending,
+    * restricted to ones whose manifest still exists (vacuum sweeps the
+    * manifests of versions outside the retention window, after which
+    * they are no longer pinnable). The live version is always present:
+    * it is the history's last entry and its manifest is never swept. */
+  def publishedVersions(root: String): Seq[String] = {
+    val hist = currentHistory(root)
+    if (hist.isEmpty) Seq.empty
+    else {
+      val have = listVersions(root).toSet
+      (hist.filter(have.contains) :+ hist.last).distinct.sorted
+    }
+  }
+
+  /** Manifest lines a READ should serve: the live version's, or — for a
+    * pinned (time-travel) reader — an explicitly named PUBLISHED version
+    * still inside vacuum's retention window. A pinned reader is
+    * unaffected by concurrent publishes; a pin outside the window fails
+    * loudly instead of silently re-resolving. Shared by the typed
+    * artifact wrappers so the pinning rule lives in one place. */
+  def resolveManifestLines(root: String, asOf: Option[String]): Seq[String] =
+    asOf match {
+      case None =>
+        val cur = currentName(root).getOrElse(throw new IllegalStateException(
+          s"no committed version under $root — build first"))
+        readManifest(root, cur)
+      case Some(v) =>
+        require(publishedVersions(root).contains(v),
+          s"asOf $v: not a published (or still-retained) version under $root")
+        readManifest(root, v)
     }
 
   /** The name the NEXT commit will take: max staged-or-committed + 1.
@@ -178,7 +219,9 @@ object VersionedArtifact {
   /** PUBLISH a staged version: under the commit lock, re-read CURRENT and
     * atomically flip it to `name` ONLY if it still equals the base the
     * manifest was staged against — the compare-and-swap that makes a
-    * racing writer's lost update impossible. On a lost race the staged
+    * racing writer's lost update impossible. The flip rewrites CURRENT
+    * with `name` appended to the publish history (one atomic rename, so
+    * pointer and history can never disagree). On a lost race the staged
     * manifest is removed (its data dirs age out via [[vacuumDataDirs]])
     * and a retryable [[CommitConflictException]] is thrown. After this
     * returns, every new reader resolves `name`; a reader that already
@@ -190,7 +233,8 @@ object VersionedArtifact {
       s"publish($name): no staged manifest under $root/versions")
     val base = baseOf(root, name)
     withCommitLock(root) {
-      val cur = currentName(root)
+      val hist = currentHistory(root)
+      val cur = hist.lastOption
       if (cur != base) {
         // lost the race: the live version moved past our base, so this
         // manifest was derived from a superseded snapshot and committing
@@ -200,13 +244,10 @@ object VersionedArtifact {
           s"publish($name): CURRENT is ${cur.getOrElse("<none>")}, " +
             s"staged base was ${base.getOrElse("<none>")} — re-derive and retry")
       }
-      // log-then-flip: a crash between the two leaves a log entry whose
-      // version is > CURRENT, which publishedVersions ignores
-      Files.write(publishedLog(root), (name + "\n").getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.APPEND, StandardOpenOption.SYNC)
-      val tmp = Paths.get(root, s".CURRENT.tmp")
-      Files.writeString(tmp, name + "\n",
+      val tmp = Paths.get(root,
+        s".CURRENT.tmp-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
+      Files.writeString(tmp,
+        (hist :+ name).takeRight(historyKeep).mkString("", "\n", "\n"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE, StandardOpenOption.SYNC)
       Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
@@ -214,44 +255,42 @@ object VersionedArtifact {
     }
   }
 
-  /** The publish-side mutual exclusion: an O_EXCL lock file carrying the
-    * holder's pid. Held only across the CAS check + pointer flip
-    * (microseconds); a holder that died is detected by its pid and the
-    * stale lock is broken with an atomic rename, so exactly one waiter
-    * takes over. On an object store this whole primitive is one
-    * conditional put of CURRENT. */
+  /** Per-root monitors serializing same-JVM publishers (an OS file lock
+    * is per-process; overlapping same-JVM attempts would throw). */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The publish-side mutual exclusion: an OS file lock (flock
+    * semantics) on `.commit.lock`, held only across the CAS check +
+    * pointer flip. The OS releases it when the holding process dies —
+    * no stale-holder heuristic exists to race on or to wedge under pid
+    * reuse. A holder that is alive but stuck surfaces as a retryable
+    * conflict at the acquisition deadline. The lock FILE is never
+    * deleted: unlinking a locked file would hand a later opener a fresh
+    * inode and split-brain the lock. On an object store this whole
+    * primitive is one conditional put of CURRENT. */
   private def withCommitLock[T](root: String)(f: => T): T = {
-    val lock = Paths.get(root, ".commit.lock")
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    var held = false
-    while (!held) {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, ".commit.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
-        Files.writeString(lock, ProcessHandle.current().pid().toString + "\n",
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE,
-          StandardOpenOption.SYNC)
-        held = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stalePid = try {
-            val pid = Files.readString(lock).trim
-            if (pid.nonEmpty && pid.forall(_.isDigit) &&
-                !ProcessHandle.of(pid.toLong).isPresent) Some(pid) else None
-          } catch { case _: Exception => None }
-          if (stalePid.isDefined) {
-            // atomic takeover: only one waiter wins the rename
-            val claim = Paths.get(root,
-              s".commit.lock.stale-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
-            try {
-              Files.move(lock, claim, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(claim)
-            } catch { case _: Exception => () }
-          } else if (System.nanoTime() > deadline) {
-            throw new CommitConflictException(
-              s"publish: commit lock $lock held past timeout")
-          } else Thread.sleep(10)
-      }
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var fl: java.nio.channels.FileLock = null
+        while (fl == null) {
+          fl = ch.tryLock()
+          if (fl == null) {
+            if (System.nanoTime() > deadline)
+              throw new CommitConflictException(
+                s"publish: commit lock under $root held past timeout")
+            Thread.sleep(10)
+          }
+        }
+        try f finally fl.release()
+      } finally ch.close()
     }
-    try f finally Files.deleteIfExists(lock)
   }
 
   /** Retention sweep (r12 verdict #8): drop manifests and data dirs that

@@ -496,6 +496,25 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(operators.VersionedBand.append(spark, bday2, broot, "day2") === brebuilt)
   }
 
+  test("registered versioned queries are re-execution-identical in one JVM (the Bench contract)") {
+    // Bench executes every registered query FOUR times in one process
+    // against the same per-pid RunDirs root, and a versioned build
+    // deliberately carries committed batch ids forward (exactly-once
+    // across rebuilds) — so these queries must wipe their root
+    // (RunDirs.freshDir). A regression to a carried root would no-op
+    // the appends on run 2 and probe a silently smaller corpus.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("d32_band_versioned_lifecycle",
+        "d33_incremental_dedup_versioned", "s16_ivf_versioned_lifecycle",
+        "s17_ivf_retrain", "st16_stream_index_maintenance")) {
+      val q = SparkEntry.queries(name)
+      val r1 = q(spark, dir).collect().map(_.toSeq).toSeq
+      val r2 = q(spark, dir).collect().map(_.toSeq).toSeq
+      assert(r1.nonEmpty, s"$name returned nothing")
+      assert(r1 === r2, s"$name diverged on re-execution in one JVM")
+    }
+  }
+
   // ---- trained-tokenizer artifact (t18/t19/e07) --------------------------
 
   test("BPE artifact: train on an empty corpus — loads empty, encode gives every doc a 0-count row") {

@@ -162,14 +162,20 @@ def pin_rundirs_fixtures(verify_out: str) -> None:
     roots = sorted(set(re.findall(r"/tmp/graft_[^/\"']*-\d+", osql)))
     pinned = 0
     for root in roots:
-        if not os.path.isdir(root):
-            # already reaped — leave the original path so the compare
-            # fails with the true location, not a phantom pinned one
-            print(f"WARNING: RunDirs tree {root} already gone before "
-                  "pinning — a concurrent graft JVM reaped it", flush=True)
+        # a reap can land at ANY point here (pre-check or mid-copy) if
+        # another graft JVM starts in the window; degrade to the old
+        # visible per-query failure with a warning, never a harness crash
+        try:
+            if not os.path.isdir(root):
+                raise FileNotFoundError(root)
+            dst = os.path.join(verify_out, "pinned_" + os.path.basename(root))
+            shutil.copytree(root, dst, dirs_exist_ok=True)
+        except OSError as e:
+            print(f"WARNING: could not pin RunDirs tree {root} ({e}) — "
+                  "a concurrent graft JVM reaped it; the compare will "
+                  "report the affected queries against the original path",
+                  flush=True)
             continue
-        dst = os.path.join(verify_out, "pinned_" + os.path.basename(root))
-        shutil.copytree(root, dst, dirs_exist_ok=True)
         osql = osql.replace(root, dst)
         pinned += 1
     if pinned:
