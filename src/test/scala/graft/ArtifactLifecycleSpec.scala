@@ -404,6 +404,62 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
       "racing appenders diverged from the sequential artifact")
   }
 
+  test("cross-process writers: the flock commit lock and CAS hold across a real process boundary") {
+    // the in-JVM two-writer tests serialize on the per-root JVM monitor
+    // BEFORE the OS file lock is ever contended — this arm spawns a real
+    // second JVM (CrossProcessAppendMain) appending concurrently with
+    // this process, then publishes a stale pre-spawn stage: both batches
+    // must commit (no lost update under cross-process racing) and the
+    // stale CAS must refuse against a CURRENT moved by other processes
+    import graft.sources.{CommitConflictException, VersionedArtifact => VA}
+    import scala.jdk.CollectionConverters._
+    val root = tmp("alc-xproc")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 30), root) // v1
+    // a stale writer (this process) stages v2 derived from v1 and stalls
+    VA.stage(root, "v00000002", VA.readManifest(root, "v00000001"),
+      base = Some("v00000001"))
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .map(new java.io.File(_).getAbsolutePath).mkString("", ":", ":/opt/spark/jars/*")
+    val cmd = (Seq("java") ++ opens ++ Seq("-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC", "-Xmx2g", "-cp", cp,
+      "graft.CrossProcessAppendMain", root, "child",
+      "/root/testdata/sf0.001", "30", "40")).asJava
+    val log = java.nio.file.Files.createTempFile("alc-xproc", ".log").toFile
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val child = pb.start()
+    // this process appends concurrently — the two writers race for real
+    val parentErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try operators.VersionedBand.append(spark,
+        docs.filter($"doc_id" >= 40 && $"doc_id" < 50), root, "parent")
+      catch { case e: Throwable => parentErr.set(e) })
+    t.start()
+    val done = child.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+    t.join()
+    assert(parentErr.get() == null, s"parent append threw: ${parentErr.get()}")
+    assert(done, "child JVM timed out")
+    assert(child.exitValue() === 0, "child append failed:\n" +
+      scala.io.Source.fromFile(log).mkString.takeRight(2000))
+    intercept[CommitConflictException] { VA.publish(root, "v00000002") }
+    val m = operators.VersionedBand.currentManifest(root).get
+    assert(m.batches.toSet === Set("base", "child", "parent"),
+      s"a cross-process commit was lost: ${m.batches}")
+    // no committed row lost: live content == a one-shot build over the union
+    val ref = tmp("alc-xproc-ref")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 50), ref)
+    def rows(r: String) = operators.VersionedBand.readLive(spark, r)
+      .select($"doc_id", $"band", $"bkey").collect().map(_.toSeq).toSet
+    assert(rows(root) === rows(ref),
+      "cross-process merged artifact diverged from the one-shot build")
+  }
+
   // ---- pinned (asOf) reads + published-only retention --------------------
 
   test("versioned: a pinned asOf reader is unaffected by publishes and survives default-grace vacuum") {
