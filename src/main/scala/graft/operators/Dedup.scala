@@ -1824,6 +1824,28 @@ object Dedup {
           .orderBy(col("d1"), col("d2"))
       }, Some(incrementalPairsOracleSql)),
 
+    // ---- d34: TIME-TRAVEL dedup probe (pinned asOf read) ----------------
+    // A long-running consumer pins one committed snapshot while
+    // maintenance keeps publishing (r13 verdict #5's read path, made
+    // oracle-certified rather than spec-only): pin v1 (the %10<>0
+    // corpus), then APPEND THE PROBE BATCH ITSELF as day 2 — the
+    // adversarial choice: against CURRENT the probe would find every
+    // batch doc in the corpus and emit d1==d2 self-pairs the oracle
+    // excludes, so any regression of asOf to CURRENT-resolution (or a
+    // vacuum that broke the pinned version inside its grace window)
+    // breaks the hash, not just a spec. The pinned probe sees exactly
+    // the pre-append corpus — d14's from-scratch oracle, unchanged.
+    Q("d34_dedup_time_travel", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val root = graft.RunDirs.freshDir("d34").toString
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+        val pin = graft.sources.VersionedArtifact.currentName(root).get
+        VersionedBand.append(s, batch, root, "day2") // CURRENT moves past the pin
+        incrementalLshPairsFromVersioned(s, root, batch, asOf = Some(pin))
+          .orderBy(col("d1"), col("d2"))
+      }, Some(incrementalPairsOracleSql)),
+
     // ---- st14: streaming incremental dedup (registered batch form) -----
     // The same probe StreamingSpec runs under readStream: new docs
     // (every 10th) vs the static corpus index, new-vs-corpus pairs only

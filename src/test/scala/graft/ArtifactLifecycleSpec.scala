@@ -561,7 +561,8 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     // the appends on run 2 and probe a silently smaller corpus.
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("d32_band_versioned_lifecycle",
-        "d33_incremental_dedup_versioned", "s16_ivf_versioned_lifecycle",
+        "d33_incremental_dedup_versioned", "d34_dedup_time_travel",
+        "s16_ivf_versioned_lifecycle",
         "s17_ivf_retrain", "st16_stream_index_maintenance")) {
       val q = SparkEntry.queries(name)
       val r1 = q(spark, dir).collect().map(_.toSeq).toSeq

@@ -37,7 +37,8 @@ class QueriesSpec extends AnyFunSuite {
     "d14_incremental_dedup", "d15_dup_shingle_rate", "d16_containment",
     "d28_band_index_lifecycle", "d30_incremental_dedup_from_index",
     "d31_band_index_delete", "d32_band_versioned_lifecycle",
-    "d33_incremental_dedup_versioned", "s15_ivf_delete",
+    "d33_incremental_dedup_versioned", "d34_dedup_time_travel",
+    "s15_ivf_delete",
     "s16_ivf_versioned_lifecycle", "s17_ivf_retrain",
     "d26_contamination_pairs", "i01_tolerant_ingest", "i02_quarantine_sink",
     "i04_ingest_circuit_breaker",
