@@ -15,9 +15,20 @@ import org.apache.spark.sql.SparkSession
   *     (default 900), and records start/end load in the artifact. A
   *     committed number measured under contention is an artifact lie
   *     (d05 was once recorded at 53 s vs 3.2 s idle).
-  *   - global warmup (JVM/codegen/parquet-footer caches), then per query
-  *     one untimed warmup run + `SPARK_GRAFT_BENCH_RUNS` (default 3) timed
-  *     runs; the reported seconds are the MEDIAN.
+  *   - global warmup (JVM/codegen/parquet-footer caches), then
+  *     `SPARK_GRAFT_BENCH_SUITES` (default 2) full passes over the
+  *     registry; within each pass a query gets `SPARK_GRAFT_BENCH_RUNS`
+  *     (default 3) timed runs (plus one untimed warmup in the first
+  *     pass), and the reported seconds are the MIN over passes of the
+  *     per-pass MEDIAN (r14 verdict #2: three consecutive rounds of
+  *     headlines qualified at the load-gate boundary carried a one-query
+  *     transient smear — r14's g20 read 21.9 s in the artifact vs
+  *     1.8–2.9 s in three sibling idle runs, because a within-pass
+  *     transient smears all three back-to-back runs together; two
+  *     passes separated by the full suite's wall are what the
+  *     min-of-medians needs to shed it). Per-pass medians and loads are
+  *     recorded in the artifact, so a disagreement between passes is
+  *     machine-visible.
   *   - FULL-OUTPUT evaluation ([[exec]]): each run materializes every
   *     output column and any terminal sort, never a stacked `.count()`
   *     that Catalyst can prune projections / eliminate joins / drop
@@ -135,18 +146,27 @@ object Bench {
     // load5 well under 0.5
     val headline5Max =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_MAXLOAD5", "0.6").toDouble
+    // full suite passes; per-query value = min over passes of the
+    // per-pass median (r14 verdict #2). A filtered dev run keeps one
+    // pass: the min-of-passes rule protects the COMMITTED artifact.
+    val suites = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUITES",
+      if (only.isEmpty) "2" else "1").toInt
+
     def quiet(l: (Double, Double)) = l._1 <= headlineMax && l._2 <= headline5Max
-    val waitStart = System.nanoTime()
-    var load = loadAvg()
-    while (!quiet(load) && (System.nanoTime() - waitStart) / 1e9 < maxWait) {
-      System.err.println(f"bench: load ${load._1}%.1f/5m ${load._2}%.1f > headline $headlineMax%.1f/$headline5Max%.1f, waiting for idle box...")
-      Thread.sleep(15000)
-      load = loadAvg()
+    def waitForQuiet(): (Double, Double) = {
+      val waitStart = System.nanoTime()
+      var load = loadAvg()
+      while (!quiet(load) && (System.nanoTime() - waitStart) / 1e9 < maxWait) {
+        System.err.println(f"bench: load ${load._1}%.1f/5m ${load._2}%.1f > headline $headlineMax%.1f/$headline5Max%.1f, waiting for idle box...")
+        Thread.sleep(15000)
+        load = loadAvg()
+      }
+      load
     }
-    val (loadAtStart, load5AtStart) = load
+    val (loadAtStart, load5AtStart) = waitForQuiet()
     if (loadAtStart > maxLoad)
       System.err.println(f"bench: WARNING — starting under load $loadAtStart%.1f; timings suspect")
-    else if (!quiet(load))
+    else if (!quiet((loadAtStart, load5AtStart)))
       System.err.println(f"bench: load $loadAtStart%.1f/5m $load5AtStart%.1f — artifact will be tagged loaded-floors-only")
 
     val spark = SparkSession.builder()
@@ -167,32 +187,80 @@ object Bench {
     var failed = List.empty[(String, String)]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val dir = if (certTierQueries(name)) certDir else sfDir
-      try {
-        exec(fn(spark, dir)) // untimed warmup
-        val times = (1 to runs).map { i =>
-          if (i == runs) {
-            val (r0, w0) = totals.snapshotAfter()
-            val t0 = System.nanoTime()
-            exec(fn(spark, dir))
-            val sec = (System.nanoTime() - t0) / 1e9
-            val (r1, w1) = totals.snapshotAfter()
-            (sec, r1 - r0, w1 - w0)
-          } else {
-            val t0 = System.nanoTime()
-            exec(fn(spark, dir))
-            ((System.nanoTime() - t0) / 1e9, 0L, 0L)
+    def runSuite(first: Boolean): Seq[(String, Double, Long, Long, Double, Double)] =
+      selected.map { case (name, fn) =>
+        val dir = if (certTierQueries(name)) certDir else sfDir
+        try {
+          if (first) exec(fn(spark, dir)) // untimed warmup (pass 1 only)
+          val times = (1 to runs).map { i =>
+            if (i == runs) {
+              val (r0, w0) = totals.snapshotAfter()
+              val t0 = System.nanoTime()
+              exec(fn(spark, dir))
+              val sec = (System.nanoTime() - t0) / 1e9
+              val (r1, w1) = totals.snapshotAfter()
+              (sec, r1 - r0, w1 - w0)
+            } else {
+              val t0 = System.nanoTime()
+              exec(fn(spark, dir))
+              ((System.nanoTime() - t0) / 1e9, 0L, 0L)
+            }
           }
+          val sorted = times.map(_._1).sorted
+          val median = sorted.apply(runs / 2)
+          val (_, rd, wr) = times.last
+          (name, median, rd, wr, sorted.head, sorted.last)
+        } catch {
+          case e: Throwable =>
+            if (!failed.exists(_._1 == name))
+              failed ::= (name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            (name, -1.0, 0L, 0L, -1.0, -1.0)
         }
-        val sorted = times.map(_._1).sorted
-        val median = sorted.apply(runs / 2)
-        val (_, rd, wr) = times.last
-        (name, median, rd, wr, sorted.head, sorted.last)
-      } catch {
-        case e: Throwable =>
-          failed ::= (name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          (name, -1.0, 0L, 0L, -1.0, -1.0)
+      }
+    // each pass re-qualifies the box. Pass 1 gates on BOTH load fields
+    // (the bench-start criterion); later passes gate on load1 ONLY: the
+    // 5-min average is self-inflated for ~15 minutes after a full pass
+    // (it is measuring the bench's own compute), so waiting it out would
+    // burn idle wall to learn nothing, while load1 decays in ~2-3
+    // minutes and still catches FOREIGN load arriving between passes.
+    // The min-of-medians then shields pass-2 values measured under the
+    // residual self-load — pass 1 was idle-qualified for those queries.
+    def waitForLoad1(): (Double, Double) = {
+      val waitStart = System.nanoTime()
+      var load = loadAvg()
+      while (load._1 > headlineMax &&
+          (System.nanoTime() - waitStart) / 1e9 < maxWait) {
+        Thread.sleep(15000)
+        load = loadAvg()
+      }
+      load
+    }
+    var suiteLoads = List.empty[(Double, Double)]
+    var suitesOk = true
+    val bySuite = (1 to suites).map { si =>
+      val l =
+        if (si == 1) (loadAtStart, load5AtStart)
+        else waitForLoad1()
+      suiteLoads :+= l
+      val ok =
+        if (si == 1) quiet(l)
+        else l._1 >= 0 && l._1 <= headlineMax
+      if (!ok) suitesOk = false
+      runSuite(first = si == 1)
+    }
+    // per-query: min over passes of the per-pass median; shuffle bytes
+    // from the first pass that ran it cleanly (bytes are deterministic);
+    // spread across ALL timed runs of all passes
+    val results = selected.indices.map { i =>
+      val rs = bySuite.map(_(i))
+      val name = rs.head._1
+      val ok = rs.filter(_._2 >= 0)
+      if (ok.isEmpty) (name, -1.0, 0L, 0L, -1.0, -1.0)
+      else {
+        val best = ok.minBy(_._2)
+        val mn = ok.map(_._5).min
+        val mx = ok.map(_._6).max
+        (name, best._2, ok.head._3, ok.head._4, mn, mx)
       }
     }
     val loadAtEnd = loadAvg()
@@ -222,15 +290,27 @@ object Bench {
     val certQs = results.collect { case (k, _, _, _, _, _) if certTierQueries(k) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val headlineOk = loadAtStart >= 0 && loadAtStart <= headlineMax &&
-      load5AtStart >= 0 && load5AtStart <= headline5Max
+    // EVERY pass must have started qualified (pass 1 on both fields,
+    // later passes on load1 — see the pass loop) — a pass that began
+    // under foreign load would otherwise launder its smear into the min
+    val headlineOk = suitesOk
     val loadTag = if (headlineOk) "idle" else "loaded-floors-only"
-    val meta = s""""unit":"sec","runs":$runs,"stat":"median","errors":$errs,""" +
+    val suiteLoadsJson = suiteLoads
+      .map(l => f"[${l._1}%.2f,${l._2}%.2f]").mkString("[", ",", "]")
+    val suiteTotals = bySuite
+      .map(rs => num(rs.map(_._2).filter(_ >= 0).sum)).mkString("[", ",", "]")
+    val suiteMedians = bySuite.map { rs =>
+      rs.map { case (k, v, _, _, _, _) => s"\"$k\":${num(v)}" }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val meta = s""""unit":"sec","runs":$runs,"suites":$suites,""" +
+      s""""stat":"min_of_suite_medians","errors":$errs,""" +
       s""""cert_sf":"$certDir","cert_queries":$certQs,""" +
       s""""headline_ok":$headlineOk,"load_tag":"$loadTag",""" +
+      s""""suite_loads":$suiteLoadsJson,"suite_totals":$suiteTotals,""" +
       f""""load_start":$loadAtStart%.2f,"load5_start":$load5AtStart%.2f,""" +
       f""""load_end":${loadAtEnd._1}%.2f,"sf":"$sfDir""""
-    val fullLine = s"""{"metric":"total","value":${num(total)},$meta,"queries":$qs,"spread_min_max":$spread,"shuffle_bytes":$sh}"""
+    val fullLine = s"""{"metric":"total","value":${num(total)},$meta,"queries":$qs,"spread_min_max":$spread,"shuffle_bytes":$sh,"suite_medians":$suiteMedians}"""
     // the full record is the committed artifact...
     if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),

@@ -456,6 +456,192 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    if (args.contains("--band-delete")) {
+      // ---- r14 verdict #1 DONE-criterion: band takedown cost must be
+      // affected-BUCKET-sized, not base-partition-sized. At 50k docs the
+      // base batch is 99% of the index; pre-bucketing, ANY day-1 delete
+      // rewrote all of it. Ledger: (a) one-doc takedown (the production
+      // opt-out case) ≈ 1/256 of base; (b) 50 scattered ids ≈ the
+      // ~46/256 expected hit-bucket fraction; both measured as bytes
+      // written and affected-leaf counts, plus the in-place sibling, and
+      // certified against rebuild-without row-for-row.
+      import graft.operators.VersionedBand
+      val n = posArgs.lift(0).map(_.toLong).getOrElse(50000L)
+      var bytesWritten = 0L
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              bytesWritten += t.taskMetrics.outputMetrics.bytesWritten
+        })
+      def du(dir: String): Long = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(p)) return 0L
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+        finally w.close()
+      }
+      val d = docs(spark, n)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .persist(); d.count()
+      // materialize the delete sets (parquet round trip, the s16 protocol
+      // — the listener must not attribute their derivation to the delete)
+      def materialize(df: DataFrame, tag: String): DataFrame = {
+        val p = java.nio.file.Files.createTempDirectory(tag).toString
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      // ids ≡ 7 (mod 1000) are never ≡ 0 (mod 100): every deleted doc is
+      // a DAY-1 (base-partition) doc — the adversarial case
+      val oneId = materialize(d.filter(col("doc_id") === 7)
+        .select(col("doc_id")), "bd-one")
+      val fiftyIds = materialize(d.filter(col("doc_id") % 1000 === 7)
+        .select(col("doc_id")), "bd-fifty")
+      val root = java.nio.file.Files.createTempDirectory("bd-root").toString
+      timed(s"band_build_day1_99pct_$n") {
+        VersionedBand.build(d.filter(col("doc_id") % 100 =!= 0), root); 0L
+      }
+      timed(s"band_append_day2_1pct_$n") {
+        VersionedBand.append(spark,
+          d.filter(col("doc_id") % 100 === 0), root, "day2"); 0L
+      }
+      Thread.sleep(1000)
+      val mBefore = VersionedBand.currentManifest(root).get
+      val baseBytes = mBefore.leaves.filter(_.batch == "base")
+        .map(l => du(s"$root/${l.path}")).sum
+      val totalLeaves = mBefore.leaves.size
+      def measuredDelete(ids: DataFrame, tag: String): (Long, Int, Double) = {
+        val before = VersionedBand.currentManifest(root).get.leaves.toSet
+        val w0 = bytesWritten
+        var sec = 0.0
+        val t0 = System.nanoTime()
+        VersionedBand.delete(spark, root, ids)
+        sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        val after = VersionedBand.currentManifest(root).get.leaves.toSet
+        ((bytesWritten - w0), (before -- after).size, sec)
+      }
+      val (oneBytes, oneLeaves, oneSec) = measuredDelete(oneId, "one")
+      val (fiftyBytes, fiftyLeaves, fiftySec) = measuredDelete(fiftyIds, "fifty")
+      // in-place sibling: same one-doc takedown through the d28 artifact
+      val idx = java.nio.file.Files.createTempDirectory("bd-idx").toString
+      Dedup.buildBandIndex(d.filter(col("doc_id") % 100 =!= 0), idx)
+      Dedup.appendBandIndex(d.filter(col("doc_id") % 100 === 0), idx, "day2")
+      Thread.sleep(1000)
+      val wIp = bytesWritten
+      Dedup.deleteFromBandIndex(spark, idx, oneId)
+      Thread.sleep(1000)
+      val inplaceOneBytes = bytesWritten - wIp
+      // correctness: live snapshot == rebuild-without (both delete sets
+      // applied; oneId ⊂ fiftyIds so the survivor set is %1000 ≠ 7)
+      val ref = java.nio.file.Files.createTempDirectory("bd-ref").toString
+      VersionedBand.build(d.filter(col("doc_id") % 1000 =!= 7), ref)
+      val g = VersionedBand.readLive(spark, root)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val r = VersionedBand.readLive(spark, ref)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val diff = g.exceptAll(r).count() + r.exceptAll(g).count()
+      println(s"""{"step":"band_delete_detail","corpus_docs":$n,""" +
+        s""""buckets":${Dedup.BandBuckets},"total_leaves":$totalLeaves,""" +
+        s""""base_bytes":$baseBytes,""" +
+        f""""one_doc_bytes_written":$oneBytes,"one_doc_affected_leaves":$oneLeaves,"one_doc_sec":$oneSec%.3f,""" +
+        f""""one_doc_fraction_of_base":${oneBytes.toDouble / math.max(1L, baseBytes)}%.4f,""" +
+        f""""fifty_doc_bytes_written":$fiftyBytes,"fifty_doc_affected_leaves":$fiftyLeaves,"fifty_doc_sec":$fiftySec%.3f,""" +
+        f""""fifty_doc_fraction_of_base":${fiftyBytes.toDouble / math.max(1L, baseBytes)}%.4f,""" +
+        s""""inplace_one_doc_bytes_written":$inplaceOneBytes,""" +
+        s""""delete_eq_rebuild":${diff == 0L},"row_diff":$diff}""")
+      require(diff == 0L, "bucketed band delete diverged from rebuild-without")
+      require(oneLeaves <= 2,
+        s"one-doc takedown affected $oneLeaves leaves — bucket localization broken")
+      d.unpersist()
+      spark.stop(); return
+    }
+
+    if (args.contains("--manifest-scale")) {
+      // ---- r14 verdict #6: manifest scaling on LONG append chains ------
+      // A VersionedIvf manifest holds one `leaf` line per (cid, batch)
+      // per uncompacted append; at production nlist × hundreds of daily
+      // appends that is 10⁵–10⁷ driver-parsed lines per probe
+      // resolution. Drive ~1k tiny appends into nlist 256, measure (a)
+      // manifest line count and byte size at the end of the chain, (b)
+      // the driver-side RESOLUTION cost alone (manifest read + parse —
+      // the part that scales with lines), (c) full probe wall pre- vs
+      // post-compaction (the small-files cost compaction exists for),
+      // (d) the post-compaction collapse (lines back to ~nlist). The
+      // BASELINE_SELF row is the documented compaction-cadence rule.
+      import graft.operators.VersionedIvf
+      import graft.sources.VersionedArtifact
+      val nAppends = posArgs.lift(0).map(_.toInt).getOrElse(1000)
+      val batchSz = 16
+      val nlist = 256
+      val dim = 16
+      val cols = (0 until dim).map(i =>
+        (xxhash64(col("id"), lit(i)).cast("double") / 9.223372036854776e18))
+      def embOf(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame =
+        ids.select(col("id").as("vec_id"), array(cols: _*).as("embedding"))
+      val base = embOf(spark.range(20000)).persist(); base.count()
+      val root = java.nio.file.Files.createTempDirectory("ms-root").toString
+      timed(s"manifest_build_20000_nlist$nlist") {
+        VersionedIvf.build(base, root, nlist); 0L
+      }
+      val qs = embOf(spark.range(10)).withColumnRenamed("vec_id", "qid")
+        .select(col("qid").as("vec_id"), col("embedding"))
+      val tA = System.nanoTime()
+      var i = 0
+      while (i < nAppends) {
+        VersionedIvf.append(spark,
+          embOf(spark.range(100000L + i.toLong * batchSz,
+            100000L + (i + 1).toLong * batchSz)), root, s"a$i")
+        i += 1
+      }
+      val appendChainSec = (System.nanoTime() - tA) / 1e9
+      val live = VersionedArtifact.currentName(root).get
+      val mfLines = VersionedArtifact.readManifest(root, live).size
+      val mfBytes = java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, "versions", s"$live.mf"))
+      // resolution cost ALONE: read + parse the manifest (what scales
+      // with the chain), repeated for a stable median
+      def resolveMs(): Double = {
+        val t = System.nanoTime()
+        VersionedArtifact.readManifest(root, live).size
+        (System.nanoTime() - t) / 1e6
+      }
+      val resolvePre = (1 to 5).map(_ => resolveMs()).sorted.apply(2)
+      def probeSec(): Double = {
+        val t = System.nanoTime()
+        VersionedIvf.probe(spark, root, qs, k = 5, nprobe = 8)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val probePre = probeSec()
+      var compactSec = 0.0
+      timed(s"manifest_compact_after_$nAppends") {
+        val t = System.nanoTime()
+        VersionedIvf.compact(spark, root)
+        compactSec = (System.nanoTime() - t) / 1e9; 0L
+      }
+      val live2 = VersionedArtifact.currentName(root).get
+      val mfLinesPost = VersionedArtifact.readManifest(root, live2).size
+      val probePost = probeSec()
+      println(s"""{"step":"manifest_scale_detail","appends":$nAppends,""" +
+        s""""batch_size":$batchSz,"nlist":$nlist,""" +
+        f""""append_chain_sec":$appendChainSec%.1f,""" +
+        s""""manifest_lines_pre":$mfLines,"manifest_bytes_pre":$mfBytes,""" +
+        f""""resolve_ms_pre":$resolvePre%.2f,""" +
+        f""""probe_sec_pre_compact":$probePre%.2f,""" +
+        f""""compact_sec":$compactSec%.2f,""" +
+        s""""manifest_lines_post":$mfLinesPost,""" +
+        f""""probe_sec_post_compact":$probePost%.2f}""")
+      require(mfLinesPost < mfLines / 4,
+        "compaction failed to collapse the manifest")
+      base.unpersist()
+      spark.stop(); return
+    }
+
     if (args.contains("--retrain-only")) {
       // ---- s17 retrain: the monitor→retrain→recall loop, measured ------
       // The r12 verdict's ask: prove the drift monitor's numbers trigger

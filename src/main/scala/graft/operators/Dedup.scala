@@ -267,19 +267,28 @@ object Dedup {
     * retry and stays hash-green; DedupSpec asserts it row-identical).
     * The partition listing doubles as the artifact's batch manifest. */
   def buildBandIndex(docs: DataFrame, path: String, bands: Int = 8,
-      batchId: String = "base"): Unit =
-    bandTable(docs, bands).withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id").mode("overwrite").parquet(path)
+      batchId: String = "base", buckets: Int = BandBuckets): Unit = {
+    clusterForBandWrite(bandTable(docs, bands)
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("bucket", bandBucket(col("doc_id"), buckets)))
+      .write.partitionBy("batch_id", "bucket").mode("overwrite").parquet(path)
+    writeBucketsMarker(path, buckets)
+  }
 
   /** Day-2 append — see [[buildBandIndex]]. Idempotent under retry: the
     * batch's rows land as a dynamic overwrite of partition
-    * `batch_id=<batchId>`, never as bare appended files. Run
+    * `batch_id=<batchId>` (every bucket of it — bucket membership is a
+    * pure function of doc_id, so a retried batch repopulates exactly the
+    * same `(batch, bucket)` leaves), never as bare appended files. Run
     * [[graft.sources.Formats.compactParquet]] when daily appends
     * accumulate enough small files to matter. */
   def appendBandIndex(newDocs: DataFrame, path: String, batchId: String,
       bands: Int = 8): Unit =
-    bandTable(newDocs, bands).withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
+    clusterForBandWrite(bandTable(newDocs, bands)
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("bucket",
+          bandBucket(col("doc_id"), bandBucketCountOrInit(path))))
+      .write.partitionBy("batch_id", "bucket")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
 
@@ -296,8 +305,79 @@ object Dedup {
     .add("bkey", org.apache.spark.sql.types.StringType)
     .add("batch_id", org.apache.spark.sql.types.StringType)
 
+  /** Sub-batch TAKEDOWN granularity (r14 verdict #1): band artifacts
+    * partition `batch_id` further by a content-INDEPENDENT hash bucket
+    * of the doc id, so a delete rewrites `(batch, bucket)` leaves —
+    * ~1/[[BandBuckets]] of a batch per hit bucket — instead of whole
+    * batch partitions. Without it the delete cost was a step function:
+    * tiny for a day-N batch, CORPUS-SIZED for any day-1 document (the
+    * `base` partition IS the initial corpus, and old content is exactly
+    * where takedown exposure accumulates). The key is a pure function of
+    * `doc_id` (never of artifact state or text), so band rows land in
+    * the same bucket in every version, probes are layout-agnostic, and
+    * the d28/d31–d34 oracle hashes are untouched — this is physical
+    * layout only, the exact `(cid, batch_id)` move that made the IVF
+    * takedown affected-leaf-sized (VersionedIvf.scala:210).
+    *
+    * The bucket COUNT is a per-artifact build parameter (the `nlist`
+    * convention: registered gate queries run small, production and the
+    * ScaleSmoke ledger run the default) recorded IN the artifact — a
+    * `buckets` manifest line on the versioned index, a `_graft_buckets`
+    * marker (underscore-prefixed: invisible to parquet listing) on the
+    * in-place one — so append/delete always derive the modulus from the
+    * artifact itself and a caller can never probe with a mismatched
+    * bucket function (a silent missed-takedown otherwise). */
+  private[graft] val BandBuckets = 256
+  private[operators] def bandBucket(docId: Column, buckets: Int): Column =
+    pmod(xxhash64(docId), lit(buckets)).cast("int")
+
+  private def bucketsMarker(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_graft_buckets")
+
+  private def writeBucketsMarker(path: String, buckets: Int): Unit =
+    java.nio.file.Files.writeString(bucketsMarker(path), s"$buckets\n")
+
+  /** The in-place artifact's recorded bucket count — fails loudly on an
+    * artifact with no marker rather than guessing a modulus. */
+  private[operators] def bandBucketCount(path: String): Int = {
+    val m = bucketsMarker(path)
+    require(java.nio.file.Files.exists(m),
+      s"band index at $path has no _graft_buckets marker — built by buildBandIndex?")
+    java.nio.file.Files.readString(m).trim.toInt
+  }
+
+  /** [[bandBucketCount]], initializing an EMPTY artifact (the
+    * append-into-empty streaming path builds day 1 through foreachBatch
+    * too) with the production default. */
+  private def bandBucketCountOrInit(path: String): Int = {
+    val m = bucketsMarker(path)
+    if (!java.nio.file.Files.exists(m)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      writeBucketsMarker(path, BandBuckets)
+    }
+    java.nio.file.Files.readString(m).trim.toInt
+  }
+
+  /** [[bandIndexSchema]] plus the physical `bucket` partition column —
+    * the on-disk layout; readers project it away before serving rows. */
+  private[operators] val bandIndexDiskSchema =
+    bandIndexSchema.add("bucket", org.apache.spark.sql.types.IntegerType)
+
+  /** One shuffle keyed on the physical partition columns before a
+    * partitioned write: each `(batch, bucket)` lands from ONE task → one
+    * file per leaf dir, instead of every task emitting a sliver of every
+    * bucket (32 tasks × 256 buckets of tiny files). */
+  private[operators] def clusterForBandWrite(rows: DataFrame): DataFrame =
+    rows.repartition(col("batch_id"), col("bucket"))
+
+  private[operators] def readBandIndexDisk(spark: SparkSession,
+      path: String): DataFrame =
+    spark.read.schema(bandIndexDiskSchema).parquet(path)
+
   def readBandIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(bandIndexSchema).parquet(path)
+    readBandIndexDisk(spark, path)
+      .select(col("doc_id"), col("sig"), col("band"), col("bkey"),
+        col("batch_id"))
 
   /** TAKEDOWN through the persisted band index (d31 — r12 verdict #1):
     * remove every band row of the given doc_ids by rewriting ONLY the
@@ -306,47 +386,61 @@ object Dedup {
     * input, and the only alternative on an append-only artifact is a
     * corpus-sized rebuild. Cost is leaf-sized by construction:
     *
-    *   1. one index probe finds the AFFECTED batch partitions — a
-    *      semi-join against the (broadcast) delete set, collected as a
-    *      bounded batch-id list (≤ #batches, the partition manifest);
-    *   2. survivors of those partitions only are anti-joined and
-    *      rewritten via dynamic-partition overwrite — untouched batches
-    *      are never read past the probe, never rewritten;
-    *   3. partitions left EMPTY are removed explicitly: a dynamic
-    *      overwrite only replaces partitions present in the written
-    *      data, so a fully-deleted batch would otherwise survive as its
-    *      old files (the classic delete-everything leak).
+    *   1. one index probe finds the AFFECTED `(batch, bucket)` leaves —
+    *      a semi-join against the (broadcast) delete set, collected as a
+    *      bounded pair list (≤ #batches × [[BandBuckets]], the partition
+    *      manifest). The bucket key is a pure function of doc_id
+    *      ([[bandBucket]]), so a takedown of any document — including a
+    *      day-1 `base` document — touches ~1/[[BandBuckets]] of its
+    *      batch, never the whole partition (r14 verdict #1: the base
+    *      partition IS the initial corpus, and a whole-partition rewrite
+    *      there is corpus-sized at 100 TB);
+    *   2. survivors of those leaves only are anti-joined and rewritten
+    *      via dynamic-partition overwrite — untouched leaves are never
+    *      read past the probe, never rewritten;
+    *   3. leaves left EMPTY are removed explicitly: a dynamic overwrite
+    *      only replaces partitions present in the written data, so a
+    *      fully-deleted leaf would otherwise survive as its old files
+    *      (the classic delete-everything leak).
     *
     * The survivor set is localCheckpoint-ed (leaf-sized, bounded by the
-    * affected partitions) before the write because source and target are
+    * affected leaves) before the write because source and target are
     * the same artifact — Spark refuses a read-from/overwrite-to cycle on
     * lazy file lineage. Idempotent: a retried delete finds no affected
-    * partitions (or rewrites identical survivors) — d31 executes the
+    * leaves (or rewrites identical survivors) — d31 executes the
     * retry under the oracle. Delete-then-probe == rebuild-without is
     * certified cross-engine (d31); degenerate shapes (delete everything /
-    * nothing / twice) are pinned in ArtifactLifecycleSpec. In-place
-    * rewrite is non-atomic for a CONCURRENT reader — the versioned
-    * artifact ([[graft.sources.VersionedArtifact]]) is the publish
-    * mechanism for that; this is the single-writer maintenance form. */
+    * nothing / twice) are pinned in ArtifactLifecycleSpec; the
+    * affected-bucket-sized byte cost is measured in
+    * `ScaleSmoke --band-delete`. In-place rewrite is non-atomic for a
+    * CONCURRENT reader — the versioned artifact
+    * ([[graft.sources.VersionedArtifact]]) is the publish mechanism for
+    * that; this is the single-writer maintenance form. */
   def deleteFromBandIndex(spark: SparkSession, path: String,
       docIds: DataFrame): Unit = {
     val ids = broadcast(docIds.select(col("doc_id")).distinct())
-    val idx = readBandIndex(spark, path)
+    val idx = readBandIndexDisk(spark, path)
+    // \u0001-joined pair key: unambiguous for any batch id (the artifact
+    // family already reserves U+0001 as a protocol delimiter elsewhere)
+    def pairKey(df: DataFrame): Column =
+      concat_ws("\u0001", df("batch_id"), df("bucket"))
     val affected = idx.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("batch_id")).distinct().collect().map(_.getString(0))
+      .select(col("batch_id"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)))
     if (affected.isEmpty) return
+    val affectedKeys = affected.map { case (b, k) => s"$b\u0001$k" }.toSeq
     val survivors = idx
-      .filter(col("batch_id").isin(affected.toSeq: _*))
+      .filter(pairKey(idx).isin(affectedKeys: _*))
       .join(ids, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val kept = survivors.select(col("batch_id")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val kept = survivors.select(col("batch_id"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     if (kept.nonEmpty)
-      survivors.write.partitionBy("batch_id")
+      clusterForBandWrite(survivors).write.partitionBy("batch_id", "bucket")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(path)
-    for (b <- affected if !kept(b)) deletePartitionDir(
-      java.nio.file.Paths.get(path, s"batch_id=$b"))
+    for ((b, k) <- affected if !kept((b, k))) deletePartitionDir(
+      java.nio.file.Paths.get(path, s"batch_id=$b", s"bucket=$k"))
   }
 
   /** Recursive best-effort removal of one partition directory — the
@@ -1679,7 +1773,8 @@ object Dedup {
     Q("d30_incremental_dedup_from_index", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
         val idx = graft.RunDirs.dir("d30").resolve("index").toString
-        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idx)
+        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idx,
+          buckets = 8)
         incrementalLshPairsFromIndex(s, idx,
           docs.filter(pmod(col("doc_id"), lit(10)) === 0))
           .orderBy(col("d1"), col("d2"))
@@ -1702,14 +1797,15 @@ object Dedup {
         val idxDir = base.resolve("index").toString
         val compactDir = base.resolve("compact").toString
         val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idxDir)
+        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idxDir,
+          buckets = 8)
         appendBandIndex(batch, idxDir, batchId = "day2")
         // the RETRY: re-append the same batch id — dynamic partition
         // overwrite makes it a replace, so the gate's hash certifies
         // double-append == no-op on the on-disk artifact
         appendBandIndex(batch, idxDir, batchId = "day2")
         graft.sources.Formats.compactParquet(s, idxDir, compactDir,
-          schema = Some(bandIndexSchema))
+          schema = Some(bandIndexDiskSchema))
         readBandIndex(s, compactDir)
           .select(col("doc_id"), col("band"), col("bkey"))
           .orderBy(col("doc_id"), col("band"))
@@ -1737,7 +1833,8 @@ object Dedup {
     Q("d31_band_index_delete", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
         val idx = graft.RunDirs.dir("d31").resolve("index").toString
-        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idx)
+        buildBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), idx,
+          buckets = 8)
         appendBandIndex(docs.filter(pmod(col("doc_id"), lit(10)) === 0), idx,
           batchId = "day2")
         val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -1771,7 +1868,8 @@ object Dedup {
     Q("d32_band_versioned_lifecycle", { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
         val root = graft.RunDirs.freshDir("d32").toString
-        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root,
+          buckets = 8)
         VersionedBand.append(s,
           docs.filter(pmod(col("doc_id"), lit(10)) === 0), root, "day2")
         VersionedBand.append(s,
@@ -1814,7 +1912,7 @@ object Dedup {
         val docs = Tables.load(s, dir, "documents")
         val root = graft.RunDirs.freshDir("d33").toString
         VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
-          pmod(col("doc_id"), lit(10)) =!= 5), root)
+          pmod(col("doc_id"), lit(10)) =!= 5), root, buckets = 8)
         VersionedBand.append(s,
           docs.filter(pmod(col("doc_id"), lit(10)) === 5), root, "day2")
         VersionedBand.append(s,
@@ -1839,12 +1937,53 @@ object Dedup {
         val docs = Tables.load(s, dir, "documents")
         val root = graft.RunDirs.freshDir("d34").toString
         val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root)
+        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root,
+          buckets = 8)
         val pin = graft.sources.VersionedArtifact.currentName(root).get
         VersionedBand.append(s, batch, root, "day2") // CURRENT moves past the pin
         incrementalLshPairsFromVersioned(s, root, batch, asOf = Some(pin))
           .orderBy(col("d1"), col("d2"))
       }, Some(incrementalPairsOracleSql)),
+
+    // ---- st17: streaming VERSIONED band maintenance (registered batch
+    // form) — st16's shape on the dedup artifact (r14 verdict #7):
+    // foreachBatch maintains the COMMITTED VersionedBand index, one
+    // CAS-committed append per micro-batch keyed by Spark's own batchId,
+    // so the at-least-once sink contract (a failed trigger REPLAYS its
+    // batch) meets manifest-membership exactly-once and concurrent
+    // probes keep snapshot isolation. This registered form splits day 2
+    // into two content-derived micro-batches (doc_id mod 20 ∈ {0, 10}),
+    // REPLAYS the second, and reads the live snapshot; the oracle is
+    // d28's full-corpus from-scratch rebuild — one hash certifies
+    // chunked-append ∪ == rebuild and the replay no-op on the artifact
+    // that hits disk. StreamingSpec runs the real readStream →
+    // foreachBatch form with a mid-stream retry and asserts the replayed
+    // trigger left the published-version count unchanged.
+    Q("st17_stream_band_maintenance", { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val root = graft.RunDirs.freshDir("st17").toString
+        VersionedBand.build(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root,
+          buckets = 8)
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0), root, "mb0")
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(20)) === 10), root, "mb1")
+        VersionedBand.append(s,
+          docs.filter(pmod(col("doc_id"), lit(20)) === 10), root, "mb1") // replayed trigger — manifest no-op
+        VersionedBand.readLive(s, root)
+          .select(col("doc_id"), col("band"), col("bkey"))
+          .orderBy(col("doc_id"), col("band"))
+      }, {
+        val bands = 8; val rows = K / bands
+        val bandSelects = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(b, rows)} AS bkey FROM sig")
+          .mkString("\n       UNION ALL ")
+        Some(s"""WITH ${shCte()},
+                |$sigCte,
+                |bands AS ($bandSelects)
+                |SELECT doc_id, band, bkey FROM bands
+                |ORDER BY doc_id, band""".stripMargin)
+      }),
 
     // ---- st14: streaming incremental dedup (registered batch form) -----
     // The same probe StreamingSpec runs under readStream: new docs

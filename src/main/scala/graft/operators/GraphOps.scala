@@ -241,6 +241,12 @@ object GraphOps {
     oldDegrees.unionByName(degrees(batchEdges))
       .groupBy(col("node")).agg(sum(col("degree")).as("degree"))
 
+  /** Declared schema of a persisted [[degrees]]/[[foldDegrees]] table —
+    * the g30 versioned-state artifact reads never infer. */
+  private[graft] val degreesSchema = new org.apache.spark.sql.types.StructType()
+    .add("node", org.apache.spark.sql.types.LongType)
+    .add("degree", org.apache.spark.sql.types.LongType)
+
   /** (maxDegree, medianDegree) from a degree table — the exact shape
     * [[trianglesAuto]]'s `knownStats` wants, so a maintained table from
     * [[foldDegrees]] plugs straight into lazy plan choice. */
@@ -1505,6 +1511,79 @@ object GraphOps {
               |       FROM deg)
               |SELECT 'chooser_degree_ordered' AS metric,
               |  CAST(mx // greatest(1, med10 // 10) >= 10 AS BIGINT) AS value FROM st
+              |UNION ALL SELECT 'degree_fold_mismatch', 0
+              |UNION ALL SELECT 'max_degree', CAST(mx AS BIGINT) FROM st
+              |UNION ALL SELECT 'median_degree_x10', med10 FROM st
+              |ORDER BY metric""".stripMargin)),
+
+    // ---- g30: VERSIONED graph-state artifact (r14 verdict #8) ----------
+    // g25's maintained degree table COMMITTED through the snapshot
+    // protocol, closing the graph family's missing concurrent-probe /
+    // pinned-read story: day 1 publishes the degree state as v1, day 2's
+    // fold reads the COMMITTED v1 parquet (not a lineage replay),
+    // CAS-publishes v2 against base v1, and consumers resolve the atomic
+    // pointer — a probe racing the day-2 writer sees v1 or v2 whole,
+    // never a half-written table. Certificate rows are g25's (fold ==
+    // recompute mismatch pinned 0 cross-engine, chooser stats from the
+    // COMMITTED live table) plus the d34-style adversarial pin:
+    // `day1_degree_sum` reads the PINNED v1 through asOf after v2
+    // published past it — v1's degree sum is exactly 2·|old edges| while
+    // the live table's is 2·|all edges|, so any regression of asOf to
+    // CURRENT-resolution breaks the hash whenever the batch is
+    // non-empty, not just a spec. trianglesAuto(knownStats) reads the
+    // same committed stats (GraphOpsSpec drives that path).
+    Q("g30_versioned_degree_state", { (s, dir) =>
+        import graft.sources.{VersionedTables => VT}
+        val canon = canonicalEdges(derivedEdges(s, dir))
+        val isBatch = (graft.functions.PortableHash.baseHash(
+          concat_ws(",", col("u").cast("string"), col("v").cast("string")))
+          % 10) === 0
+        val old = canon.filter(!isBatch).select(col("u").as("src"), col("v").as("dst"))
+        val batch = canon.filter(isBatch).select(col("u").as("src"), col("v").as("dst"))
+        val root = graft.RunDirs.freshDir("g30").toString
+        VT.publish(root, Seq("degrees" -> degrees(old)), base = None) // v1
+        val pin = VT.liveVersion(root).get
+        val day1 = VT.read(s, root, "degrees", degreesSchema)
+        VT.publish(root, Seq("degrees" -> foldDegrees(day1, batch)),
+          base = Some(pin)) // v2 — CURRENT moves past the pin
+        val maintained = VT.read(s, root, "degrees", degreesSchema)
+        val pinned = VT.read(s, root, "degrees", degreesSchema,
+          asOf = Some(pin))
+        val recomputed = degrees(derivedEdges(s, dir))
+        val mism = maintained
+          .join(recomputed.withColumnRenamed("degree", "_w"), Seq("node"), "full")
+          .agg(sum(when(col("degree") <=> col("_w"), 0L).otherwise(1L)).as("value"))
+        val stats = maintained.agg(
+          max(col("degree")).cast("long").as("mx"),
+          round(expr("percentile(degree, 0.5)") * 10).cast("long").as("med10"))
+        def row(name: String, v: DataFrame) =
+          v.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+        row("chooser_degree_ordered", stats.select(
+            (expr("mx div greatest(CAST(1 AS BIGINT), med10 div 10)") >= 10)
+              .cast("long").as("value")))
+          .unionByName(row("day1_degree_sum",
+            pinned.agg(sum(col("degree")).as("value"))))
+          .unionByName(row("degree_fold_mismatch", mism))
+          .unionByName(row("max_degree", stats.select(col("mx").as("value"))))
+          .unionByName(row("median_degree_x10",
+            stats.select(col("med10").as("value"))))
+          .orderBy(col("metric"))
+      },
+      Some(s"""$derivedSql,
+              |f AS (SELECT u, v,
+              |  ${graft.functions.PortableHash.baseHashSql(
+                   "u::VARCHAR || ',' || v::VARCHAR")} % 10 = 0 AS is_batch
+              |  FROM canon),
+              |sym AS (SELECT u AS src, v AS dst FROM canon
+              |        UNION ALL SELECT v, u FROM canon),
+              |deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+              |st AS (SELECT max(degree) AS mx,
+              |       CAST(round(quantile_cont(degree, 0.5) * 10) AS BIGINT) AS med10
+              |       FROM deg)
+              |SELECT 'chooser_degree_ordered' AS metric,
+              |  CAST(mx // greatest(1, med10 // 10) >= 10 AS BIGINT) AS value FROM st
+              |UNION ALL SELECT 'day1_degree_sum',
+              |  CAST(2 * count(*) AS BIGINT) FROM f WHERE NOT is_batch
               |UNION ALL SELECT 'degree_fold_mismatch', 0
               |UNION ALL SELECT 'max_degree', CAST(mx AS BIGINT) FROM st
               |UNION ALL SELECT 'median_degree_x10', med10 FROM st

@@ -514,6 +514,37 @@ object TextOps {
     })
   }
 
+  // ---- VERSIONED trained-tokenizer artifact (r14 verdict #4) ----------
+
+  /** PUBLISH a trained tokenizer (the [[bpeSaveTrained]] pair — merge
+    * table + encode vocabulary) as one committed snapshot under a
+    * [[graft.sources.VersionedTables]] root: both tables flip together
+    * behind the atomic pointer, so an encoder can never read v1 merges
+    * beside v2 vocabulary, a retrain racing running encoders is CAS-safe
+    * instead of a lost update/torn read, and a long-running encode job
+    * PINS the version it started with (`asOf`) while the retrain
+    * publishes past it — "encode this corpus with tokenizer v1 while v2
+    * trains" is the production norm. Returns the committed version. */
+  def bpePublishTokenizer(spark: org.apache.spark.sql.SparkSession,
+      trainedDir: String, root: String): String =
+    graft.sources.VersionedTables.publish(root,
+      Seq("merges" -> bpeLoadMerges(spark, trainedDir),
+        "vocab" -> bpeLoadVocab(spark, trainedDir)),
+      base = graft.sources.VersionedTables.liveVersion(root))
+
+  /** The committed tokenizer's vocabulary — CURRENT, or a pinned
+    * published version (`asOf`), resolved through the snapshot
+    * manifest. Feed to [[bpeEncodeWith]]/[[bpeTokenize]]. */
+  def bpeLoadVocabVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, asOf: Option[String] = None): org.apache.spark.sql.DataFrame =
+    graft.sources.VersionedTables.read(spark, root, "vocab", vocabSchema, asOf)
+
+  /** The committed tokenizer's merge table — see
+    * [[bpeLoadVocabVersioned]]. */
+  def bpeLoadMergesVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, asOf: Option[String] = None): org.apache.spark.sql.DataFrame =
+    graft.sources.VersionedTables.read(spark, root, "merges", mergesSchema, asOf)
+
   /** The t20 certificate corpus: same-symbol runs at and past the stride
     * bug's divergence thresholds (order diverges at run 5, count at 6 —
     * ADVICE r10), a multi-char-symbol run, and l≠r alternations, with
@@ -1495,6 +1526,33 @@ object TextOps {
           bpeLoadVocab(s, ensureTrainedArtifact(s, dir, merges = 8)))
         .orderBy(col("doc_id")),
       Some(bpeTokenizeOracleSql(8))),
+
+    // ---- t23: VERSIONED tokenizer — pinned encode races a retrain -------
+    // The d34 adversarial shape on the trained-tokenizer artifact (r14
+    // verdict #4): publish the production tokenizer (8 merges — the one
+    // the oracle replays) as v1, PIN it, then publish a RETRAIN with a
+    // different merge budget (2) past the pin, and encode the corpus
+    // against the pinned version. Any regression of asOf to
+    // CURRENT-resolution — or a torn read pairing v1 merges with v2
+    // vocabulary — encodes with the wrong symbol counts and breaks the
+    // hash on any corpus where merges 3..8 bind, not just a spec. The
+    // oracle is t19's unchanged full-training replay, so one hash
+    // certifies training, the versioned round trip, the pin, AND
+    // encoding. Both trainings resolve through the per-process shared
+    // artifact cache (one loop each per process); the publishes are
+    // vocabulary-sized copies behind the atomic pointer.
+    Q("t23_bpe_versioned_pinned_encode",
+      (s, dir) => {
+        val root = graft.RunDirs.freshDir("t23").toString
+        bpePublishTokenizer(s, ensureTrainedArtifact(s, dir, merges = 8), root)
+        val pin = graft.sources.VersionedTables.liveVersion(root).get
+        // the retrain publishes past the pin — CURRENT now serves v2
+        bpePublishTokenizer(s, ensureTrainedArtifact(s, dir, merges = 2), root)
+        bpeEncodeWith(Tables.load(s, dir, "documents"),
+            bpeLoadVocabVersioned(s, root, asOf = Some(pin)))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracleSql(8))),
 
     // ---- t20: same-symbol-run merge-application certificate -------------
     // Six training rounds over an INLINE corpus whose selected merges all

@@ -462,7 +462,10 @@ object VersionedIvf {
 
   /** Reclaim superseded versions' data (r12 verdict #8) — delegates to
     * [[VersionedArtifact.vacuumDataDirs]]: never the live version, never
-    * a kept-grace predecessor, never an in-flight stage. */
-  def vacuum(root: String, keepVersions: Int = 2): Seq[String] =
-    VersionedArtifact.vacuumDataDirs(root, keepVersions)
+    * a kept-grace predecessor, never an in-flight stage, and with
+    * `maxAgeMs` never a version published within the age window (the
+    * "readers may hold a snapshot ≤ N hours" retention contract). */
+  def vacuum(root: String, keepVersions: Int = 2,
+      maxAgeMs: Option[Long] = None): Seq[String] =
+    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs)
 }

@@ -99,17 +99,28 @@ object VersionedArtifact {
     * pointer file O(1) on an indefinitely maintained artifact. */
   private val historyKeep = 1024
 
-  /** The CURRENT file's publish history, oldest first; empty if the
-    * artifact has never committed. The last entry is the live version. */
-  private def currentHistory(root: String): Seq[String] = {
+  /** The CURRENT file's publish history, oldest first, as
+    * (version, publishEpochMillis); empty if the artifact has never
+    * committed. The last entry is the live version. Each history line is
+    * `<name> <epochMillis>`; a bare `<name>` line (written before the
+    * timestamp protocol) parses with timestamp 0 — always outside any
+    * age window, so time-based retention treats it as arbitrarily old. */
+  private def currentHistory(root: String): Seq[(String, Long)] = {
     val f = currentFile(root)
     if (!Files.exists(f)) Seq.empty
     else Files.readAllLines(f).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { ln =>
+        ln.split("\\s+") match {
+          case Array(n) => (n, 0L)
+          case Array(n, ts) => (n, try ts.toLong catch { case _: NumberFormatException => 0L })
+          case parts => (parts(0), 0L)
+        }
+      }
   }
 
   /** The live version name, if the artifact has ever committed. */
   def currentName(root: String): Option[String] =
-    currentHistory(root).lastOption
+    currentHistory(root).lastOption.map(_._1)
 
   /** Manifest lines of a committed version — protocol lines (`#…`) are
     * this object's, never surfaced to the caller's parser. */
@@ -147,16 +158,32 @@ object VersionedArtifact {
     * at some point — the CURRENT file's own history), ascending,
     * restricted to ones whose manifest still exists (vacuum sweeps the
     * manifests of versions outside the retention window, after which
-    * they are no longer pinnable). The live version is always present:
-    * it is the history's last entry and its manifest is never swept. */
+    * they are no longer pinnable). The live version must always be
+    * present — it is the history's last entry and its manifest is never
+    * swept by this protocol — so a missing live manifest is artifact
+    * corruption and fails LOUDLY here (r14 ADVICE: previously the live
+    * name was re-appended unconditionally, so a corrupted artifact
+    * passed the asOf require() and surfaced as a raw NoSuchFileException
+    * from readManifest instead of the documented contract error). */
   def publishedVersions(root: String): Seq[String] = {
-    val hist = currentHistory(root)
+    val hist = currentHistory(root).map(_._1)
     if (hist.isEmpty) Seq.empty
     else {
       val have = listVersions(root).toSet
-      (hist.filter(have.contains) :+ hist.last).distinct.sorted
+      if (!have.contains(hist.last))
+        throw new IllegalStateException(
+          s"live version ${hist.last} has no manifest under $root/versions — " +
+            "the artifact is corrupt (manifests of published versions are " +
+            "only swept once superseded AND outside the retention window)")
+      hist.filter(have.contains).distinct.sorted
     }
   }
+
+  /** Publish timestamps (epoch millis) by version, from the CURRENT
+    * history — the input to time-based retention. A version can appear
+    * once; pre-timestamp history lines report 0 (arbitrarily old). */
+  def publishTimes(root: String): Map[String, Long] =
+    currentHistory(root).toMap
 
   /** Manifest lines a READ should serve: the live version's, or — for a
     * pinned (time-travel) reader — an explicitly named PUBLISHED version
@@ -234,7 +261,7 @@ object VersionedArtifact {
     val base = baseOf(root, name)
     withCommitLock(root) {
       val hist = currentHistory(root)
-      val cur = hist.lastOption
+      val cur = hist.lastOption.map(_._1)
       if (cur != base) {
         // lost the race: the live version moved past our base, so this
         // manifest was derived from a superseded snapshot and committing
@@ -246,8 +273,12 @@ object VersionedArtifact {
       }
       val tmp = Paths.get(root,
         s".CURRENT.tmp-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
+      // each history line records its publish wall-clock, the input to
+      // time-based retention ("readers may hold a snapshot <= N hours")
       Files.writeString(tmp,
-        (hist :+ name).takeRight(historyKeep).mkString("", "\n", "\n"),
+        (hist :+ (name, System.currentTimeMillis()))
+          .takeRight(historyKeep)
+          .map { case (n, ts) => s"$n $ts" }.mkString("", "\n", "\n"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE, StandardOpenOption.SYNC)
       Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
@@ -293,42 +324,96 @@ object VersionedArtifact {
     }
   }
 
+  /** Default shield for data dirs no manifest references yet: a LIVE
+    * in-flight writer looks exactly like a crash orphan from the
+    * outside (segment written, stage not yet reached — or its staged
+    * manifest was deleted by a lost publish CAS and the retry has not
+    * restaged), so never-referenced dirs younger than this are not
+    * reclaimable (r14 ADVICE medium). 15 minutes dwarfs any
+    * write→stage gap (segment writes are batch-sized by design) while
+    * keeping genuine crash orphans collectable the next sweep. */
+  val defaultOrphanGraceMs: Long = 15L * 60 * 1000
+
   /** Retention sweep (r12 verdict #8): drop manifests and data dirs that
-    * only superseded versions reference. Keeps (a) the live version, (b)
-    * the `keepVersions - 1` PUBLISHED versions before it (a reader that
-    * resolved CURRENT just before a flip must finish its scan — the
-    * grace window; a staged-but-never-published crash orphan cannot
-    * consume a slot, r13 ADVICE), and (c) anything staged PAST the live
-    * version, which may be an in-flight writer. A data dir is reclaimed
-    * only when no kept manifest references it AND its version tag is
-    * within the swept range — vacuum can never touch a file the live
-    * version serves. Returns the deleted paths (relative), for the
-    * caller's ledger. */
-  def vacuumDataDirs(root: String, keepVersions: Int = 2): Seq[String] = {
-    val cur = currentName(root).getOrElse(return Seq.empty)
+    * only superseded versions reference. Keeps
+    *   (a) the live version;
+    *   (b) the `keepVersions - 1` PUBLISHED versions before it (a reader
+    *       that resolved CURRENT just before a flip must finish its scan
+    *       — the grace window; a staged-but-never-published crash orphan
+    *       cannot consume a slot, r13 ADVICE);
+    *   (c) with `maxAgeMs`, every published version whose publish
+    *       timestamp is within that window (r14 verdict #5: production
+    *       retention contracts are "readers may hold a snapshot ≤ N
+    *       hours", not "≤ N versions" — the kept set is the UNION of
+    *       both rules, so `keepVersions` stays the floor);
+    *   (d) anything staged PAST the live version (an in-flight writer's
+    *       claim is not ours to reclaim).
+    * A data dir is reclaimed only when no kept manifest references it
+    * AND its version tag is within the swept range — vacuum can never
+    * touch a file the live version serves. A dir referenced by NO
+    * manifest at all additionally gets an AGE shield (`orphanGraceMs`):
+    * an in-flight writer writes its segment BEFORE staging, tagged with
+    * the next version name computed at write start, so once concurrent
+    * commits advance CURRENT past that tag the dir is indistinguishable
+    * from a crash orphan except by age (r14 ADVICE medium — without the
+    * shield, vacuum could reclaim a live writer's leaves and the writer
+    * would then commit a manifest referencing deleted files). The whole
+    * sweep runs under the commit lock, so the kept/referenced sets
+    * cannot shift mid-sweep via a concurrent publish. Also sweeps stale
+    * `.<v>.mf.tmp-*` / `.CURRENT.tmp-*` files past the grace age (a
+    * writer that crashed between tmp-write and the finally-delete leaks
+    * one per attempt — r14 ADVICE low). Returns the deleted data paths
+    * (relative), for the caller's ledger. */
+  def vacuumDataDirs(root: String, keepVersions: Int = 2,
+      maxAgeMs: Option[Long] = None,
+      orphanGraceMs: Long = defaultOrphanGraceMs): Seq[String] =
+    currentName(root) match {
+      case None => Seq.empty
+      case Some(cur) => withCommitLock(root) {
+        vacuumLocked(root, cur, keepVersions, maxAgeMs, orphanGraceMs)
+      }
+    }
+
+  private def vacuumLocked(root: String, cur: String, keepVersions: Int,
+      maxAgeMs: Option[Long], orphanGraceMs: Long): Seq[String] = {
     val all = listVersions(root)
     val committed = all.filter(_ <= cur)
+    val now = System.currentTimeMillis()
     // the grace window counts PUBLISHED versions only — a crash orphan
     // (staged ≤ CURRENT, never flipped to) is swept like any superseded
     // version instead of displacing a version a live reader may hold
     val published = publishedVersions(root)
     val graceBase = if (published.nonEmpty) published else committed
-    val kept = graceBase.takeRight(math.max(1, keepVersions)).toSet +
+    val byCount = graceBase.takeRight(math.max(1, keepVersions)).toSet
+    val byAge = maxAgeMs.fold(Set.empty[String]) { age =>
+      val times = publishTimes(root)
+      published.filter(v => now - times.getOrElse(v, 0L) <= age).toSet
+    }
+    val kept = byCount ++ byAge +
       cur ++ all.filter(_ > cur) // in-flight stages are not ours to reclaim
-    val referenced = kept.filter(all.contains(_))
+    val referencedKept = kept.filter(all.contains(_))
       .flatMap(v => readManifest(root, v))
       .flatMap(refsOf)
+    // referenced by ANY manifest on disk — a dir outside this set has no
+    // committed writer behind it and may belong to a LIVE one mid-commit
+    val referencedAny = all
+      .flatMap(v => readManifest(root, v))
+      .flatMap(refsOf).toSet
     val dd = dataDir(root)
-    if (!Files.exists(dd)) return Seq.empty
-    val dirs = {
+    val dirs = if (!Files.exists(dd)) Seq.empty[String] else {
       val s = Files.list(dd)
       try s.iterator().asScala.map(_.getFileName.toString).toSeq
       finally s.close()
     }
+    def ageOf(p: Path): Long =
+      try now - Files.getLastModifiedTime(p).toMillis
+      catch { case _: Exception => 0L } // unstatable == just-created: shield
     val doomed = dirs.filter { d =>
       val tag = d.takeWhile(_ != '-') // "<ver>-<op>..." naming
       val committedTag = tag.matches("v\\d{8}") && tag <= cur
-      committedTag && !kept.contains(tag) && !referenced.contains(s"data/$d")
+      committedTag && !kept.contains(tag) &&
+        !referencedKept.contains(s"data/$d") &&
+        (referencedAny.contains(s"data/$d") || ageOf(dd.resolve(d)) > orphanGraceMs)
     }
     // drop superseded manifests too (crash orphans included), so
     // listVersions stays bounded
@@ -346,6 +431,23 @@ object VersionedArtifact {
         finally walk.close()
       } catch { case _: Exception => () }
     }
+    // stale tmp sweep: `.<v>.mf.tmp-<pid>-<seq>` under versions/ and
+    // `.CURRENT.tmp-*` under the root, both written-then-deleted in a
+    // finally — a crash in between leaks them forever (their names are
+    // writer-unique, so no retry ever overwrites one). Age, not
+    // pid-liveness, decides staleness: pid checks are TOCTOU-racy and
+    // wedge under pid reuse.
+    def sweepTmp(dir: Path): Unit = if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      try s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        val stale = n.startsWith(".") && n.contains(".tmp-") &&
+          ageOf(p) > orphanGraceMs
+        if (stale) try Files.deleteIfExists(p) catch { case _: Exception => () }
+      } finally s.close()
+    }
+    sweepTmp(versionsDir(root))
+    sweepTmp(Paths.get(root))
     doomed.map(d => s"data/$d")
   }
 

@@ -594,4 +594,190 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
     assert(TextOps.bpeEncodeWith(docs.limit(0),
       TextOps.bpeLoadVocab(spark, dir)).count() === 0L)
   }
+
+  // ---- round 15: time-based retention, vacuum writer-safety, bucketed
+  // ---- band takedown ------------------------------------------------------
+
+  test("vacuum: time-based retention — a pinned reader inside maxAge survives, outside fails loudly") {
+    import graft.sources.{VersionedArtifact => VA}
+    val root = tmp("alc-vband-maxage")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 30), root) // v1
+    val pin = VA.currentName(root).get
+    val pinned = operators.VersionedBand
+      .readLive(spark, root, asOf = Some(pin)).collect().map(_.toSeq).toSet
+    operators.VersionedBand.append(spark,
+      docs.filter($"doc_id" >= 30 && $"doc_id" < 40), root, "day2") // v2
+    operators.VersionedBand.append(spark,
+      docs.filter($"doc_id" >= 40 && $"doc_id" < 50), root, "day3") // v3
+    // keepVersions alone would sweep v1 and v2; the age window (all three
+    // published milliseconds ago) keeps them — the kept set is the UNION
+    operators.VersionedBand.vacuum(root, keepVersions = 1,
+      maxAgeMs = Some(60L * 60 * 1000))
+    assert(VA.publishedVersions(root).contains(pin),
+      "age-window retention failed to keep a version keepVersions would sweep")
+    assert(operators.VersionedBand.readLive(spark, root, asOf = Some(pin))
+      .collect().map(_.toSeq).toSet === pinned,
+      "a pinned reader inside the age window lost its snapshot")
+    // without the age window the count floor applies: v1/v2 swept, and
+    // the stale pin fails LOUDLY instead of silently re-resolving
+    operators.VersionedBand.vacuum(root, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      operators.VersionedBand.readLive(spark, root, asOf = Some(pin)).collect()
+    }
+  }
+
+  test("vacuum: a never-referenced young data dir is shielded (in-flight writer), an old one reclaimed") {
+    import graft.sources.{VersionedArtifact => VA}
+    val root = tmp("alc-vband-orphanage")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 30), root) // v1
+    operators.VersionedBand.append(spark,
+      docs.filter($"doc_id" >= 30 && $"doc_id" < 40), root, "day2") // v2
+    // an in-flight writer's segment: tagged with a superseded version,
+    // referenced by NO manifest (it has not staged yet — r14 ADVICE medium)
+    val inflight = java.nio.file.Paths.get(root, "data",
+      "v00000001-append-w999x1")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "x")
+    val removed1 = VA.vacuumDataDirs(root, keepVersions = 1)
+    assert(!removed1.exists(_.contains("v00000001-append-w999x1")),
+      "vacuum reclaimed a young never-referenced dir — a live writer's leaves")
+    assert(java.nio.file.Files.exists(inflight))
+    // ...but once it is OLD it is a crash orphan and must be collectable
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    java.nio.file.Files.setLastModifiedTime(inflight, old)
+    val removed2 = VA.vacuumDataDirs(root, keepVersions = 1)
+    assert(removed2.exists(_.contains("v00000001-append-w999x1")),
+      s"vacuum left an aged-out crash orphan behind: $removed2")
+    // stale tmp sweep (r14 ADVICE low): an old leaked manifest tmp goes,
+    // a young one stays
+    val vdir = java.nio.file.Paths.get(root, "versions")
+    val oldTmp = vdir.resolve(".v00000099.mf.tmp-99999-1")
+    val newTmp = vdir.resolve(".v00000098.mf.tmp-99999-2")
+    java.nio.file.Files.writeString(oldTmp, "orphan")
+    java.nio.file.Files.writeString(newTmp, "orphan")
+    java.nio.file.Files.setLastModifiedTime(oldTmp, old)
+    VA.vacuumDataDirs(root, keepVersions = 1)
+    assert(!java.nio.file.Files.exists(oldTmp), "stale manifest tmp not swept")
+    assert(java.nio.file.Files.exists(newTmp), "young manifest tmp swept")
+  }
+
+  test("corrupt artifact: a live version with no manifest fails loudly, not with a raw read error") {
+    import graft.sources.{VersionedArtifact => VA}
+    val root = tmp("alc-vband-corrupt")
+    operators.VersionedBand.build(docs.filter($"doc_id" < 30), root)
+    val live = VA.currentName(root).get
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "versions", s"$live.mf"))
+    val e = intercept[IllegalStateException] { VA.publishedVersions(root) }
+    assert(e.getMessage.contains("no manifest"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
+  test("band takedown is (batch, bucket)-leaf-localized — one doc rewrites one leaf, untouched leaves carry by reference") {
+    import graft.operators.VersionedBand
+    val root = tmp("alc-vband-bucketloc")
+    VersionedBand.build(docs.filter($"doc_id" < 60), root)
+    VersionedBand.append(spark,
+      docs.filter($"doc_id" >= 60 && $"doc_id" < 80), root, "day2")
+    val before = VersionedBand.currentManifest(root).get
+    assert(before.leaves.size > 2,
+      "bucket layer missing: expected many (batch, bucket) leaves")
+    // delete ONE day-1 document: exactly its (base, bucket(doc)) leaf is
+    // affected — pre-bucketing this rewrote the ENTIRE base partition
+    // (the whole day-1 corpus at the 100 TB design point, r14 verdict #1)
+    VersionedBand.delete(spark, root, docs.filter($"doc_id" === 7)
+      .select($"doc_id"))
+    val after = VersionedBand.currentManifest(root).get
+    val rewritten = after.leaves.filterNot(before.leaves.toSet)
+    val carried = after.leaves.filter(before.leaves.toSet)
+    assert(rewritten.size <= 1,
+      s"one-doc takedown rewrote ${rewritten.size} leaves: $rewritten")
+    assert(carried.size >= before.leaves.size - 1,
+      "untouched leaves were rewritten instead of carried by reference")
+    // and the read equals rebuild-without (the d31/d32 oracle contract)
+    val rebuilt = tmp("alc-vband-bucketloc-ref")
+    VersionedBand.build(docs.filter($"doc_id" < 80 && $"doc_id" =!= 7), rebuilt)
+    assert(VersionedBand.readLive(spark, root)
+        .select($"doc_id", $"band", $"bkey").collect().map(_.toSeq).toSet ===
+      VersionedBand.readLive(spark, rebuilt)
+        .select($"doc_id", $"band", $"bkey").collect().map(_.toSeq).toSet)
+  }
+
+  test("versioned tokenizer: a pinned encoder is stable while retrains publish past it (t23 mechanism)") {
+    import graft.sources.{VersionedTables => VT}
+    val corpus = docs.filter($"doc_id" < 40)
+    val t4 = tmp("alc-vtok-m4"); TextOps.bpeSaveTrained(corpus, t4, merges = 4)
+    val t1 = tmp("alc-vtok-m1"); TextOps.bpeSaveTrained(corpus, t1, merges = 1)
+    val root = tmp("alc-vtok-root")
+    TextOps.bpePublishTokenizer(spark, t4, root) // v1 — the pinned tokenizer
+    val pin = VT.liveVersion(root).get
+    val expected = TextOps.bpeEncodeWith(corpus,
+        TextOps.bpeLoadVocab(spark, t4))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    // concurrent retrains publish v2..v4 while the pinned encoder runs —
+    // the CAS chain serializes the writers, the pin isolates the reader
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try (1 to 3).foreach { i =>
+        TextOps.bpePublishTokenizer(spark, if (i % 2 == 0) t4 else t1, root)
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    writer.start()
+    try (1 to 3).foreach { _ =>
+      val got = TextOps.bpeEncodeWith(corpus,
+          TextOps.bpeLoadVocabVersioned(spark, root, asOf = Some(pin)))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(got === expected,
+        "a pinned encode diverged while a retrain was publishing")
+    } finally writer.join()
+    assert(writerErr.get() === null,
+      s"concurrent retrain writer failed: ${writerErr.get()}")
+    assert(VT.liveVersion(root).get > pin, "no retrain ever published")
+    // the LIVE snapshot is the merges-1 tokenizer (the last publish) and
+    // its merges/vocab resolve as one snapshot — different counts than
+    // the pin on any corpus where merges 2..4 bind
+    val liveMerges = TextOps.bpeLoadMergesVersioned(spark, root).count()
+    assert(liveMerges === 1L,
+      s"live snapshot is not the last-published tokenizer ($liveMerges merges)")
+    // a fourth publish derived from the PIN (stale base) must conflict,
+    // never silently overwrite the interleaved retrains
+    intercept[graft.sources.CommitConflictException] {
+      VT.publish(root,
+        Seq("merges" -> TextOps.bpeLoadMerges(spark, t4),
+          "vocab" -> TextOps.bpeLoadVocab(spark, t4)), base = Some(pin))
+    }
+  }
+
+  test("in-place band takedown touches only hit (batch, bucket) leaf files") {
+    val idx = tmp("alc-band-bucketloc-inplace")
+    Dedup.buildBandIndex(docs.filter($"doc_id" < 60), idx)
+    Dedup.appendBandIndex(docs.filter($"doc_id" >= 60 && $"doc_id" < 80),
+      idx, batchId = "day2")
+    import scala.jdk.CollectionConverters._
+    def leafFiles(): Map[String, Long] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try w.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally w.close()
+    }
+    val before = leafFiles()
+    Dedup.deleteFromBandIndex(spark, idx,
+      docs.filter($"doc_id" === 7).select($"doc_id"))
+    val after = leafFiles()
+    // every surviving pre-delete file outside the hit bucket is the SAME
+    // file (path + mtime): the dynamic overwrite rewrote only hit leaves
+    val common = before.keySet intersect after.keySet
+    assert(common.forall(k => before(k) == after(k)),
+      "an untouched leaf file was rewritten")
+    val touched = (before.keySet diff after.keySet) ++
+      (after.keySet diff before.keySet)
+    assert(touched.nonEmpty, "delete touched nothing — probe failed?")
+    val touchedDirs = touched.map(_.split("/").dropRight(1).mkString("/")).toSet
+    assert(touchedDirs.size <= 2, // hit leaf's old + new file dir(s)
+      s"one-doc takedown touched ${touchedDirs.size} leaf dirs: $touchedDirs")
+  }
 }

@@ -386,6 +386,46 @@ class GraphOpsSpec extends AnyFunSuite {
       (0L, 4L, 6L)))
   }
 
+  test("versioned degree state: trianglesAuto(knownStats) reads the COMMITTED snapshot (g30 mechanism)") {
+    // the g30 artifact end-to-end at spec scale: day-1 degrees publish as
+    // v1, the day-2 fold reads the committed parquet (not lineage) and
+    // CAS-publishes v2, degreeStats off the LIVE snapshot drive
+    // trianglesAuto to the same triangles as a measured run — and the
+    // pinned v1 read still serves the day-1 table after v2 published
+    import graft.sources.{VersionedTables => VT}
+    val es = (1L to 12L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val all = edgesDF(es)
+    val old = edgesDF(es.dropRight(3))
+    val batch = edgesDF(es.takeRight(3))
+    val root = java.nio.file.Files.createTempDirectory("g30-spec").toString
+    VT.publish(root, Seq("degrees" -> GraphOps.degrees(old)), base = None)
+    val pin = VT.liveVersion(root).get
+    val day1 = VT.read(spark, root, "degrees", GraphOps.degreesSchema)
+    VT.publish(root, Seq("degrees" -> GraphOps.foldDegrees(day1, batch)),
+      base = Some(pin))
+    val committed = VT.read(spark, root, "degrees", GraphOps.degreesSchema)
+    val rc = GraphOps.degrees(all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(committed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === rc, "committed fold != recompute")
+    val stats = GraphOps.degreeStats(committed)
+    val viaKnown = GraphOps.trianglesAuto(all, knownStats = Some(stats))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaKnown === GraphOps.trianglesAuto(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // pinned day-1 read survives the v2 publish — snapshot isolation
+    val pinnedSum = VT.read(spark, root, "degrees", GraphOps.degreesSchema,
+      asOf = Some(pin)).agg(org.apache.spark.sql.functions.sum("degree"))
+      .head().getLong(0)
+    assert(pinnedSum === 2L * es.dropRight(3).size,
+      "pinned v1 no longer serves the day-1 degree table")
+    // a publish against a stale base surfaces the retryable conflict
+    intercept[graft.sources.CommitConflictException] {
+      VT.publish(root, Seq("degrees" -> committed), base = Some(pin))
+    }
+  }
+
   test("warm-start PageRank: warm-with-uniform == cold, and warm beats cold toward the day-2 fixed point") {
     // random graph + small day-2 batch, deterministic seed
     val rnd = new scala.util.Random(41)

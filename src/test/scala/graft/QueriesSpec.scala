@@ -38,6 +38,9 @@ class QueriesSpec extends AnyFunSuite {
     "d28_band_index_lifecycle", "d30_incremental_dedup_from_index",
     "d31_band_index_delete", "d32_band_versioned_lifecycle",
     "d33_incremental_dedup_versioned", "d34_dedup_time_travel",
+    "st17_stream_band_maintenance", // d28's oracle shape (md5 band keys)
+    "t23_bpe_versioned_pinned_encode", // t19's oracle shape
+    "g30_versioned_degree_state", // g25's oracle shape (`//`, quantile_cont)
     "s15_ivf_delete",
     "s16_ivf_versioned_lifecycle", "s17_ivf_retrain",
     "d26_contamination_pairs", "i01_tolerant_ingest", "i02_quarantine_sink",

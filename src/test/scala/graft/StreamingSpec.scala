@@ -133,6 +133,53 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
   }
 
+  test("streaming VERSIONED band maintenance: foreachBatch append is a manifest no-op on replay (st17)") {
+    // the dedup sibling of the st16 test above (r14 verdict #7): a
+    // document stream maintains the COMMITTED VersionedBand index via
+    // foreachBatch keyed by Spark's batchId; a simulated trigger retry
+    // must be a MANIFEST no-op (published-version count unchanged) and
+    // the final snapshot must equal the from-scratch rebuild
+    import graft.operators.{Dedup, VersionedBand}
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 200)
+    val day1 = docs.filter(col("doc_id") % 4 =!= 3)
+    val day2 = docs.filter(col("doc_id") % 4 === 3)
+    val root = Files.createTempDirectory("graft-vband-stream").toString
+    VersionedBand.build(day1, root, buckets = 8)
+    val replay = Files.createTempDirectory("graft-vband-replay").toString
+    day2.withColumn("part", col("doc_id") % 3).repartition(3, col("part"))
+      .drop("part").write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema(day2.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    var replayed = false
+    var replayVersions = (-1, -1) // committed count (before, after) the retry
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        VersionedBand.append(spark, batch, root, s"b$batchId")
+        if (batchId == 1 && !replayed) { // simulated mid-stream retry
+          replayed = true
+          val before = graft.sources.VersionedArtifact.publishedVersions(root).size
+          VersionedBand.append(spark, batch, root, s"b$batchId")
+          val after = graft.sources.VersionedArtifact.publishedVersions(root).size
+          replayVersions = (before, after)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(replayed, "the simulated retry must have fired")
+    assert(replayVersions._1 === replayVersions._2,
+      s"the replayed trigger committed a new version: $replayVersions")
+    // build + 3 micro-batch commits, the replay adding none
+    assert(graft.sources.VersionedArtifact.publishedVersions(root).size === 4)
+    val rebuildDir = Files.createTempDirectory("graft-vband-rebuild").toString
+    Dedup.buildBandIndex(docs, rebuildDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("band"), col("bkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    val maintained = rows(VersionedBand.readLive(spark, root))
+    assert(maintained.nonEmpty)
+    assert(maintained === rows(Dedup.readBandIndex(spark, rebuildDir)))
+  }
+
   test("streaming ingest breaker: per-batch metrics == st15 ledger; poisoned chunk kills the query") {
     // st15's production form: readStream of raw lines → foreachBatch
     // { tolerant parse → quarantineRateMetrics → requireQuarantineRate }.
