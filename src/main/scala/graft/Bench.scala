@@ -151,6 +151,7 @@ object Bench {
     // pass: the min-of-passes rule protects the COMMITTED artifact.
     val suites = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUITES",
       if (only.isEmpty) "2" else "1").toInt
+    require(suites >= 1, s"SPARK_GRAFT_BENCH_SUITES must be >= 1 (got $suites)")
 
     def quiet(l: (Double, Double)) = l._1 <= headlineMax && l._2 <= headline5Max
     def waitForQuiet(): (Double, Double) = {
@@ -242,8 +243,11 @@ object Bench {
         if (si == 1) (loadAtStart, load5AtStart)
         else waitForLoad1()
       suiteLoads :+= l
+      // an unreadable /proc/loadavg reports (-1,-1): that must DISQUALIFY
+      // (no measurement is not a quiet measurement), though the wait
+      // loops treat it as non-blocking
       val ok =
-        if (si == 1) quiet(l)
+        if (si == 1) l._1 >= 0 && l._2 >= 0 && quiet(l)
         else l._1 >= 0 && l._1 <= headlineMax
       if (!ok) suitesOk = false
       runSuite(first = si == 1)

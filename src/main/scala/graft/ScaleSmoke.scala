@@ -467,13 +467,16 @@ object ScaleSmoke {
       // certified against rebuild-without row-for-row.
       import graft.operators.VersionedBand
       val n = posArgs.lift(0).map(_.toLong).getOrElse(50000L)
-      var bytesWritten = 0L
+      // AtomicLong: onTaskEnd fires on the listener-bus thread; a plain
+      // var read from the main thread has no happens-before edge and can
+      // silently under-count the ledger
+      val bytesWritten = new java.util.concurrent.atomic.AtomicLong()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
               t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
             if (t.taskMetrics != null)
-              bytesWritten += t.taskMetrics.outputMetrics.bytesWritten
+              bytesWritten.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
         })
       def du(dir: String): Long = {
         import scala.jdk.CollectionConverters._
@@ -516,14 +519,14 @@ object ScaleSmoke {
       val totalLeaves = mBefore.leaves.size
       def measuredDelete(ids: DataFrame, tag: String): (Long, Int, Double) = {
         val before = VersionedBand.currentManifest(root).get.leaves.toSet
-        val w0 = bytesWritten
+        val w0 = bytesWritten.get()
         var sec = 0.0
         val t0 = System.nanoTime()
         VersionedBand.delete(spark, root, ids)
         sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1000)
         val after = VersionedBand.currentManifest(root).get.leaves.toSet
-        ((bytesWritten - w0), (before -- after).size, sec)
+        ((bytesWritten.get() - w0), (before -- after).size, sec)
       }
       val (oneBytes, oneLeaves, oneSec) = measuredDelete(oneId, "one")
       val (fiftyBytes, fiftyLeaves, fiftySec) = measuredDelete(fiftyIds, "fifty")
@@ -532,10 +535,10 @@ object ScaleSmoke {
       Dedup.buildBandIndex(d.filter(col("doc_id") % 100 =!= 0), idx)
       Dedup.appendBandIndex(d.filter(col("doc_id") % 100 === 0), idx, "day2")
       Thread.sleep(1000)
-      val wIp = bytesWritten
+      val wIp = bytesWritten.get()
       Dedup.deleteFromBandIndex(spark, idx, oneId)
       Thread.sleep(1000)
-      val inplaceOneBytes = bytesWritten - wIp
+      val inplaceOneBytes = bytesWritten.get() - wIp
       // correctness: live snapshot == rebuild-without (both delete sets
       // applied; oneId ⊂ fiftyIds so the survivor set is %1000 ≠ 7)
       val ref = java.nio.file.Files.createTempDirectory("bd-ref").toString

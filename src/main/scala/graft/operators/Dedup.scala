@@ -348,11 +348,28 @@ object Dedup {
 
   /** [[bandBucketCount]], initializing an EMPTY artifact (the
     * append-into-empty streaming path builds day 1 through foreachBatch
-    * too) with the production default. */
+    * too) with the production default. An artifact that already has
+    * `batch_id=` partitions but NO marker is a pre-bucket (legacy)
+    * layout — appending bucketed partitions beside unbucketed ones
+    * would produce Spark's conflicting-directory-structures error on
+    * the next read (and a delete would NPE on the absent bucket
+    * column), so it fails loudly here: rebuild the artifact. */
   private def bandBucketCountOrInit(path: String): Int = {
     val m = bucketsMarker(path)
     if (!java.nio.file.Files.exists(m)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val p = java.nio.file.Paths.get(path)
+      val legacy = java.nio.file.Files.isDirectory(p) && {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.exists(
+          _.getFileName.toString.startsWith("batch_id="))
+        finally s.close()
+      }
+      require(!legacy,
+        s"band index at $path has batch_id= partitions but no " +
+          "_graft_buckets marker — a pre-bucket layout; rebuild it with " +
+          "buildBandIndex before appending")
+      java.nio.file.Files.createDirectories(p)
       writeBucketsMarker(path, BandBuckets)
     }
     java.nio.file.Files.readString(m).trim.toInt
@@ -419,6 +436,7 @@ object Dedup {
   def deleteFromBandIndex(spark: SparkSession, path: String,
       docIds: DataFrame): Unit = {
     val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    bandBucketCount(path) // loud legacy-layout guard: marker required
     val idx = readBandIndexDisk(spark, path)
     // \u0001-joined pair key: unambiguous for any batch id (the artifact
     // family already reserves U+0001 as a protocol delimiter elsewhere)

@@ -89,9 +89,7 @@ object VersionedBand {
     currentSnapshot(root).getOrElse(throw new IllegalStateException(
       s"no committed version under $root — build first"))
 
-  private val segSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def segToken(): String =
-    s"w${ProcessHandle.current().pid()}x${segSeq.incrementAndGet()}"
+  private def segToken(): String = VersionedArtifact.segToken()
 
   /** Enumerate the `(batch, bucket)` leaf dirs a segment write produced —
     * one driver-side listing per level (a FileSystem listStatus pair in
@@ -306,6 +304,8 @@ object VersionedBand {
     * window (`maxAgeMs`: keep every version published within it, the
     * "readers may hold a snapshot ≤ N hours" retention contract). */
   def vacuum(root: String, keepVersions: Int = 2,
-      maxAgeMs: Option[Long] = None): Seq[String] =
-    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs)
+      maxAgeMs: Option[Long] = None,
+      orphanGraceMs: Long = VersionedArtifact.defaultOrphanGraceMs): Seq[String] =
+    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs,
+      orphanGraceMs)
 }

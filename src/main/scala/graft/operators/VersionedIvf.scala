@@ -125,9 +125,7 @@ object VersionedIvf {
     * the same staging directory (two Spark overwrite-writes to one path
     * corrupt both). Orphans from crashed attempts are version-tagged and
     * age out via [[vacuum]]. */
-  private val segSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def segToken(): String =
-    s"w${ProcessHandle.current().pid()}x${segSeq.incrementAndGet()}"
+  private def segToken(): String = VersionedArtifact.segToken()
 
   // ---- physical IO -----------------------------------------------------
 
@@ -466,6 +464,8 @@ object VersionedIvf {
     * `maxAgeMs` never a version published within the age window (the
     * "readers may hold a snapshot ≤ N hours" retention contract). */
   def vacuum(root: String, keepVersions: Int = 2,
-      maxAgeMs: Option[Long] = None): Seq[String] =
-    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs)
+      maxAgeMs: Option[Long] = None,
+      orphanGraceMs: Long = VersionedArtifact.defaultOrphanGraceMs): Seq[String] =
+    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs,
+      orphanGraceMs)
 }

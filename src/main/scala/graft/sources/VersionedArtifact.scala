@@ -94,6 +94,15 @@ object VersionedArtifact {
 
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Writer-unique segment-dir suffix shared by every typed artifact
+    * (band/IVF/tables): racing writers must never address the same
+    * staging directory. One definition, so a future change to the
+    * uniqueness scheme (e.g. a random component for cross-HOST
+    * uniqueness on shared storage, which pid+seq alone does not give)
+    * lands everywhere at once. */
+  private[graft] def segToken(): String =
+    s"w${ProcessHandle.current().pid()}x${tmpSeq.incrementAndGet()}"
+
   /** Publish-history bound: CURRENT keeps this many trailing entries —
     * orders of magnitude past any retention window, while keeping the
     * pointer file O(1) on an indefinitely maintained artifact. */
@@ -391,14 +400,16 @@ object VersionedArtifact {
     }
     val kept = byCount ++ byAge +
       cur ++ all.filter(_ > cur) // in-flight stages are not ours to reclaim
+    // every manifest parsed ONCE (they reach ~1 MB each on uncompacted
+    // chains — --manifest-scale — and this whole sweep holds the commit
+    // lock, so publishers wait on this I/O)
+    val refsByVersion: Map[String, Seq[String]] =
+      all.map(v => v -> readManifest(root, v).flatMap(refsOf)).toMap
     val referencedKept = kept.filter(all.contains(_))
-      .flatMap(v => readManifest(root, v))
-      .flatMap(refsOf)
+      .flatMap(refsByVersion.getOrElse(_, Seq.empty))
     // referenced by ANY manifest on disk — a dir outside this set has no
     // committed writer behind it and may belong to a LIVE one mid-commit
-    val referencedAny = all
-      .flatMap(v => readManifest(root, v))
-      .flatMap(refsOf).toSet
+    val referencedAny = refsByVersion.values.flatten.toSet
     val dd = dataDir(root)
     val dirs = if (!Files.exists(dd)) Seq.empty[String] else {
       val s = Files.list(dd)
@@ -408,12 +419,29 @@ object VersionedArtifact {
     def ageOf(p: Path): Long =
       try now - Files.getLastModifiedTime(p).toMillis
       catch { case _: Exception => 0L } // unstatable == just-created: shield
+    // a LIVE writer's segment shows recent file activity DEEP in the
+    // tree (task files, _temporary commits) even when the top dir's
+    // mtime has gone stale — a corpus-sized compaction writes for far
+    // longer than any fixed grace, so the shield ages the NEWEST mtime
+    // in the tree, not the dir's own (walk cost only for the rare
+    // never-referenced candidates)
+    def newestAge(p: Path): Long =
+      try {
+        val w = Files.walk(p)
+        try now - w.iterator().asScala
+          .map(f => try Files.getLastModifiedTime(f).toMillis
+            catch { case _: Exception => now })
+          .foldLeft(Long.MinValue)(math.max)
+        catch { case _: Exception => 0L }
+        finally w.close()
+      } catch { case _: Exception => 0L }
     val doomed = dirs.filter { d =>
       val tag = d.takeWhile(_ != '-') // "<ver>-<op>..." naming
       val committedTag = tag.matches("v\\d{8}") && tag <= cur
       committedTag && !kept.contains(tag) &&
         !referencedKept.contains(s"data/$d") &&
-        (referencedAny.contains(s"data/$d") || ageOf(dd.resolve(d)) > orphanGraceMs)
+        (referencedAny.contains(s"data/$d") ||
+          newestAge(dd.resolve(d)) > orphanGraceMs)
     }
     // drop superseded manifests too (crash orphans included), so
     // listVersions stays bounded

@@ -37,9 +37,7 @@ object VersionedTables {
       }
     }.toMap
 
-  private val segSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def segToken(): String =
-    s"w${ProcessHandle.current().pid()}x${segSeq.incrementAndGet()}"
+  private def segToken(): String = VersionedArtifact.segToken()
 
   /** The live version, if the artifact has ever committed — capture it
     * BEFORE deriving a successor state and pass it to [[publish]] as
@@ -87,6 +85,8 @@ object VersionedTables {
   /** Reclaim superseded versions — count floor plus optional age window,
     * both delegated to [[VersionedArtifact.vacuumDataDirs]]. */
   def vacuum(root: String, keepVersions: Int = 2,
-      maxAgeMs: Option[Long] = None): Seq[String] =
-    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs)
+      maxAgeMs: Option[Long] = None,
+      orphanGraceMs: Long = VersionedArtifact.defaultOrphanGraceMs): Seq[String] =
+    VersionedArtifact.vacuumDataDirs(root, keepVersions, maxAgeMs,
+      orphanGraceMs)
 }

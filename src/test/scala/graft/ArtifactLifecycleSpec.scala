@@ -643,9 +643,13 @@ class ArtifactLifecycleSpec extends AnyFunSuite {
       "vacuum reclaimed a young never-referenced dir — a live writer's leaves")
     assert(java.nio.file.Files.exists(inflight))
     // ...but once it is OLD it is a crash orphan and must be collectable
+    // (the shield ages the NEWEST mtime in the tree — a live writer
+    // shows deep file activity — so every entry must be aged)
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 2L * 60 * 60 * 1000)
     java.nio.file.Files.setLastModifiedTime(inflight, old)
+    java.nio.file.Files.setLastModifiedTime(
+      inflight.resolve("part-0.parquet"), old)
     val removed2 = VA.vacuumDataDirs(root, keepVersions = 1)
     assert(removed2.exists(_.contains("v00000001-append-w999x1")),
       s"vacuum left an aged-out crash orphan behind: $removed2")
