@@ -25,7 +25,16 @@ object Dedup {
     * shuffle every shingle row. Tokenization runs in its own projection
     * (the [[TextFns.ngramsOfTokens]] performance contract). */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+    // Scale-adaptive fan-out on doc_id (graft.FanOut): tokenize + the
+    // per-shingle md5 × K MinHash transforms above this are the dominant
+    // CPU of every band/signature path, and on a small tier the scan
+    // plans as ONE task. Hash-partitioning on doc_id keeps each doc's
+    // shingles colocated, so the minhashSignature groupBy(doc_id) above
+    // finds its distribution already satisfied — the fan-out REPLACES
+    // that exchange rather than adding one. No-op at scale (guard in
+    // FanOut.cpuBound).
+    graft.FanOut.cpuBound(docs, col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
         explode(array_distinct(TextFns.bigramsOfTokens(col("__t")))).as("s"))
 

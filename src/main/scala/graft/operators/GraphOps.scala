@@ -927,6 +927,12 @@ object GraphOps {
   // derive a deterministic graph from lineitem: one edge per order's first
   // line, nodes = keys mod 4000. Same derivation in the DuckDB SQL.
 
+  // Measured and left alone (r15 optimization): fanning these scans out
+  // ahead of the canonicalEdges distinct (graft.FanOut on (src, dst))
+  // REGRESSED every g-query by 15–50% — the mod/hash projection and the
+  // distinct's partial aggregation are too cheap per row to pay for an
+  // extra exchange, and the canonical set is referenced up to three
+  // times per query, each reference re-paying it.
   private def derivedEdges(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .filter(col("l_linenumber") === 1)

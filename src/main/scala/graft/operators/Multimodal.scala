@@ -128,7 +128,27 @@ object Multimodal {
     * codec work pipelines with the scan exactly like [[extractFeatures]]. */
   def imageRoundTrip(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // codec work is the whole cost of this operator and the scan plans
+    // as one task on a small tier — fan out first (no-op at scale)
+    graft.FanOut.cpuBound(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { ids =>
+      // Heavyweight codec state ONCE PER TASK (guide §4.5): the
+      // ImageIO.write/read conveniences do a synchronized registry
+      // lookup per call and route streams through the registry's
+      // disk-backed cache — under the cores-wide fan-out those
+      // process-global locks serialize the tasks (measured: the fan-out
+      // alone made this operator 2.7× SLOWER until the per-row lookups
+      // were hoisted). One writer/reader per task, memory-cached
+      // streams; a missing codec degrades every row of the task to
+      // png_valid=0, the same visible data property as before.
+      val wrOpt = try {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        if (it.hasNext) Some(it.next()) else None
+      } catch { case _: Exception => None }
+      val rdOpt = try {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        if (it.hasNext) Some(it.next()) else None
+      } catch { case _: Exception => None }
       ids.map { id =>
         val w = (id % 16 + 8).toInt
         val h = (id % 8 + 8).toInt
@@ -145,13 +165,32 @@ object Multimodal {
           y += 1
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        val png = baos.toByteArray
-        // ImageIO.read returns null (no exception) on undecodable bytes —
-        // gate the histogram loop on it so a failed decode reports
-        // png_valid=0 with zero bins instead of NPEing the task.
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(png))
+        val png: Array[Byte] = wrOpt match {
+          case Some(wr) =>
+            try {
+              val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+              try {
+                wr.setOutput(ios)
+                wr.write(img)
+              } finally { try ios.close() catch { case _: Exception => () } }
+              baos.toByteArray
+            } catch { case _: Exception => Array.empty[Byte] }
+          case None => Array.empty[Byte]
+        }
+        // a failed decode reports png_valid=0 with zero bins instead of
+        // NPEing the task (the ImageIO.read null-return contract, kept)
+        val back: java.awt.image.BufferedImage =
+          if (png.isEmpty) null
+          else rdOpt match {
+            case Some(rd) =>
+              try {
+                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(png))
+                try { rd.setInput(iis); rd.read(0) }
+                finally { try iis.close() catch { case _: Exception => () } }
+              } catch { case _: Exception => null }
+            case None => null
+          }
         val hist = new Array[Long](8)
         if (back != null) {
           var yy = 0
@@ -197,6 +236,14 @@ object Multimodal {
     * doc ids, codec work pipelines with the scan, zero shuffle. */
   def audioRoundTrip(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // Measured and left alone (r15 optimization): a cores-wide fan-out
+    // made this operator 3.2× SLOWER — AudioSystem.write /
+    // getAudioInputStream go through the JDK's synchronized provider
+    // lookup on every call, and unlike ImageIO there is no public API to
+    // hoist the writer per task, so parallel tasks serialize on the
+    // process-global lock. Single scan-task execution is the faster
+    // shape at this tier; at scale the lock is per-executor-JVM and the
+    // operator parallelizes across executors.
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val n = (id % 512 + 256).toInt
@@ -274,7 +321,26 @@ object Multimodal {
     * over doc ids, codec work pipelines with the scan, zero shuffle. */
   def gifRoundTrip(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // codec work is the whole cost of this operator and the scan plans
+    // as one task on a small tier — fan out first (no-op at scale)
+    graft.FanOut.cpuBound(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { ids =>
+      // Codec lookups hoisted ONCE PER TASK (guide §4.5, the m08
+      // lesson): getImageWritersBySuffix / getImageReadersBySuffix /
+      // createImage{Out,In}putStream all take the process-global
+      // registry lock (and the stream factories consult the disk-backed
+      // cache) — per-row they serialize the cores-wide fan-out. One
+      // writer/reader per task, reset between rows, memory-cached
+      // streams; a missing codec degrades the task's rows to
+      // gif_valid=0 exactly like a per-row failure did.
+      val wrOpt = try {
+        val it = javax.imageio.ImageIO.getImageWritersBySuffix("gif")
+        if (it.hasNext) Some(it.next()) else None
+      } catch { case _: Exception => None }
+      val rdOpt = try {
+        val it = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+        if (it.hasNext) Some(it.next()) else None
+      } catch { case _: Exception => None }
       ids.map { id =>
         val w = 8; val h = 6
         val nf = (id % 3 + 2).toInt
@@ -293,12 +359,13 @@ object Multimodal {
         val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
         val gif: Array[Byte] =
           try {
+            val wr = wrOpt.getOrElse(throw new java.io.IOException("no gif writer"))
             val baos = new java.io.ByteArrayOutputStream()
-            val wr = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-            // close/dispose in finally (r13 ADVICE): the degraded
-            // gif_valid=0 path must not leak the writer or its
-            // file-cache temp file once per failing row
+            // memory-cached stream (no registry lock, no temp file); the
+            // r13 ADVICE close-in-finally stands — and the task-shared
+            // writer is reset() instead of disposed, so a failed row
+            // cannot poison the next one's state
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
             try {
               wr.setOutput(ios)
               wr.prepareWriteSequence(null)
@@ -322,15 +389,15 @@ object Multimodal {
               wr.endWriteSequence()
             } finally {
               try ios.close() catch { case _: Exception => () }
-              try wr.dispose() catch { case _: Exception => () }
+              try wr.reset() catch { case _: Exception => () }
             }
             baos.toByteArray
           } catch { case _: Exception => Array.empty[Byte] }
         val stats =
           try {
             if (gif.isEmpty) throw new java.io.IOException("encode failed")
-            val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            val rd = rdOpt.getOrElse(throw new java.io.IOException("no gif reader"))
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(gif))
             try {
               rd.setInput(iis)
@@ -358,7 +425,7 @@ object Multimodal {
                 Some((got.toLong, sum, chk))
               } else None
             } finally {
-              try rd.dispose() catch { case _: Exception => () }
+              try rd.reset() catch { case _: Exception => () }
               try iis.close() catch { case _: Exception => () }
             }
           } catch { case _: Exception => None }

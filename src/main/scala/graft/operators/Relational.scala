@@ -86,6 +86,10 @@ object Relational {
     // assignment once makes it a fact, not a coincidence — and a lost
     // checkpoint block fails loudly instead of recomputing different
     // boundaries.
+    // Measured and left alone (r15 optimization): a graft.FanOut ahead of
+    // the range exchange regressed every caller by 25–65% — the sampler
+    // pass and range-shuffle write are too cheap per row to pay for an
+    // extra exchange plus its AQE stage barrier.
     val ranged = df.repartitionByRange(parts, (g ++ order): _*)
       .withColumn("__pid", spark_partition_id()).localCheckpoint()
     val counts = ranged.groupBy(col("__pid") +: g: _*)
@@ -588,6 +592,9 @@ object Relational {
     // insensitive, so aggregating it over the distinct stream is
     // register-identical and keeps sketch state at |groups|: 0.33 s, 20×.
     Q("q25_approx_distinct",
+      // measured and left alone (r15): a keyed fan-out below the distinct
+      // regressed 44% — the dedup hash insert is too cheap per row to pay
+      // for shuffling raw rows instead of partial-distinct output
       (s, dir) => t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey")).distinct()
         .groupBy(col("l_returnflag"))

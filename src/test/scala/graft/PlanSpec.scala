@@ -551,12 +551,23 @@ class PlanSpec extends AnyFunSuite {
       s"codec pass should pipeline with the scan, no shuffle:\n$plan")
   }
 
-  test("m10 GIF round trip is one narrow pass — zero exchanges") {
+  test("m10 GIF round trip: only the doc-id fan-out exchange, keyed, pre-codec") {
+    // r15 optimization: the codec pass fans out on doc_id (FanOut.cpuBound
+    // — no-op at scale, where the scan already carries >= cores splits).
+    // The pin keeps the SCALE contract: at most that one hash exchange of
+    // bare ids, placed BELOW the codec mapPartitions, and nothing else —
+    // an accidental post-codec shuffle (payload-sized) would still fail.
     import graft.operators.Multimodal
     val plan = executedPlan(Multimodal.gifRoundTrip(
       Tables.load(spark, dir, "documents")))
-    assert(!plan.contains("Exchange"),
-      s"codec pass should pipeline with the scan, no shuffle:\n$plan")
+      .split("== Initial Plan ==").head // final AQE plan only
+    val exchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("ShuffleQueryStage")).toList
+    assert(exchanges.size <= 1,
+      s"codec pass should carry at most the id fan-out exchange:\n$plan")
+    exchanges.foreach(l => assert(l.contains("hashpartitioning(doc_id"),
+      s"the only allowed exchange is the doc_id fan-out:\n$l"))
   }
 
   test("s10 probe scan statically prunes to the probed cell directories") {
