@@ -1060,7 +1060,10 @@ object TextOps {
     // coverage with d19's positional islands CTE restricted to IN-DOC
     // duplicates. Hash parity certifies both rules and the drop flag.
     Q("t17_gopher_repetition",
-      (s, dir) => gopherRepetition(Tables.load(s, dir, "documents"))
+      // heavy interpreted-lambda per-row work (sorted-array folds) over a
+      // one-task scan — fan out first (graft.FanOut, no-op at scale)
+      (s, dir) => gopherRepetition(graft.FanOut.cpuBound(
+          Tables.load(s, dir, "documents"), col("doc_id")))
         .orderBy(col("doc_id")),
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
               |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d),
@@ -1200,7 +1203,10 @@ object TextOps {
 
     // ---- t03: language identification ----------------------------------
     Q("t03_langid",
-      (s, dir) => Tables.load(s, dir, "documents")
+      // langId evaluates 4 stopword-score expressions + a CJK regex per
+      // row over a one-task scan — fan out first (no-op at scale)
+      (s, dir) => graft.FanOut.cpuBound(
+          Tables.load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           TextFns.langId(col("text")).as("pred_lang"),
           col("lang"),
