@@ -771,7 +771,7 @@ object Dedup {
       .filter(col("df") >= 2)
     val dupSh = if (withKeeper) dupSh0.select(col("s"), col("keeper"))
                 else dupSh0.select(col("s"))
-    val pos = docs
+    val pos = graft.FanOut.cpuBound(docs, col("doc_id"))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
         posexplode(TextFns.ngramsOfTokens(col("__t"), n)).as(Seq("p", "s")))
@@ -946,7 +946,10 @@ object Dedup {
     * decontamination wants WIDE shingles — a 5..13-gram only collides on
     * genuinely copied spans, where bigrams collide on shared vocabulary). */
   def shinglesN(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+    // same scale-adaptive fan-out as [[shingles]] (one-task scan,
+    // tokenize + n-gram build is the dominant per-row cost)
+    graft.FanOut.cpuBound(docs, col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
         explode(array_distinct(TextFns.ngramsOfTokens(col("__t"), n))).as("s"))
 
@@ -1136,7 +1139,11 @@ object Dedup {
     // join on its runtime size. The round-3 plan instead materialized a
     // full shuffle of the exploded stream, which dominated its cost —
     // re-scanning the source is cheaper than shuffling its explosion.
-    val sh = docs
+    // scale-adaptive fan-out (graft.FanOut): this tokenize + bigram +
+    // xxhash pass is the heaviest per-row stage and runs TWICE (the
+    // dfreq branch and the arrs branch re-derive sh by design); on a
+    // one-task scan both passes were single-threaded
+    val sh = graft.FanOut.cpuBound(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__t"))
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(transform(TextFns.bigramsOfTokens(col("__t")),

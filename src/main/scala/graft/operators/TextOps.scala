@@ -1180,7 +1180,9 @@ object TextOps {
 
     // ---- t02: quality heuristics ---------------------------------------
     Q("t02_quality",
-      (s, dir) => Tables.load(s, dir, "documents")
+      // one-task scan, four normalize/score expressions per row — fan out
+      (s, dir) => graft.FanOut.cpuBound(
+          Tables.load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           TextFns.punctRatio(col("text")).as("punct_ratio"),
           TextFns.stopwordRatio(col("text")).as("stopword_ratio"),
