@@ -153,7 +153,16 @@ object Formats {
     // overwrite of an external table keeps stale files if the table is
     // dropped first by a failed run — drop THEN write is idempotent
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite").option("path", path)
+    // Hash-distribute on the bucket key BEFORE the bucketed write (the
+    // Iceberg write.distribution-mode=hash shape, guide §6): repartition
+    // to `buckets` partitions uses the same murmur3+pmod as the bucket
+    // spec, so every task holds exactly one bucket — one file per bucket
+    // REGARDLESS of input task count (without it, every input task
+    // writes a file into every bucket: tasks × buckets small files at
+    // scale, and on a one-task local scan the whole sort+write ran on a
+    // single core).
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").option("path", path)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
