@@ -665,7 +665,9 @@ object Dedup {
     // it is a two-column table
     // shingled ⟺ ≥ 2 tokens (L tokens make L−1 bigrams) — the token
     // count is the cheap equivalent of building the bigram arrays
-    val fps = docs
+    // fan out the normalize+md5 fingerprint pass (one-task scan; the
+    // checkpoint then materializes cores-wide partitions)
+    val fps = graft.FanOut.cpuBound(docs, col("doc_id"))
       .filter(TextFns.tokenCount(col("text")) >= 2)
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .localCheckpoint()
