@@ -15,13 +15,21 @@ object Explain {
     val names = if (rest.length > 1) rest.drop(1).toSeq
     else Seq("q01_agg", "q02_filter_project", "q03_join_agg", "q05_multi_join",
       "g01_triangles", "d05_embedding_neardup", "s01_cosine_topk")
-    val spark = GraftSession.get(master = "local[4]", shufflePartitions = 4,
-      appName = "graft-explain")
+    // default small; a bench-shaped session (local[32], 32 shuffle
+    // partitions) via SPARK_GRAFT_EXPLAIN_CPUS when the dump's evidence
+    // is AQE's runtime partition decisions, not just plan shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_CPUS", "4").toInt
+    val spark = GraftSession.get(master = s"local[$cpus]",
+      shufflePartitions = cpus, appName = "graft-explain")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (executed) {
-        df.count()
+        // drive THIS DataFrame's own query execution (df.count() would
+        // plan a separate count query and leave this one un-finalized,
+        // printing `isFinalPlan=false` with no AQEShuffleRead evidence);
+        // toRdd.count() materializes every output column, the Bench rule
+        df.queryExecution.toRdd.count()
         println(df.queryExecution.executedPlan.toString)
       } else df.explain("formatted")
     }

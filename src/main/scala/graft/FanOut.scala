@@ -48,10 +48,22 @@ object FanOut {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val plan = df.queryExecution.optimizedPlan
+    // The ANALYZED plan, not the optimized one (r15 verdict #8 / ADVICE):
+    // forcing `optimizedPlan` here ran a full optimization pass whose
+    // result was thrown away — the returned repartitioned frame re-plans
+    // from scratch — and that fixed cost was paid by every fan-out call
+    // site even at scale, where the guard then does nothing. Analysis has
+    // already run (the DataFrame's schema forced it), and both guards
+    // only need what the analyzed tree shows: wide nodes are wide before
+    // optimization too (Distinct/Deduplicate are matched explicitly —
+    // the optimizer would have rewritten them to Aggregate), and the
+    // size estimate for a narrow scan-rooted chain is the same
+    // file-size-derived figure on either tree.
+    val plan = df.queryExecution.analyzed
     import org.apache.spark.sql.catalyst.plans.logical._
     val wide = plan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: Distinct | _: Deduplicate => true
       case _: RepartitionOperation => true
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _ => false

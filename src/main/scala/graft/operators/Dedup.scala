@@ -459,7 +459,12 @@ object Dedup {
     val survivors = idx
       .filter(pairKey(idx).isin(affectedKeys: _*))
       .join(ids, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      // LAZY checkpoint (r16, the CC-loop mechanism): the kept-leaf
+      // distinct below consumes every survivor row, materializing the
+      // cache in ITS job — one job instead of an eager-checkpoint count
+      // plus the distinct. The write still reads only cached blocks,
+      // so the read-from/overwrite-to cycle stays broken.
+      .localCheckpoint(false)
     val kept = survivors.select(col("batch_id"), col("bucket")).distinct()
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     if (kept.nonEmpty)

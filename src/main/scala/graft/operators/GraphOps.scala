@@ -528,6 +528,11 @@ object GraphOps {
     * aggregate per round on the already-checkpointed set, no diff join.
     * At the fixed point the set is exactly the star forest
     * {(v, min(component)) : v not a root}. */
+  /** Measurement toggle for the per-round checkpoint mode (A/B tool —
+    * graft.tools.CcBench flips it inside one JVM so eager vs lazy compare
+    * under identical JIT state); production default is lazy. */
+  @volatile private[graft] var ccEagerCheckpoint = false
+
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val canon = canonicalEdges(edges).persist()
     val nodes = canon.select(explode(array(col("u"), col("v"))).as("node"))
@@ -569,7 +574,17 @@ object GraphOps {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
+      // LAZY checkpoint (r15 verdict #1): the convergence aggregate below
+      // is the round's ONLY action — its execution computes the new edge
+      // set AND caches it (the lazy checkpoint materializes via
+      // getOrCompute as the aggregate's scan pulls the rows), so each
+      // round submits one Spark job instead of two (eager checkpoint
+      // count + separate aggregate). Plan shape is untouched: the same
+      // 3 shuffles per round, the same aggregate — only the separate
+      // materialization job (and its extra pass over the cached blocks)
+      // is gone. JobsPerRoundSpec pins the 1-job-per-round contract.
+      val next = smallStar(largeStar(e)).distinct()
+        .localCheckpoint(ccEagerCheckpoint)
       val chk = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
         .collect().head
       val cur = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
@@ -627,7 +642,7 @@ object GraphOps {
       val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("nl"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       changed = next.filter(col("nl") < col("label")).count()
       freeLocalCheckpoint(labels)
       labels = next.select(col("node"), col("nl").as("label"))
@@ -666,7 +681,7 @@ object GraphOps {
         .filter(col("deg") >= k).select(col("src"))
       val next = e.join(keep.toDF("u"), Seq("u"), "left_semi")
         .join(keep.toDF("v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       val m = next.count()
       converged = m == nEdges
       nEdges = m

@@ -112,6 +112,27 @@ object Multimodal {
     }
   }
 
+  /** Dispose hoisted per-task ImageIO codec instances when the partition
+    * iterator is exhausted (r15 ADVICE): mapPartitions returns a lazy
+    * mapped iterator with no completion hook, so without this the codec
+    * objects (which may hold native/heap buffers) linger on the executor
+    * task thread until GC. */
+  private def disposeOnExhaust[T](it: Iterator[T],
+      wr: Option[javax.imageio.ImageWriter],
+      rd: Option[javax.imageio.ImageReader]): Iterator[T] = new Iterator[T] {
+    private var disposed = false
+    def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !disposed) {
+        disposed = true
+        wr.foreach(w => try w.dispose() catch { case _: Exception => () })
+        rd.foreach(r => try r.dispose() catch { case _: Exception => () })
+      }
+      h
+    }
+    def next(): T = it.next()
+  }
+
   /** The real-codec certification arm (m08): synthesize a deterministic
     * grayscale image per document (pixel luminance
     * `(doc_id·31 + x·7 + y·13) mod 256`), ENCODE it to real PNG bytes
@@ -149,7 +170,7 @@ object Multimodal {
         val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
         if (it.hasNext) Some(it.next()) else None
       } catch { case _: Exception => None }
-      ids.map { id =>
+      disposeOnExhaust(ids.map { id =>
         val w = (id % 16 + 8).toInt
         val h = (id % 8 + 8).toInt
         val img = new java.awt.image.BufferedImage(
@@ -172,7 +193,14 @@ object Multimodal {
               try {
                 wr.setOutput(ios)
                 wr.write(img)
-              } finally { try ios.close() catch { case _: Exception => () } }
+              } finally {
+                try ios.close() catch { case _: Exception => () }
+                // reset in finally (r15 ADVICE, the GIF-path rule): a row
+                // whose write throws is degraded to png_valid=0 — the
+                // task-shared writer must not carry that row's
+                // partially-written state into the next one
+                try wr.reset() catch { case _: Exception => () }
+              }
               baos.toByteArray
             } catch { case _: Exception => Array.empty[Byte] }
           case None => Array.empty[Byte]
@@ -187,7 +215,10 @@ object Multimodal {
                 val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
                   new java.io.ByteArrayInputStream(png))
                 try { rd.setInput(iis); rd.read(0) }
-                finally { try iis.close() catch { case _: Exception => () } }
+                finally {
+                  try rd.reset() catch { case _: Exception => () }
+                  try iis.close() catch { case _: Exception => () }
+                }
               } catch { case _: Exception => null }
             case None => null
           }
@@ -208,43 +239,111 @@ object Multimodal {
         }
         (id, w, h, if (png.nonEmpty && back != null) 1 else 0,
           hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
-      }
+      }, wrOpt, rdOpt)
     }.toDF("doc_id", "width", "height", "png_valid",
       "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
   }
 
+  /** ENCODE a 16-bit mono little-endian PCM payload into a canonical WAV
+    * container: the 44-byte RIFF/WAVE header (16-byte PCM `fmt ` chunk)
+    * over the raw sample bytes — the byte-for-byte layout of the WAV
+    * spec (RIFF "WAVE" form, format tag 1 = PCM). Engine-native (r16
+    * optimization, r15 verdict #3): `AudioSystem.write` funnels every
+    * call through the JDK's process-global synchronized provider lookup,
+    * which serialized the cores-wide fan-out; the container itself is 44
+    * bytes of little-endian arithmetic. */
+  private[graft] def wavEncodePcm16Mono(pcm: Array[Byte],
+      sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + pcm.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16) // PCM fmt chunk is 16 bytes
+    le16(20, 1) // format tag 1 = PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2) // byte rate = rate * blockAlign
+    le16(32, 2) // blockAlign = channels * bytesPerSample
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
+  }
+
+  /** DECODE a WAV container: walk the RIFF chunk list (not a fixed
+    * 44-byte offset — a conforming reader must skip unknown chunks like
+    * `LIST`/`fact`), verify PCM signed 16-bit mono in the `fmt ` chunk,
+    * and return (sampleRate, PCM bytes of the `data` chunk). None on any
+    * malformed structure — the caller degrades the row, never throws. */
+  private[graft] def wavDecodePcm16Mono(
+      wav: Array[Byte]): Option[(Int, Array[Byte])] = {
+    def u16(off: Int): Int = (wav(off) & 0xff) | ((wav(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long = (wav(off) & 0xffL) | ((wav(off + 1) & 0xffL) << 8) |
+      ((wav(off + 2) & 0xffL) << 16) | ((wav(off + 3) & 0xffL) << 24)
+    def tagAt(off: Int, s: String): Boolean =
+      wav.length >= off + 4 && (0 until 4).forall(i => wav(off + i) == s.charAt(i).toByte)
+    if (wav.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (tag, channels, rate, bits)
+    var data: Option[Array[Byte]] = None
+    while (off + 8 <= wav.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = u32(off + 4)
+      val body = off + 8
+      if (size < 0 || body + size > wav.length) return None
+      if (tagAt(off, "fmt ") && size >= 16)
+        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+      else if (tagAt(off, "data"))
+        data = Some(java.util.Arrays.copyOfRange(wav, body, body + size.toInt))
+      off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, 1, rate, 16)), Some(d)) => Some((rate, d))
+      case _ => None
+    }
+  }
+
   /** The real-codec certification arm for AUDIO (m09) — m08's exact
-    * pattern on the JDK's other bundled lossless codec. r10 verdict #3:
-    * the "no JDK codec" grounds for stubbing audio were wrong —
-    * `javax.sound.sampled` ships a real PCM/WAV encoder+decoder (public
-    * JDK API, no new dependency). Per document: synthesize a
+    * pattern on the WAV container. Per document: synthesize a
     * deterministic 16-bit mono PCM waveform (sample i =
     * `(doc_id·31 + i·7919) mod 2¹⁶ − 2¹⁵`, full signed range,
-    * `doc_id mod 512 + 256` samples at 8 kHz), ENCODE it to real WAV
-    * container bytes with AudioSystem.write, DECODE those bytes back
-    * with AudioSystem.getAudioInputStream, and recompute integer
-    * waveform stats from the decoded frames — honoring the DECODED
-    * format's endianness, not assuming the encoder's. PCM WAV is
-    * lossless, so the oracle certifies ANALYTICALLY: DuckDB recomputes
-    * min/max/sum and an order-sensitive checksum Σ sᵢ·((i mod 31)+1)
-    * from the same formula without touching a WAV. A decoder that
-    * dropped frames, byte-swapped, or re-biased signedness breaks the
-    * hash; a failed decode reports wav_valid=0 (the m08 null-decode
-    * lesson) instead of throwing.
+    * `doc_id mod 512 + 256` samples at 8 kHz), ENCODE it to WAV
+    * container bytes, DECODE those bytes back through a conforming RIFF
+    * chunk walk, and recompute integer waveform stats from the decoded
+    * samples. PCM WAV is lossless, so the oracle certifies ANALYTICALLY:
+    * DuckDB recomputes min/max/sum and an order-sensitive checksum
+    * Σ sᵢ·((i mod 31)+1) from the same formula without touching a WAV.
+    * A decoder that dropped frames, byte-swapped, or re-biased
+    * signedness breaks the hash; a failed decode reports wav_valid=0
+    * (the m08 null-decode lesson) instead of throwing.
     *
-    * Scale shape: identical to m08 — one narrow mapPartitions pass over
-    * doc ids, codec work pipelines with the scan, zero shuffle. */
+    * Codec provenance (r16 optimization, r15 verdict #3): the encoder/
+    * decoder are ENGINE-NATIVE ([[wavEncodePcm16Mono]]/
+    * [[wavDecodePcm16Mono]]) rather than `javax.sound.sampled` — the
+    * JDK's AudioSystem routes every write/read through a process-global
+    * synchronized provider lookup with no hoistable per-task handle
+    * (unlike ImageIO), which serialized the m08-style fan-out (measured
+    * 3.2× slower in r15). The certified property is unchanged: real WAV
+    * container bytes round-trip losslessly, gated value-level by the
+    * oracle; MultimodalSpec additionally pins the container header and
+    * cross-checks the engine decoder against AudioSystem off the hot
+    * path.
+    *
+    * Scale shape: m08's — codec work fans out on bare doc ids
+    * (FanOut.cpuBound, a no-op at scale where the scan carries ≥ cores
+    * splits), one narrow mapPartitions pass, no payload-sized shuffle. */
   def audioRoundTrip(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // Measured and left alone (r15 optimization): a cores-wide fan-out
-    // made this operator 3.2× SLOWER — AudioSystem.write /
-    // getAudioInputStream go through the JDK's synchronized provider
-    // lookup on every call, and unlike ImageIO there is no public API to
-    // hoist the writer per task, so parallel tasks serialize on the
-    // process-global lock. Single scan-task execution is the faster
-    // shape at this tier; at scale the lock is per-executor-JVM and the
-    // operator parallelizes across executors.
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    graft.FanOut.cpuBound(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         val n = (id % 512 + 256).toInt
         val pcm = new Array[Byte](n * 2) // little-endian signed 16-bit
@@ -255,41 +354,27 @@ object Multimodal {
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-        val wav = baos.toByteArray
         val stats =
           try {
-            val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(wav))
-            val bf = back.getFormat
-            val bytes = back.readAllBytes()
-            if (bf.getSampleSizeInBits == 16 && bf.getChannels == 1 &&
-                bf.getEncoding ==
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                bytes.length == n * 2) {
-              val loOff = if (bf.isBigEndian) 1 else 0
-              val hiOff = 1 - loOff
-              var mn = Long.MaxValue; var mx = Long.MinValue
-              var sum = 0L; var chk = 0L
-              var j = 0
-              while (j < n) {
-                val lo = bytes(2 * j + loOff) & 0xff
-                val hi = bytes(2 * j + hiOff).toInt // sign-carrying
-                val s = ((hi << 8) | lo).toLong
-                if (s < mn) mn = s
-                if (s > mx) mx = s
-                sum += s
-                chk += s * ((j % 31) + 1)
-                j += 1
-              }
-              Some((n.toLong, mn, mx, sum, chk))
-            } else None
+            val wav = wavEncodePcm16Mono(pcm, 8000)
+            wavDecodePcm16Mono(wav) match {
+              case Some((_, bytes)) if bytes.length == n * 2 =>
+                var mn = Long.MaxValue; var mx = Long.MinValue
+                var sum = 0L; var chk = 0L
+                var j = 0
+                while (j < n) {
+                  val lo = bytes(2 * j) & 0xff
+                  val hi = bytes(2 * j + 1).toInt // sign-carrying
+                  val s = ((hi << 8) | lo).toLong
+                  if (s < mn) mn = s
+                  if (s > mx) mx = s
+                  sum += s
+                  chk += s * ((j % 31) + 1)
+                  j += 1
+                }
+                Some((n.toLong, mn, mx, sum, chk))
+              case _ => None
+            }
           } catch { case _: Exception => None }
         stats match {
           case Some((m, mn, mx, sum, chk)) => (id, m, 1, mn, mx, sum, chk)
@@ -341,7 +426,7 @@ object Multimodal {
         val it = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
         if (it.hasNext) Some(it.next()) else None
       } catch { case _: Exception => None }
-      ids.map { id =>
+      disposeOnExhaust(ids.map { id =>
         val w = 8; val h = 6
         val nf = (id % 3 + 2).toInt
         def lum(f: Int, x: Int, y: Int): Int =
@@ -433,7 +518,7 @@ object Multimodal {
           case Some((m, sum, chk)) => (id, m, 1, sum, chk)
           case None => (id, 0L, 0, 0L, 0L)
         }
-      }
+      }, wrOpt, rdOpt)
     }.toDF("doc_id", "n_frames", "gif_valid", "lum_sum", "ord_chk")
   }
 

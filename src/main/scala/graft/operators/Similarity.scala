@@ -318,7 +318,10 @@ object Similarity {
       col("cid") === c && col("batch_id") === b }.reduce(_ || _)
     val survivors = postings.filter(leafPred)
       .join(ids, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      // lazy checkpoint: the kept-leaf distinct materializes it (one job
+      // instead of two — the deleteFromBandIndex mechanism); the write
+      // still reads only cached blocks, never the files it overwrites
+      .localCheckpoint(false)
     val kept = survivors.select(col("cid"), col("batch_id")).distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     if (kept.nonEmpty)

@@ -312,21 +312,33 @@ object VersionedIvf {
     graft.plans.GraftFunctions.register(spark)
     val (base, m) = liveSnapshot(root)
     val ids = broadcast(vecIds.select(col("vec_id")).distinct())
-    // which leaves hold a deleted id: per-segment reads tagged with the
-    // leaf-identifying (segment, cid, batch) key
+    // Which leaves hold a deleted id — ONE probe job over every segment
+    // (r16 optimization, r15 verdict #5): the per-segment reads (each its
+    // own basePath so cid/batch_id resolve from the path) union into one
+    // frame tagged with its segment, so the affected-leaf probe is a
+    // single semi-join + distinct + collect instead of one driver-blocking
+    // job per segment — the commit still probes, rewrites and publishes
+    // exactly as before, just without #segments job round trips.
     val bySeg = m.leaves.groupBy(l => segmentOf(l.path)).toSeq.sortBy(_._1)
-    val hit = scala.collection.mutable.Set.empty[String] // leaf paths
-    bySeg.foreach { case (seg, ls) =>
-      val touched = spark.read.schema(Similarity.postingsSchema)
+    val perSeg = bySeg.map { case (seg, ls) =>
+      spark.read.schema(Similarity.postingsSchema)
         .option("basePath", s"$root/$seg")
         .parquet(ls.map(l => s"$root/${l.path}"): _*)
+        .select(lit(seg).as("__seg"), col("vec_id"),
+          col("cid").cast("long").as("cid"), col("batch_id"))
+    }
+    val hit = scala.collection.mutable.Set.empty[String] // leaf paths
+    if (perSeg.nonEmpty) {
+      val touched = perSeg.reduce(_ unionByName _)
         .join(ids, Seq("vec_id"), "left_semi")
-        .select(col("cid").cast("long"), col("batch_id")).distinct()
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      ls.foreach { l =>
-        if (touched.exists { case (c, b) =>
-            c == l.cid && (l.batch == "*" || b == l.batch) })
-          hit += l.path
+        .select(col("__seg"), col("cid"), col("batch_id")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      bySeg.foreach { case (seg, ls) =>
+        ls.foreach { l =>
+          if (touched.exists { case (s, c, b) =>
+              s == seg && c == l.cid && (l.batch == "*" || b == l.batch) })
+            hit += l.path
+        }
       }
     }
     if (hit.isEmpty) return base

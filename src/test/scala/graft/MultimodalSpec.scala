@@ -123,6 +123,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("engine WAV codec interoperates with javax.sound.sampled, both ways") {
+    // r16: m09's codec is engine-native (the AudioSystem provider lock
+    // serialized the fan-out). Interop is the honesty gate: (a) our
+    // encoder's bytes must decode through the JDK's real WAV reader to
+    // the same samples, and (b) the JDK encoder's bytes must decode
+    // through our RIFF chunk walk — so the container is the WAV format,
+    // not a private dialect.
+    val n = 300
+    val pcm = Array.tabulate[Byte](n * 2) { k =>
+      val i = k / 2
+      val s = (((7L * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+      if (k % 2 == 0) (s & 0xff).toByte else ((s >> 8) & 0xff).toByte
+    }
+    // (a) engine encode -> JDK decode
+    val wav = Multimodal.wavEncodePcm16Mono(pcm, 8000)
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bf = back.getFormat
+    assert(bf.getSampleSizeInBits === 16 && bf.getChannels === 1 &&
+      bf.getEncoding === javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      !bf.isBigEndian && bf.getSampleRate === 8000f,
+      s"JDK reader parsed a different format from the engine header: $bf")
+    assert(back.readAllBytes().toSeq === pcm.toSeq,
+      "JDK decode of the engine container altered the PCM payload")
+    // (b) JDK encode -> engine decode
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val decoded = Multimodal.wavDecodePcm16Mono(baos.toByteArray)
+    assert(decoded.nonEmpty, "engine decoder rejected a JDK-written WAV")
+    assert(decoded.get._1 === 8000 && decoded.get._2.toSeq === pcm.toSeq,
+      "engine decode of the JDK container altered rate or payload")
+  }
+
+  test("engine WAV decoder degrades malformed containers to None") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(Multimodal.wavDecodePcm16Mono(junk).isEmpty, "junk accepted")
+    assert(Multimodal.wavDecodePcm16Mono(Array.empty[Byte]).isEmpty)
+    val good = Multimodal.wavEncodePcm16Mono(Array[Byte](1, 2, 3, 4), 8000)
+    assert(Multimodal.wavDecodePcm16Mono(good).nonEmpty)
+    // truncated data chunk: declared size runs past the buffer
+    assert(Multimodal.wavDecodePcm16Mono(good.dropRight(2)).isEmpty,
+      "truncated data chunk accepted")
+    // stereo/8-bit/non-PCM fmt variants must be rejected, not misread
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Multimodal.wavDecodePcm16Mono(stereo).isEmpty, "stereo accepted")
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(Multimodal.wavDecodePcm16Mono(bits8).isEmpty, "8-bit accepted")
+    val float = good.clone(); float(20) = 3
+    assert(Multimodal.wavDecodePcm16Mono(float).isEmpty, "non-PCM accepted")
+  }
+
   test("banded near-dup join == brute-force hamming<=1 scan") {
     import spark.implicits._
     val media = (0L until 60L).map { id =>
