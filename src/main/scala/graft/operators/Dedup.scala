@@ -120,7 +120,9 @@ object Dedup {
     // the offsets pass and the running-sum pass, and two un-materialized
     // references would each range-sample their own boundaries.
     val ranged = base.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id()).localCheckpoint()
+      // lazy (r16, the distributionRanks rule): one sampling either way;
+      // the first consumer materializes the cache
+      .withColumn("__pid", spark_partition_id()).localCheckpoint(false)
     val slices = ranged.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__wsum"))
     // deliberately GLOBAL window: the offsets table is bounded at one row
@@ -241,7 +243,12 @@ object Dedup {
     // 32×8 B sig + 32-hex bkey + keys), else a deterministic shuffled
     // hash join on (band, bkey) — in-partition work grows with bucket
     // occupancy, never the corpus.
-    val bandsDf = bandTable(docs, bands).localCheckpoint()
+    // LAZY checkpoint (r16, the CC-loop mechanism): the sizing count just
+    // below is the materializing action — the signature build computes,
+    // caches, and counts in one job instead of an eager-checkpoint job
+    // plus a separate count over the cached blocks. Single-RDD semantics
+    // are unchanged: both join sides still read the one cached table.
+    val bandsDf = bandTable(docs, bands).localCheckpoint(false)
     val a = bandsDf.as("a")
     val left = if (bandsDf.count() * 400L < (64L << 20)) a
                else a.hint("shuffle_hash")
@@ -675,7 +682,10 @@ object Dedup {
     val fps = graft.FanOut.cpuBound(docs, col("doc_id"))
       .filter(TextFns.tokenCount(col("text")) >= 2)
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-      .localCheckpoint()
+      // lazy (r16): materializes inside the band table's sizing count
+      // (reps → repDocs → signatures pull it) — one fewer job; all three
+      // references still read the one cached table
+      .localCheckpoint(false)
     val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val repDocs = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = minhashLshPairs(repDocs)
@@ -1169,7 +1179,9 @@ object Dedup {
       .agg(transform(sort_array(collect_list(struct(col("df"), col("sid")))),
         x => x.getField("sid")).as("arr"))
       .withColumn("sz", size(col("arr")))
-      .localCheckpoint()
+      // lazy (r16): the terminal action's first branch materializes it;
+      // the barrier property is the single cached RDD, not the eagerness
+      .localCheckpoint(false)
     // prefix = first |d| - ceil(t*|d|) + 1 entries, sliced in-row — no
     // window, no second pass over the shingle stream. pos (0-based) feeds
     // the positional bound below.
@@ -1404,7 +1416,7 @@ object Dedup {
     // reattachment join; materialized once so the distinct-vector
     // aggregation (a corpus shuffle) never runs twice
     val reps = vecs.groupBy(col("e")).agg(min(col("vec_id")).as("vec_id"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the CC loop's first round materializes it
     val sig = reps
       .withColumn("nrm", VectorFns.norm(col("e")))
       .withColumn("s", Similarity.lshBucket(col("e"), dim, planes * tables))
@@ -1528,7 +1540,7 @@ object Dedup {
       .join(emb.select(col("vec_id"),
           VectorFns.toDouble(col("embedding")).as("e"))
         .withColumn("nrm", VectorFns.norm(col("e"))), "vec_id")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes the one table
     val sizes = members.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("m"))
     val probes = members.toDF("v2", "cluster_id", "e2", "n2")

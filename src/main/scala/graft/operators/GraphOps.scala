@@ -732,14 +732,18 @@ object GraphOps {
     // once per iteration per reference (~4 scans/iteration in the
     // unrolled plan). The checkpoint materializes the edge table once
     // and every iteration reads the blocks.
-    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
+    // lazy checkpoints (r16): the node-count action right below
+    // materializes deg AND (through its lineage) sym in one job — the
+    // eager form paid two extra materialization jobs for the same cache
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+      .localCheckpoint(false)
     // the degree key gets its OWN name: deg derives from sym, so an
     // unaliased deg("src") carries sym's attribute id and the join
     // predicate is literally src == src — Spark resolves it through its
     // self-join disambiguation heuristic (correct here, but warned per
     // construction and one analyzer change away from ambiguous)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .toDF("dnode", "deg").localCheckpoint()
+      .toDF("dnode", "deg").localCheckpoint(false)
     val n = deg.count()
     // empty graph: no nodes to rank (and SCALE/n would divide by zero)
     if (n == 0)
@@ -790,12 +794,15 @@ object GraphOps {
     // localCheckpoint for the same reason as [[pageRankPpb]]: the lazy
     // returned plan must read materialized blocks, not recompute the
     // edge derivation per iteration per reference
-    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst")).localCheckpoint()
+    // lazy checkpoints (r16, the pageRankPpb rule): the seed-count action
+    // below materializes seeds → deg → sym in one job train
+    val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
+      .localCheckpoint(false)
     // dnode rename: same src==src self-join hazard as [[pageRankPpb]]
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .toDF("dnode", "deg").localCheckpoint()
+      .toDF("dnode", "deg").localCheckpoint(false)
     val seeds = deg.select(col("dnode").as("node"))
-      .filter(pmod(col("node"), lit(seedMod)) === 0).localCheckpoint()
+      .filter(pmod(col("node"), lit(seedMod)) === 0).localCheckpoint(false)
     val nSeeds = seeds.count()
     // no seeds (empty graph, or no node ≡ 0 mod seedMod): no proximity
     // mass to spread — empty result, not a division by zero
@@ -859,7 +866,9 @@ object GraphOps {
   def boundedWalkCounts(edges: DataFrame, source: Long, hops: Int): DataFrame = {
     val spark = edges.sparkSession
     val sym = symmetrize(canonicalEdges(edges).toDF("src", "dst"))
-      .localCheckpoint() // scanned once per hop on BOTH plan arms
+      // lazy: scanned once per hop on BOTH plan arms off the one cached
+      // RDD; hop 1 of the terminal action materializes it
+      .localCheckpoint(false)
     // the seed node as a RANGE attribute, not a lit(): a constant-folded
     // seed turns hop 1's equi condition into a pushed filter and the
     // join into a nested loop — harmless on one row, but the plan shape

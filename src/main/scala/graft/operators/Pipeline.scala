@@ -44,14 +44,14 @@ object Pipeline {
     // consumer.
     val qualified = corpus
       .filter(TextFns.qualityScore(col("text")) >= minQuality)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // WIDE shingles for decontamination (5-gram, the d12 operator's ngram
     // knob): bigrams collide on shared VOCABULARY and would empty a
     // narrow-domain corpus; a 5-gram only collides on copied spans
     val contaminated = Dedup.decontaminate(qualified, evalSet, decontamNgram)
       .filter(col("contaminated") === 1).select(col("doc_id"))
     val clean = qualified.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val keepers = Dedup.exactDedup(clean)
       .filter(!col("is_dup")).select(col("doc_id"))
     val surviving = clean.join(keepers, Seq("doc_id"), "left_semi")
@@ -122,7 +122,7 @@ object Pipeline {
       .select(col("doc_id"), TextFns.qualityScore(col("text")).as("q"),
         TextFns.fingerprint(col("text")).as("fp"))
       .join(cont, "doc_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // BOTH configs' keeper tables from ONE conditional aggregation (a
     // config's keeper = min doc_id among its clean members), and both
     // statuses from one join against it — one fp shuffle and no final

@@ -90,8 +90,13 @@ object Relational {
     // the range exchange regressed every caller by 25–65% — the sampler
     // pass and range-shuffle write are too cheap per row to pay for an
     // extra exchange plus its AQE stage barrier.
+    // lazy (r16): the range exchange materializes eagerly at toRdd time
+    // either way (one sampling, one boundary set — the single-RDD fact
+    // above is the checkpoint itself, not its eagerness), so the first
+    // consumer's job populates the cache and the separate
+    // materialization job is gone.
     val ranged = df.repartitionByRange(parts, (g ++ order): _*)
-      .withColumn("__pid", spark_partition_id()).localCheckpoint()
+      .withColumn("__pid", spark_partition_id()).localCheckpoint(false)
     val counts = ranged.groupBy(col("__pid") +: g: _*)
       .agg(count(lit(1)).as("__c"))
     // with no group columns the offsets window is deliberately GLOBAL

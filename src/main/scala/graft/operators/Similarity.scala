@@ -190,14 +190,14 @@ object Similarity {
 
   /** (vec_id, e, nrm) with zero vectors dropped — the corpus-side shape
     * every IVF stage shares. */
-  private[operators] def prepCorpus(emb: DataFrame): DataFrame =
+  private[graft] def prepCorpus(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("e"))
       .filter(VectorFns.nonZero(col("e")))
       .withColumn("nrm", VectorFns.norm(col("e")))
 
   /** The deterministic first-`nlist` coarse quantizer — engine-portable
     * (the oracle recomputes it as `vec_id < nlist`). */
-  private[operators] def prepCentroids(src: DataFrame, nlist: Int): DataFrame =
+  private[graft] def prepCentroids(src: DataFrame, nlist: Int): DataFrame =
     src.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), VectorFns.toDouble(col("embedding")).as("ce"))
       .filter(VectorFns.nonZero(col("ce")))
@@ -219,6 +219,49 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+
+  /** Home-cell assignment IN-ROW — (vec_id, e, nrm, cid) with zero
+    * exchanges (r16 optimization, guide §2.4 "remove shuffles outright"):
+    * the write paths used `corpus.join(argmaxCell(cellScores(...)),
+    * "vec_id")`, which scores n·nlist rows, reduces them through a
+    * hash-aggregate EXCHANGE, and then re-attaches the (vec_id, cid)
+    * pairs to the corpus through a second join — at scale that join
+    * re-shuffles the whole corpus (the 64-dim vectors, not just keys) by
+    * vec_id solely to pick up one small column. The centroid table is
+    * broadcast-sized BY CONTRACT (it already rides a broadcast hash join
+    * in [[cellScores]]), so the argmax can instead FOLD over the
+    * broadcast centroid list per corpus row: same 6dp-rounded cosine,
+    * same max(cos, -cid) lexicographic tiebreak (struct comparison ==
+    * the aggregate's struct ordering), one narrow codegen pass, no
+    * per-row array materialization (`aggregate`, not `transform`+max).
+    * An empty centroid table assigns nothing — the inner-join semantics
+    * the degenerate-lifecycle specs pin — via the size filter. Every
+    * other corpus column rides through untouched (retrain's corpus
+    * carries batch lineage). */
+  /** Measurement toggle (A/B tool — graft.tools.AbBench flips it inside
+    * one JVM so old/new assignment compare under identical JIT state);
+    * production default is the in-row fold. */
+  @volatile private[graft] var assignInRow = true
+
+  private[graft] def assignCells(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
+    if (!assignInRow)
+      return corpus.join(argmaxCell(cellScores(corpus, cents)), "vec_id")
+    val centsArr = broadcast(cents.agg(
+      collect_list(struct(col("cid"), col("ce"), col("cnrm"))).as("__cents")))
+    val init = struct(lit(-2.0).as("ccos"), lit(Long.MinValue).as("ncid"))
+    corpus.crossJoin(centsArr)
+      .filter(size(col("__cents")) >= 1)
+      .withColumn("__best", aggregate(col("__cents"), init, (acc, c) => {
+        val cand = struct(
+          round(VectorFns.dot(col("e"), c.getField("ce")) /
+            (col("nrm") * c.getField("cnrm")), 6).as("ccos"),
+          (-c.getField("cid")).as("ncid"))
+        when(cand > acc, cand).otherwise(acc)
+      }))
+      .withColumn("cid", -col("__best").getField("ncid"))
+      .drop("__cents", "__best")
+  }
 
   /** PERSISTED IVF index build (s10) — the d28 artifact-lifecycle pattern
     * for ANN: an index a pipeline builds ONCE and probes many times,
@@ -247,7 +290,9 @@ object Similarity {
     val corpus = prepCorpus(emb)
     val cents = prepCentroids(centroidSource.getOrElse(emb), nlist)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.join(argmaxCell(cellScores(corpus, cents)), "vec_id")
+    // in-row assignment (see [[assignCells]]): no argmax exchange, no
+    // corpus-shuffling join-back — the build is one narrow pass + write
+    assignCells(corpus, cents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
         lit(batchId).as("batch_id"))
       .write.mode("overwrite").partitionBy("cid", "batch_id")
@@ -277,7 +322,7 @@ object Similarity {
     graft.plans.GraftFunctions.register(spark)
     val cents = spark.read.schema(centroidsSchema).parquet(s"$dir/centroids")
     val corpus = prepCorpus(newEmb)
-    corpus.join(argmaxCell(cellScores(corpus, cents)), "vec_id")
+    assignCells(corpus, cents) // in-row: no exchange, no join-back
       .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
         lit(batchId).as("batch_id"))
       .write.partitionBy("cid", "batch_id")

@@ -197,8 +197,11 @@ object VersionedIvf {
   private def writeSegment(spark: SparkSession, corpus: DataFrame,
       cents: DataFrame, root: String, segRel: String,
       batchId: Option[String]): Seq[Leaf] = {
-    val assigned = corpus.join(
-      Similarity.argmaxCell(Similarity.cellScores(corpus, cents)), "vec_id")
+    // in-row assignment (r16, see [[Similarity.assignCells]]): the former
+    // argmax-exchange + vec_id join-back re-shuffled the corpus vectors
+    // to attach one small column; the fold over the broadcast centroid
+    // list is one narrow pass, and every lifecycle segment write pays it
+    val assigned = Similarity.assignCells(corpus, cents)
     val rows = batchId match {
       case Some(b) => assigned.select(col("vec_id"), col("e"), col("nrm"),
         col("cid"), lit(b).as("batch_id"))

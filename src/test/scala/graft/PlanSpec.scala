@@ -582,6 +582,30 @@ class PlanSpec extends AnyFunSuite {
       s"the only allowed exchange is the doc_id fan-out:\n$l"))
   }
 
+  test("IVF cell assignment is one narrow pass — no exchange, no join-back") {
+    // r16 (guide §2.4): every lifecycle segment write (s10–s17 builds,
+    // appends, retrains, versioned commits) assigns home cells IN-ROW by
+    // folding over the broadcast centroid list. The former shape scored
+    // n·nlist rows, reduced them through a hash-aggregate exchange and
+    // re-attached (vec_id, cid) through a second corpus-shuffling join.
+    // The pin: no Exchange, no HashAggregate, no equi join anywhere in
+    // the assignment frame — only the deliberate 1-row broadcast of the
+    // collected centroid array (the s09 nested-loop convention).
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val plan = executedPlan(Similarity.assignCells(
+      Similarity.prepCorpus(emb), Similarity.prepCentroids(emb, 8)))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment re-grew a shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"assignment re-grew a corpus join:\n$plan")
+    // the centroid aggregate's own tiny exchange lives on the broadcast
+    // (single-row) side; the corpus side must be scan → project only
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row centroid-array broadcast:\n$plan")
+  }
+
   test("s10 probe scan statically prunes to the probed cell directories") {
     // the whole point of the cid-partitioned postings artifact: a probe
     // must read its nprobe cells' directories, not the corpus. The
